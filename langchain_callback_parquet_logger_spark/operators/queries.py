@@ -1,0 +1,434 @@
+"""Read-side query surface (SURVEY.md §2.10).
+
+Each query here reproduces one read-side capability of the reference
+(`turbo3136/langchain-callback-parquet-logger`) as a declarative Spark plan —
+the WHAT comes from the reference's README/examples (cited per query), the
+HOW is pure DataFrame API so Catalyst gets predicate pushdown, column
+pruning, partial aggregation and join-strategy selection for free.
+
+Conventions (driven by the DuckDB-oracle correctness gate):
+- every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the driver hash-compares values after sorting columns by name);
+- floating-point aggregates are rounded (sums to 2 decimals, ratios/avgs to
+  6) so accumulation-order differences between engines cannot flip the hash;
+- no query ever collects to the driver — everything stays a DataFrame.
+
+Scale notes (100 TB framing) are inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.session import load_table
+
+# Event types present in the driver's synthetic `events` table; stands in for
+# the reference's event-type capture set (config.py:23-27).
+FILTER_EVENT_TYPES = ("purchase", "error")
+
+
+# ---------------------------------------------------------------------------
+# S10 + P2 — directory scan with explicit projection.
+# Reference: pd.read_parquet("./logs") then column access (README.md:218).
+# Scale: projection reaches the parquet reader (ReadSchema pruning) — only
+# the three requested columns are read off disk.
+# ---------------------------------------------------------------------------
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select("event_id", "user_id", "event_type")
+
+
+ORACLE_SCAN_PROJECT = "SELECT event_id, user_id, event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# P1 + P5 — event-type membership filter.
+# Reference: configured event_types set (logger.py:241-249) and read-side
+# `df[df['event_type'] == 'llm_end']` (examples/batch_run_example.py:103).
+# Scale: IN-list predicate is pushed to parquet row-group stats.
+# ---------------------------------------------------------------------------
+def q_filter_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type").isin(*FILTER_EVENT_TYPES)).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+ORACLE_FILTER_EVENT_TYPE = f"""
+SELECT event_id, user_id, event_type, round(value, 2) AS value
+FROM events
+WHERE event_type IN {FILTER_EVENT_TYPES!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2 — JSON field extraction from the payload string.
+# Reference: json.loads(payload)['data']['usage']['total_tokens']
+# (README.md:221-224). The `events.props` JSON column plays the payload role.
+# Scale: get_json_object is codegen'd JVM-side; no Python in the loop.
+# ---------------------------------------------------------------------------
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3 — custom-id extraction from a tags array.
+# Reference: scan tags for the 'logger_custom_id:' prefix and strip it
+# (tagging.py:85-98). The events table has no tags column, so the query
+# constructs the reference's canonical tags fixture
+# (['tag1', 'logger_custom_id:<id>', 'tag2'], tests/test_core.py:224-240)
+# and then runs the real extraction: higher-order FILTER over the array +
+# prefix strip — exactly the engine's ingest-path implementation.
+# ---------------------------------------------------------------------------
+def q_custom_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import extract_custom_id_from_tags
+
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.withColumn(
+        "tags",
+        F.array(
+            F.lit("tag1"),
+            F.concat(F.lit("logger_custom_id:u-"), F.col("user_id").cast("string")),
+            F.lit("tag2"),
+        ),
+    )
+    return tagged.select(
+        "event_id",
+        extract_custom_id_from_tags(F.col("tags")).alias("custom_id"),
+    )
+
+
+ORACLE_CUSTOM_ID_EXTRACT = """
+SELECT event_id, 'u-' || CAST(user_id AS VARCHAR) AS custom_id FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# S4 + A1 — date-partition rollup.
+# Reference: hive `date=YYYY-MM-DD/` layout (logger.py:466-470); counting
+# rows per day is the canonical partition-pruned aggregate over it.
+# Scale: on a date-partitioned log dir this is partition-pruned; the
+# aggregation is hash-based with map-side partials.
+# ---------------------------------------------------------------------------
+def q_date_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_DATE_PARTITION_AGG = """
+SELECT CAST(ts AS DATE) AS event_date,
+       COUNT(*) AS n_events,
+       round(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1 — token-usage rollup per user.
+# Reference: "Analyze token usage" aggregation (README.md:221-224,
+# examples/batch_run_example.py:117-118); `value` plays total_tokens.
+# Scale: partial+final hash aggregate; one shuffle on user_id, unavoidable
+# and correct. Flagship query for entry().
+# ---------------------------------------------------------------------------
+def q_token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+ORACLE_TOKEN_ROLLUP = """
+SELECT user_id,
+       round(SUM(value), 2) AS sum_value,
+       round(AVG(value), 6) AS avg_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 — status / event-type summary.
+# Reference: success/failure counts (background_retrieval.py:342).
+# ---------------------------------------------------------------------------
+def q_status_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+ORACLE_STATUS_SUMMARY = """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4 — keep-last dedup.
+# Reference: drop_duplicates(subset=['response_id'], keep='last') on the
+# checkpoint (background_retrieval.py:362). The reference relies on concat
+# order; a distributed engine needs an explicit ordering, so we order by
+# (ts DESC, event_id DESC) — event_id as a deterministic tiebreaker
+# (SURVEY.md §7 "what's hard" #2).
+# Scale: single window shuffle on the dedup key; at 100 TB prefer
+# partitioning the log by the key date so the window stays partition-local.
+# ---------------------------------------------------------------------------
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+ORACLE_DEDUP_KEEP_LAST = """
+SELECT user_id, event_type, last_event_id, last_value FROM (
+  SELECT user_id, event_type,
+         event_id AS last_event_id,
+         round(value, 2) AS last_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5 / J1 — checkpoint anti-join (skip already-processed rows).
+# Reference: skip rows whose response_id is in the processed set
+# (background_retrieval.py:133-144) — the reference's only join.
+# The checkpoint here is a derived slice (every 10th event) so the query is
+# self-contained over the shared tables.
+# Scale: checkpoint side is broadcast — no shuffle of the big fact table.
+# ---------------------------------------------------------------------------
+def q_anti_join_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    checkpoint = events.filter(F.col("event_id") % 10 == 0).select("event_id")
+    remaining = events.join(F.broadcast(checkpoint), "event_id", "left_anti")
+    return remaining.select("event_id", "user_id", "event_type")
+
+
+ORACLE_ANTI_JOIN_CHECKPOINT = """
+SELECT event_id, user_id, event_type
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events c WHERE c.event_id % 10 = 0 AND c.event_id = e.event_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2 — parent/child hierarchy join.
+# Reference: parent_run_id links chain→LLM→tool events (logger.py:170-171,
+# tests/test_enhanced_logging.py:322-388). orders⋈lineitem is the testdata
+# analog of the parent/child equi join, rolled up per parent status.
+# Scale: equi hash join; both sides shuffle on the key (orders is too large
+# to broadcast at real scale). AQE handles skewed keys.
+# ---------------------------------------------------------------------------
+def q_hierarchy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+ORACLE_HIERARCHY_JOIN = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_children,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — union + dedup (checkpoint accumulation shape).
+# Reference: pd.concat + drop_duplicates (background_retrieval.py:360-362).
+# ---------------------------------------------------------------------------
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    slice_a = events.filter(F.col("user_id") < 50).select("event_id", "event_type")
+    slice_b = events.filter(F.col("event_type") == "click").select(
+        "event_id", "event_type"
+    )
+    return slice_a.unionByName(slice_b).distinct()
+
+
+ORACLE_UNION_DEDUP = """
+SELECT DISTINCT event_id, event_type FROM (
+  SELECT event_id, event_type FROM events WHERE user_id < 50
+  UNION ALL
+  SELECT event_id, event_type FROM events WHERE event_type = 'click'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 — results-to-input zip as an id join.
+# Reference: pd.concat(axis=1) positional alignment
+# (examples/batch_run_example.py:133-136). Positional alignment is an
+# anti-pattern in a distributed engine; results carry their id and the
+# re-attachment is an equi join on it (SURVEY.md §2.5 J3).
+# ---------------------------------------------------------------------------
+def q_results_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    derived = events.select(
+        "event_id", (F.col("value") * 2).alias("derived")
+    )
+    return (
+        events.join(derived, "event_id")
+        .select(
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round("derived", 2).alias("derived"),
+        )
+    )
+
+
+ORACLE_RESULTS_ZIP = """
+SELECT e.event_id,
+       round(e.value, 2) AS value,
+       round(d.derived, 2) AS derived
+FROM events e
+JOIN (SELECT event_id, value * 2 AS derived FROM events) d
+  ON e.event_id = d.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-K — ORDER BY ... LIMIT over a dimension join.
+# Reference: head() in examples (examples/batch_run_example.py:167) → limit.
+# Scale: customer side is broadcast (small dim); Spark computes the top-k
+# with per-partition TakeOrdered then a single final merge — no global sort.
+# ---------------------------------------------------------------------------
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOPK = """
+SELECT c_custkey, c_name, round(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape) — the classic scan→filter→wide-agg plan.
+# Not in the reference (it has no SQL surface) but it is the canonical
+# benchmark for the scan+agg path every log-analytics rollup uses.
+# Scale: filter pushed to parquet; 8 aggregates in one pass; two-phase agg.
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(AVG(l_quantity), 6) AS avg_qty,
+       round(AVG(l_extendedprice), 6) AS avg_price,
+       round(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+QUERIES = {
+    "q_scan_project": q_scan_project,
+    "q_filter_event_type": q_filter_event_type,
+    "q_json_extract": q_json_extract,
+    "q_custom_id_extract": q_custom_id_extract,
+    "q_date_partition_agg": q_date_partition_agg,
+    "q_token_rollup": q_token_rollup,
+    "q_status_summary": q_status_summary,
+    "q_dedup_keep_last": q_dedup_keep_last,
+    "q_anti_join_checkpoint": q_anti_join_checkpoint,
+    "q_hierarchy_join": q_hierarchy_join,
+    "q_union_dedup": q_union_dedup,
+    "q_results_zip": q_results_zip,
+    "q_topk": q_topk,
+    "q_pricing_summary": q_pricing_summary,
+}
+
+ORACLES = {
+    "q_scan_project": ORACLE_SCAN_PROJECT,
+    "q_filter_event_type": ORACLE_FILTER_EVENT_TYPE,
+    "q_json_extract": ORACLE_JSON_EXTRACT,
+    "q_custom_id_extract": ORACLE_CUSTOM_ID_EXTRACT,
+    "q_date_partition_agg": ORACLE_DATE_PARTITION_AGG,
+    "q_token_rollup": ORACLE_TOKEN_ROLLUP,
+    "q_status_summary": ORACLE_STATUS_SUMMARY,
+    "q_dedup_keep_last": ORACLE_DEDUP_KEEP_LAST,
+    "q_anti_join_checkpoint": ORACLE_ANTI_JOIN_CHECKPOINT,
+    "q_hierarchy_join": ORACLE_HIERARCHY_JOIN,
+    "q_union_dedup": ORACLE_UNION_DEDUP,
+    "q_results_zip": ORACLE_RESULTS_ZIP,
+    "q_topk": ORACLE_TOPK,
+    "q_pricing_summary": ORACLE_PRICING_SUMMARY,
+}

@@ -1,0 +1,79 @@
+"""SparkSession factory and table loading helpers.
+
+Tuned for the harness (single-JVM ``local[N]``) but every setting is the one
+you would also want on a real cluster: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), UTC session timezone (deterministic oracle
+comparison), Arrow enabled for the pandas interop used by the custom
+operators, and shuffle partitions sized to cores instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "langchain-callback-parquet-logger-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # The driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
+        # which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). Read it as
+        # nanos-since-epoch LongType and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan with partition discovery; schemas come from the files
+    themselves (parquet is self-describing — no inference step involved).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS); with nanosAsLong it arrives
+    as a LongType of nanos-since-epoch and is converted here to a proper
+    timestamp (microsecond precision, floored — matching DuckDB's ns→us
+    truncation). The conf is (re)applied at runtime so externally-created
+    sessions (e.g. the driver's) work too."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

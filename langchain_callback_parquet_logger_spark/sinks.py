@@ -1,0 +1,142 @@
+"""Parquet sinks: date-partitioned layout, composite fan-out, path templating.
+
+Spark-first rewrite of the reference's storage layer
+(`langchain_callback_parquet_logger/storage.py` + path logic in
+`batch.py:198-224`):
+
+- S3/S4/S5: `write_log` — snappy parquet, hive `date=YYYY-MM-DD/` partition
+  dirs derived from the event timestamp (reference logger.py:466-470), or a
+  flat layout when ``partition_on=None`` (tests/test_core.py:117-159).
+- S6: object stores are just path schemes here (`s3a://bucket/prefix`);
+  retries/atomicity come from the Hadoop committer instead of the
+  reference's hand-rolled put_object retry loop (storage.py:81-101). The
+  error/continue policy survives as ``on_failure``.
+- S7: `CompositeSink` fans every batch out to all backends
+  (storage.py:113-127).
+- S8: `exists` probe (storage.py:43-45,103-110).
+- S9: `render_output_path` — `{job_category}/{job_subcategory}/v{version}`
+  templating with version-dot sanitization (batch.py:198-224, default
+  template config.py:81).
+
+Scale: the writer never funnels through a single node — each task writes its
+own files per partition directory; the date partition keeps daily queries
+partition-pruned at read time.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Literal, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_PATH_TEMPLATE = "{job_category}/{job_subcategory}/v{job_version_safe}"
+
+
+def sanitize_version(version: str | None) -> str:
+    """'3.2.1' → '3_2_1'; None → 'unversioned' (reference batch.py:198-199)."""
+    return version.replace(".", "_") if version else "unversioned"
+
+
+def render_output_path(
+    base_dir: str,
+    job_category: str = "uncategorized",
+    job_subcategory: str = "unsubcategorized",
+    job_version: str | None = None,
+    template: str = DEFAULT_PATH_TEMPLATE,
+) -> str:
+    rel = template.format(
+        job_category=job_category,
+        job_subcategory=job_subcategory,
+        job_version=job_version or "unversioned",
+        job_version_safe=sanitize_version(job_version),
+    )
+    return f"{base_dir.rstrip('/')}/{rel}"
+
+
+@dataclass
+class ParquetSink:
+    """One storage backend. `base_dir` may be any Hadoop-supported scheme
+    (local path, file://, s3a://, hdfs://…) — the code path is identical."""
+
+    base_dir: str
+    partition_on: Literal["date"] | None = "date"
+    mode: str = "append"
+    compression: str = "snappy"
+    # error  → propagate write failures (reference S3Config.on_failure='error')
+    # continue → log and keep going (storage.py:94-98)
+    on_failure: Literal["error", "continue"] = "error"
+
+    def write(self, df: DataFrame) -> None:
+        try:
+            writer = df.write.mode(self.mode).option("compression", self.compression)
+            if self.partition_on == "date":
+                dated = df.withColumn("date", F.to_date("timestamp"))
+                writer = dated.write.mode(self.mode).option(
+                    "compression", self.compression
+                ).partitionBy("date")
+            writer.parquet(self.base_dir)
+        except Exception:
+            if self.on_failure == "continue":
+                logger.exception("sink write failed (continuing): %s", self.base_dir)
+            else:
+                raise
+
+    def exists(self, spark: SparkSession, rel: str = "") -> bool:
+        """S8 — existence probe through the Hadoop FileSystem API."""
+        path = f"{self.base_dir.rstrip('/')}/{rel}" if rel else self.base_dir
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        return bool(fs.exists(p))
+
+
+@dataclass
+class CompositeSink:
+    """S7 — write every batch to ALL backends (reference storage.py:113-127).
+
+    Matches the reference's best-effort semantics when a backend is marked
+    ``on_failure='continue'``; for true exactly-once multi-sink use the
+    streaming path's idempotent foreachBatch instead (SURVEY.md §7 hard #4).
+    """
+
+    sinks: Sequence[ParquetSink] = field(default_factory=list)
+
+    def write(self, df: DataFrame) -> None:
+        for sink in self.sinks:
+            sink.write(df)
+
+
+def create_sink(
+    base_dir: str | None = None,
+    s3_dir: str | None = None,
+    partition_on: Literal["date"] | None = "date",
+    s3_on_failure: Literal["error", "continue"] = "error",
+) -> ParquetSink | CompositeSink:
+    """Factory mirroring the reference's create_storage (storage.py:130-148):
+    local-only, remote-only, or composite local+remote."""
+    sinks: list[ParquetSink] = []
+    if base_dir:
+        sinks.append(ParquetSink(base_dir, partition_on=partition_on))
+    if s3_dir:
+        sinks.append(
+            ParquetSink(s3_dir, partition_on=partition_on, on_failure=s3_on_failure)
+        )
+    if not sinks:
+        raise ValueError("at least one of base_dir/s3_dir is required")
+    return sinks[0] if len(sinks) == 1 else CompositeSink(sinks)
+
+
+def write_log(
+    df: DataFrame,
+    base_dir: str,
+    partition_on: Literal["date"] | None = "date",
+    mode: str = "append",
+) -> None:
+    """S3+S4+S5 — the one-call write path for a normalized log frame."""
+    ParquetSink(base_dir, partition_on=partition_on, mode=mode).write(df)
