@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from langchain_callback_parquet_logger_spark.operators import (
+    batch_queries as _batch_queries,
+)
 from langchain_callback_parquet_logger_spark.operators import queries as _queries
+
+_MODULES = [_queries, _batch_queries]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,11 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(_queries.QUERIES)
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(_queries.ORACLES)
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
     return out

@@ -1,0 +1,92 @@
+"""Query-surface entries exercising the custom async batch-map operator.
+
+The map function here is the deterministic mock model the tests use in
+place of a network LLM (mirroring the reference's conftest.py:22-44 mock):
+``result = md5(prompt)``. Because md5 is SQL-expressible, the whole custom
+operator — mapInPandas, per-partition asyncio loop, semaphore, error
+capture — gets a full DuckDB value-level oracle, not just a rows-only
+check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..batchmap import ColumnConfig, batch_run
+from ..plans.session import load_table
+
+
+async def _mock_model(row: dict) -> str:
+    """Deterministic stand-in for an async LLM call."""
+    text = row.get("text") or ""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def q_batch_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    results = batch_run(
+        docs,
+        _mock_model,
+        max_concurrency=16,
+        columns=ColumnConfig(id="doc_id", prompt="text"),
+    )
+    return results.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("result"),
+        F.col("status"),
+    )
+
+
+ORACLE_BATCH_MAP = """
+SELECT doc_id, md5(text) AS result, 'ok' AS status FROM documents
+"""
+
+
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join resume semantics as a self-contained query: a synthetic
+    checkpoint marks every 7th doc processed; the 'retrieval' result for
+    the rest is the mock model output, and processed docs surface as
+    status='already_processed' (reference background_retrieval.py:133-144).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    done = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    keyed = docs.withColumn("doc_id", F.col("doc_id").cast("string"))
+    pending = keyed.join(F.broadcast(done), "doc_id", "left_anti")
+    results = batch_run(
+        pending,
+        _mock_model,
+        max_concurrency=16,
+        columns=ColumnConfig(id="doc_id", prompt="text"),
+    ).select("doc_id", "result", "status")
+    skipped = keyed.join(F.broadcast(done), "doc_id", "left_semi").select(
+        "doc_id",
+        F.lit(None).cast("string").alias("result"),
+        F.lit("already_processed").alias("status"),
+    )
+    return results.unionByName(skipped).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "result", "status"
+    )
+
+
+ORACLE_CHECKPOINT_RESUME = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 <> 0 THEN md5(text) END AS result,
+       CASE WHEN doc_id % 7 = 0 THEN 'already_processed' ELSE 'ok' END AS status
+FROM documents
+"""
+
+
+QUERIES = {
+    "q_batch_map": q_batch_map,
+    "q_checkpoint_resume": q_checkpoint_resume,
+}
+
+ORACLES = {
+    "q_batch_map": ORACLE_BATCH_MAP,
+    "q_checkpoint_resume": ORACLE_CHECKPOINT_RESUME,
+}

@@ -11,6 +11,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
 
+# Spark's Python workers unpickle test-module functions by reference; make
+# the repo root and tests dir importable in the worker processes.
+_here = os.path.dirname(os.path.abspath(__file__))
+_root = os.path.dirname(_here)
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in [_root, _here, os.environ.get("PYTHONPATH")] if p
+)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
