@@ -1,0 +1,137 @@
+"""S1/S2 as Structured Streaming: unbounded event stream → micro-batch
+partitioned parquet, exactly-once.
+
+The reference's streaming story (SURVEY.md §2.8) is a size-based in-memory
+buffer flushed to parquet — at-most-once (buffer lost on hard crash,
+logger.py:418-440). Spark's micro-batch trigger IS that operator, upgraded:
+the file-sink commit log + checkpoint give exactly-once, and the trigger
+replaces the buffer threshold:
+
+- ``availableNow`` — drain everything pending then stop (batch-like runs);
+- ``processingTime='N seconds'`` — continuous micro-batching (live tail).
+
+The transform between source and sink is the SAME ``normalize_events`` the
+batch path uses — one declarative pipeline, three execution modes (live
+callback, batch job, stream).
+
+Multi-sink fan-out (S7, reference storage.py:113-127) uses foreachBatch:
+within a micro-batch, each sink write is idempotent per epoch; a persisted
+batch frame avoids recomputing the source per sink.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Literal, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..ingest import normalize_events
+from ..sinks import ParquetSink
+
+# Raw event-file schema for the streaming source. Explicit — streaming
+# sources require a schema and the engine never infers (SURVEY.md §1.1).
+RAW_EVENT_DDL = (
+    "timestamp timestamp, run_id string, parent_run_id string, "
+    "event_type string, tags array<string>, metadata map<string,string>, "
+    "data string, raw string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source over an ingest directory. A live callback
+    producer (e.g. SparkParquetLogger in a separate process) appends
+    json/parquet files; this side tails them. ``maxFilesPerTrigger`` is the
+    streaming analog of the reference's buffer_size knob."""
+    reader = spark.readStream.schema(RAW_EVENT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(source_dir)
+
+
+def stream_to_log(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    logger_metadata: Mapping[str, object] | None = None,
+    event_types: Iterable[str] | None = None,
+    trigger: Literal["availableNow"] | str = "availableNow",
+    partition_on: Literal["date"] | None = "date",
+) -> StreamingQuery:
+    """Normalize + write the stream as date-partitioned parquet,
+    exactly-once via the checkpointed file sink."""
+    normalized = normalize_events(
+        events, logger_metadata=logger_metadata, event_types=event_types
+    )
+    if partition_on == "date":
+        normalized = normalized.withColumn("date", F.to_date("timestamp"))
+
+    writer = (
+        normalized.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if partition_on == "date":
+        writer = writer.partitionBy("date")
+    if trigger == "availableNow":
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
+def stream_to_sinks(
+    events: DataFrame,
+    sinks: list[ParquetSink],
+    checkpoint_dir: str,
+    logger_metadata: Mapping[str, object] | None = None,
+    event_types: Iterable[str] | None = None,
+    trigger: Literal["availableNow"] | str = "availableNow",
+) -> StreamingQuery:
+    """S7 — composite fan-out via foreachBatch. The micro-batch frame is
+    persisted once so N sinks don't recompute the source N times."""
+    normalized = normalize_events(
+        events, logger_metadata=logger_metadata, event_types=event_types
+    )
+
+    def _write_all(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for sink in sinks:
+                sink.write(batch_df)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        normalized.writeStream.foreachBatch(_write_all)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger == "availableNow":
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Beyond-parity: event-time windowed rollup with late-data handling —
+    the capability the reference lacks entirely (SURVEY.md §2.8). Feed any
+    raw event stream; aggregates count per (window, event_type) with a
+    watermark bounding state."""
+    return (
+        events.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,101 @@
+"""Streaming ingest: availableNow drain → exactly-once partitioned parquet;
+restart produces no duplicates; windowed agg runs with watermark."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from langchain_callback_parquet_logger_spark.streaming.ingest import (
+    read_event_stream,
+    stream_to_log,
+    windowed_event_counts,
+)
+
+ALL_TYPES = ["llm_start", "llm_end", "chain_start"]
+
+
+def _write_source_batch(tmp_path, n0: int, n: int) -> None:
+    src = tmp_path / "incoming"
+    src.mkdir(exist_ok=True)
+    rows = [
+        {
+            "timestamp": f"2024-01-0{1 + (i % 2)}T10:00:{i % 60:02d}.000Z",
+            "run_id": f"r{i}",
+            "parent_run_id": None,
+            "event_type": ALL_TYPES[i % len(ALL_TYPES)],
+            "tags": [f"logger_custom_id:c{i}"],
+            "metadata": {"i": str(i)},
+            "data": json.dumps({"prompts": [f"p{i}"]}),
+            "raw": None,
+        }
+        for i in range(n0, n0 + n)
+    ]
+    with open(src / f"batch_{n0}.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_drain_exactly_once(spark, tmp_path):
+    _write_source_batch(tmp_path, 0, 12)
+    events = read_event_stream(spark, str(tmp_path / "incoming"))
+    q = stream_to_log(
+        events,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        event_types=ALL_TYPES,
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 12
+    assert {r.custom_id for r in back.select("custom_id").collect()} == {
+        f"c{i}" for i in range(12)
+    }
+    # date partitioning from event time
+    dirs = {p.name for p in (tmp_path / "out").iterdir() if p.name.startswith("date=")}
+    assert dirs == {"date=2024-01-01", "date=2024-01-02"}
+
+    # restart with NEW data only → no duplicates of the old batch
+    _write_source_batch(tmp_path, 100, 5)
+    events2 = read_event_stream(spark, str(tmp_path / "incoming"))
+    q2 = stream_to_log(
+        events2,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        event_types=ALL_TYPES,
+    )
+    q2.awaitTermination(120)
+    back2 = spark.read.parquet(str(tmp_path / "out"))
+    assert back2.count() == 17  # 12 + 5, nothing reprocessed
+
+
+def test_event_type_filter_applies_in_stream(spark, tmp_path):
+    _write_source_batch(tmp_path, 0, 9)
+    events = read_event_stream(spark, str(tmp_path / "incoming"))
+    q = stream_to_log(
+        events,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        event_types=["llm_start"],  # drop llm_end/chain_start
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert {r.event_type for r in back.collect()} == {"llm_start"}
+
+
+def test_windowed_counts_memory_sink(spark, tmp_path):
+    _write_source_batch(tmp_path, 0, 12)
+    events = read_event_stream(spark, str(tmp_path / "incoming"))
+    agg = windowed_event_counts(events, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    assert rows
+    assert sum(r.n for r in rows) == 12
