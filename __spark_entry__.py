@@ -22,9 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from langchain_callback_parquet_logger_spark.operators import (
     batch_queries as _batch_queries,
 )
+from langchain_callback_parquet_logger_spark.operators import dedup as _dedup
+from langchain_callback_parquet_logger_spark.operators import (
+    multimodal as _multimodal,
+)
 from langchain_callback_parquet_logger_spark.operators import queries as _queries
+from langchain_callback_parquet_logger_spark.operators import (
+    similarity as _similarity,
+)
+from langchain_callback_parquet_logger_spark.operators import text as _text
 
-_MODULES = [_queries, _batch_queries]
+_MODULES = [_queries, _batch_queries, _text, _dedup, _similarity, _multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

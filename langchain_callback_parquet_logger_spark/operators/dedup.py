@@ -1,0 +1,366 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+All hashing is md5-derived (`hash60(s)` = first 15 hex chars of md5 as a
+60-bit bigint) so every stage — signatures, band keys, candidate pairs,
+verified pairs — is bit-identical between the Spark plan and the DuckDB
+oracle: the entire LSH pipeline is value-verified, not just row-counted.
+(`xxhash64` would be faster but engine-specific; swapping the hash is a
+one-line change in production.)
+
+Scale design (the point of these operators at 100 TB):
+- exact dedup: one hash-aggregate on the fingerprint — no pairwise work;
+- n-gram Jaccard: *blocked* pairwise comparison (lang + length band) — the
+  exact baseline, quadratic within blocks, used to validate MinHash;
+- MinHash+LSH: shingle explode (linear) → 16-way min-aggregate (one
+  shuffle on doc_id) → band keys → equi-join on (band, key) so candidate
+  generation is hash-join-shaped, never O(n²) — then exact Jaccard only on
+  candidates;
+- SimHash: linear scan to a 32-bit fingerprint + banded candidate join on
+  hamming distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.session import load_table
+
+SHINGLE_SIZE = 3
+NUM_HASHES = 16
+NUM_BANDS = 4  # 4 rows per band
+JACCARD_THRESHOLD = 0.6
+SIMHASH_BITS = 32
+HAMMING_THRESHOLD = 3
+
+
+# ---------------------------------------------------------------------------
+# Portable primitives (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def hash60(col: Column) -> Column:
+    """60-bit positive bigint from md5 — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def shingles(text: Column, k: int = SHINGLE_SIZE) -> Column:
+    """Distinct word k-gram shingles (assumes ≥k words per doc; the
+    ``greatest`` guard degrades shorter docs to a single partial shingle)."""
+    words = F.split(text, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    )
+
+
+_SHINGLES_SQL = """
+list_distinct(list_transform(
+    range(0, greatest(len(string_split(text, ' ')) - 2, 1)),
+    i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+         || ' ' || string_split(text, ' ')[i+3]))
+""".strip()
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / union
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — one aggregate on the normalized-text fingerprint.
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs, lang-blocked (the quadratic baseline
+# that validates the LSH path).
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", shingles(F.col("text")).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    j = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(j, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES_SQL} AS sh FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs.
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, s0..s{n-1}): per-doc MinHash signature. Linear explode, one
+    shuffle (the groupBy on doc_id); each hash family member is
+    hash60('j:' || shingle)."""
+    exploded = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+    aggs = [
+        F.min(hash60(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"s{j}")
+        for j in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, num_bands: int = NUM_BANDS, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, band_id, band_key): band key = md5 of the band's signature
+    slice, joined on equality — candidate generation is an equi join."""
+    rows_per_band = num_hashes // num_bands
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"s{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(bands).alias("band_id", "band_key"))
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    bands = lsh_bands(minhash_signatures(docs))
+
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    candidates = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified
+
+
+def _oracle_minhash() -> str:
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    min_exprs = []
+    for j in range(NUM_HASHES):
+        seeded = f"'{j}:' || sh"
+        min_exprs.append(f"MIN({_hash60_sql(seeded)}) AS s{j}")
+    mins = ", ".join(min_exprs)
+    band_rows = []
+    for b in range(NUM_BANDS):
+        cols = " || ',' || ".join(
+            f"s{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest(sh) AS sh FROM sh
+),
+sig AS (
+  SELECT doc_id, {mins} FROM ex GROUP BY doc_id
+),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands b1 JOIN bands b2
+    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+   AND b1.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+          JOIN sh b ON cand.doc_b = b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints + hamming near-dup pairs.
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over distinct-token hashes.
+    Linear explode + one aggregate; the per-bit votes are plain SUM(CASE)
+    expressions so the whole thing stays in codegen."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w")
+    ).withColumn("h", hash60(F.col("w")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+def _oracle_simhash() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2 ** b}::BIGINT ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {_hash60_sql('w')} AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM votes
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by hamming distance, lang-blocked. At scale the block
+    key would be simhash band prefixes; lang blocking keeps the oracle
+    tractable while exercising the same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    return f"""
+WITH fp AS ({_oracle_simhash()}),
+fpl AS (
+  SELECT fp.doc_id, fp.simhash, d.lang
+  FROM fp JOIN documents d ON fp.doc_id = d.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fpl a JOIN fpl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "q_exact_dedup": q_exact_dedup,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_dedup": q_minhash_dedup,
+    "q_simhash": q_simhash,
+    "q_simhash_pairs": q_simhash_pairs,
+}
+
+ORACLES = {
+    "q_exact_dedup": ORACLE_EXACT_DEDUP,
+    "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "q_minhash_dedup": _oracle_minhash(),
+    "q_simhash": _oracle_simhash(),
+    "q_simhash_pairs": _oracle_simhash_pairs(),
+}

@@ -1,0 +1,236 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two access paths, per the standard ANN playbook:
+- **brute force** — exact cosine top-k via higher-order functions
+  (`zip_with` + `aggregate`), fully JVM-side, O(n·d) per query. The
+  baseline, and exactly what you run when the query set is small.
+- **IVF-style partition-pruned search** — restrict the scan to the query's
+  coarse cluster (the `label` column plays the centroid assignment here;
+  in production the assignment comes from a k-means fit). At 100 TB the
+  cluster id is a partition column, so the search is partition-pruned I/O,
+  not just less compute.
+
+All arithmetic is done in DOUBLE on both engines (embeddings are stored as
+float32; DuckDB's list_cosine_similarity on FLOAT lists computes in float
+and would diverge) and rounded to 6 decimals for stable comparison.
+Tie-breaks are explicit (`sim DESC, vec_id ASC`) so top-k is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.session import load_table
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+DEDUP_COSINE_THRESHOLD = 0.45
+
+
+def _as_double(arr: Column) -> Column:
+    return arr.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_COSINE_SQL = (
+    "list_dot_product(a.emb, b.emb) / "
+    "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+)
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, query: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k: broadcast the query vector against every row. The
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject — per-partition
+    heaps then a single driver merge, no global sort shuffle."""
+    q = query.select(_as_double(F.col("embedding")).alias("q_emb"))
+    sim = cosine(_as_double(F.col("embedding")), F.col("q_emb"))
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(sim, 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    others = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    return knn_bruteforce(others, query)
+
+
+ORACLE_KNN_BRUTEFORCE = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT b.vec_id,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+  FROM q a, (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+             WHERE vec_id <> {QUERY_VEC_ID}) b
+)
+SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style: search only the query's coarse cluster (label). The
+    cluster filter lands on the scan as a pushed predicate — at scale, with
+    the table partitioned by cluster id, it prunes partitions entirely."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        _as_double(F.col("embedding")).alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    sim = cosine(_as_double(F.col("embedding")), F.col("q_emb"))
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(query), F.col("label") == F.col("q_label"))
+        .select("vec_id", F.round(sim, 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+ORACLE_KNN_IVF = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS emb, label
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT b.vec_id,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+  FROM q a JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                 FROM embeddings WHERE vec_id <> {QUERY_VEC_ID}) b
+    ON a.label = b.label
+)
+SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine, label-blocked — same blocked
+    pairwise shape as the text near-dup baseline."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= DEDUP_COSINE_THRESHOLD)
+    )
+
+
+ORACLE_EMBEDDING_DEDUP = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COSINE_SQL}, 6) AS sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COSINE_SQL} >= {DEDUP_COSINE_THRESHOLD}
+"""
+
+
+def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest neighbors of every label centroid member count — a
+    grouped top-k (window + rank) exercising the per-group ANN shape used
+    for batched query sets."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    centroids = emb.groupBy(F.col("label").alias("a_label")).agg(
+        F.min("vec_id").alias("anchor_id")
+    )
+    anchors = emb.join(
+        centroids, (emb.vec_id == centroids.anchor_id)
+    ).select("a_label", F.col("emb").alias("a_emb"), "anchor_id")
+    sim = cosine(F.col("emb"), F.col("a_emb"))
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("label") == F.col("a_label"))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select("label", "vec_id", F.round(sim, 6).alias("sim"))
+    )
+    w = W.partitionBy("label").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("label", "vec_id", "sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_KNN_PER_LABEL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+anchors AS (
+  SELECT label AS a_label, MIN(vec_id) AS anchor_id FROM e GROUP BY label
+),
+aemb AS (
+  SELECT a.a_label, a.anchor_id, e.emb AS a_emb
+  FROM anchors a JOIN e ON a.anchor_id = e.vec_id
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round(list_dot_product(aemb.a_emb, e.emb)
+               / (sqrt(list_dot_product(aemb.a_emb, aemb.a_emb))
+                  * sqrt(list_dot_product(e.emb, e.emb))), 6) AS sim
+  FROM e JOIN aemb ON e.label = aemb.a_label
+  WHERE e.vec_id <> aemb.anchor_id
+),
+ranked AS (
+  SELECT label, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT label, vec_id, sim, rk::INT AS rk FROM ranked WHERE rk <= 3
+"""
+
+
+QUERIES = {
+    "q_knn_bruteforce": q_knn_bruteforce,
+    "q_knn_ivf": q_knn_ivf,
+    "q_embedding_dedup": q_embedding_dedup,
+    "q_knn_per_label": q_knn_per_label,
+}
+
+ORACLES = {
+    "q_knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "q_knn_ivf": ORACLE_KNN_IVF,
+    "q_embedding_dedup": ORACLE_EMBEDDING_DEDUP,
+    "q_knn_per_label": ORACLE_KNN_PER_LABEL,
+}

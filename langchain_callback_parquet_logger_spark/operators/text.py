@@ -1,0 +1,270 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-parity extensions (BASELINE.json north star): language-ID heuristic,
+quality scoring, token counting, and document fingerprinting over the
+``documents`` table. Everything here is built from JVM-side
+``pyspark.sql.functions`` — no Python UDFs anywhere in the hot path — so
+the plans stay inside whole-stage codegen and scale linearly with
+partitions: at 100 TB these are embarrassingly parallel scans with no
+shuffle at all (the per-doc operators) or a single partial+final hash
+aggregate (the rollups).
+
+Portability conventions for the DuckDB oracles: tokenization is
+single-space ``split``; hashes are md5 (hex string) — both engines agree
+byte-for-byte on ASCII input; ratios are rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.session import load_table
+
+# BPE-ish word/number/punctuation token pattern, shared verbatim with the
+# oracle's regexp_extract_all.
+TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+# Stopword list used by the quality score (drawn from common English
+# function words present in the corpus vocabulary).
+STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+# Marker words per language for the n-gram/marker heuristic. Deterministic
+# argmax with ties broken alphabetically, 'en' fallback when all zero.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "nicht"),
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "que", "los"),
+    "fr": ("le", "les", "et", "une"),
+}
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_col(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count (letters / digits / punctuation runs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_count(text: Column) -> Column:
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(words_col(text), lambda w: F.array_contains(sw, w)))
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, "\\s+", " "))))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    w = words_col(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(w, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def predicted_lang(text: Column) -> Column:
+    """Marker-count argmax, alphabetical tie-break, 'en' when all zero.
+
+    Expressed as a chain of comparisons (no UDF): lang L wins iff its score
+    is strictly greater than every alphabetically-earlier lang's score and
+    greater-or-equal to every later one."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # alphabetical = tie-break order
+    best = F.lit("en")
+    # iterate from last to first so earlier langs win ties
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = (
+                scores[lang] > scores[other]
+                if other < lang
+                else scores[lang] >= scores[other]
+            )
+            cond = c if cond is None else (cond & c)
+        win = cond & (scores[lang] > 0)
+        expr = F.when(win, F.lit(lang)) if expr is None else expr.when(win, F.lit(lang))
+    return expr.otherwise(best)
+
+
+# ---------------------------------------------------------------------------
+# Declared queries
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_ws = token_count_ws(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        n_ws.alias("n_words"),
+        token_count_bpe(t).alias("n_tokens"),
+        F.size(F.array_distinct(words_col(t))).alias("n_distinct_words"),
+        F.round(F.length(F.regexp_replace(t, " ", "")) / n_ws, 6).alias("avg_word_len"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_words,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+       round(length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')), 6)
+           AS avg_word_len
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: stopword ratio, punctuation ratio, length band.
+    Composite score = mean of the three bounded signals (a cheap, fully
+    columnar analog of fasttext-style quality filters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = token_count_ws(t)
+    sw_ratio = stopword_count(t) / n_words
+    punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0)))
+    punct_ratio = punct / F.length(t)
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    score = (sw_ratio + (1 - punct_ratio) + len_score) / 3
+    return docs.select(
+        "doc_id",
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_QUALITY_SCORE = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text,' '), w -> w IN ({_SW_LIST})))::DOUBLE
+             / len(string_split(text,' ')) AS sw_ratio,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text)
+             AS punct_ratio,
+         least(length(text)::DOUBLE / 500.0, 1.0) AS len_score
+  FROM documents
+)
+SELECT doc_id,
+       round(sw_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(len_score, 6) AS len_score,
+       round((sw_ratio + (1 - punct_ratio) + len_score) / 3, 6) AS quality
+FROM s
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = lang_scores(t)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted_lang(t).alias("predicted_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+    )
+
+
+def _oracle_lang_id() -> str:
+    score_exprs = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_exprs.append(
+            f"len(list_filter(string_split(text,' '), w -> w IN ({markers}))) AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    when_clauses = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">" if other < lang else ">="
+            conds.append(f"score_{lang} {op} score_{other}")
+        conds.append(f"score_{lang} > 0")
+        when_clauses.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(when_clauses) + " ELSE 'en' END"
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang AS labeled_lang, {", ".join(score_exprs)}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, {case} AS predicted_lang,
+       {", ".join(f"score_{lang}" for lang in langs)}
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        F.md5(F.col("text")).alias("raw_md5"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       md5(text) AS raw_md5
+FROM documents
+"""
+
+
+def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.length(t)), 6).alias("avg_chars"),
+            F.sum(token_count_ws(t)).alias("total_words"),
+        )
+    )
+
+
+ORACLE_LANG_ROLLUP = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       round(AVG(length(text)), 6) AS avg_chars,
+       SUM(len(string_split(text,' '))) AS total_words
+FROM documents GROUP BY lang
+"""
+
+
+QUERIES = {
+    "q_text_stats": q_text_stats,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_lang_rollup": q_lang_rollup,
+}
+
+ORACLES = {
+    "q_text_stats": ORACLE_TEXT_STATS,
+    "q_quality_score": ORACLE_QUALITY_SCORE,
+    "q_lang_id": _oracle_lang_id(),
+    "q_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "q_lang_rollup": ORACLE_LANG_ROLLUP,
+}
