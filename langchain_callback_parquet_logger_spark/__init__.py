@@ -30,10 +30,21 @@ from .ingest import (
     with_tags,
 )
 from .plans.session import get_spark, load_table, load_tables
+from .logger import SparkParquetLogger
+from .batchmap import ColumnConfig, RetryConfig, attach_results, batch_process, batch_run
+from .checkpoint import (
+    dedup_keep_last,
+    filter_unprocessed,
+    load_checkpoint,
+    retrieve_with_checkpoint,
+    save_checkpoint,
+)
+from .sinks import CompositeSink, ParquetSink, create_sink, render_output_path, write_log
 
 __version__ = "0.1.0"
 
 __all__ = [
+    # schema / constants
     "CHECKPOINT_SCHEMA",
     "CUSTOM_ID_PREFIX",
     "DEFAULT_EVENT_TYPES",
@@ -41,12 +52,34 @@ __all__ = [
     "LOG_COLUMNS",
     "LOG_SCHEMA",
     "PAYLOAD_SCHEMA",
+    # core (reference: ParquetLogger, with_tags)
+    "SparkParquetLogger",
+    "with_tags",
+    # write path
     "extract_custom_id_from_tags",
     "filter_event_types",
     "normalize_events",
+    "ParquetSink",
+    "CompositeSink",
+    "create_sink",
+    "render_output_path",
+    "write_log",
+    # batch processing (reference: batch_run, batch_process, ColumnConfig)
+    "batch_run",
+    "batch_process",
+    "attach_results",
+    "ColumnConfig",
+    "RetryConfig",
+    # background retrieval / checkpointing
+    "retrieve_with_checkpoint",
+    "load_checkpoint",
+    "save_checkpoint",
+    "filter_unprocessed",
+    "dedup_keep_last",
+    # read path
     "payload_field",
     "read_log_dataset",
-    "with_tags",
+    # session helpers
     "get_spark",
     "load_table",
     "load_tables",

@@ -109,33 +109,71 @@ FROM documents GROUP BY 1
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard self-join via the inverted-index (posting-list)
+    plan: explode shingles, equi-join postings on (lang, shingle), count
+    common shingles per pair, then `J = common / (na + nb - common)` —
+    exact because shingle arrays are distinct. Candidate enumeration is
+    hash-join-shaped (linear in postings + co-occurring pairs); pairs with
+    no common shingle never materialize (they can't pass a >0 threshold).
+    At 100 TB the one skew risk is a stop-shingle whose posting list is
+    huge — mitigated upstream by shingle-frequency capping, and at runtime
+    by AQE skew-join splitting."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "lang", shingles(F.col("text")).alias("sh")
+    # Postings carry ONLY (doc_id, lang, shingle); the per-doc shingle count
+    # lives in a separate tiny dim attached AFTER the pair aggregation via
+    # broadcast joins. Carrying `size(shingles(text))` through the self-join
+    # lets CollapseProject re-inline the whole HOF array build per joined
+    # row (O(pairs × doc_len) — measured 50× slower); this shape evaluates
+    # it once per doc.
+    post = docs.select(
+        "doc_id", "lang", F.explode(shingles(F.col("text"))).alias("s")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sizes = docs.select(
+        "doc_id", F.size(shingles(F.col("text"))).alias("n")
     )
-    j = jaccard(F.col("a.sh"), F.col("b.sh"))
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(j, 6).alias("jaccard"),
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    a, b = post.alias("a"), post.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 ORACLE_NGRAM_JACCARD = f"""
 WITH sh AS (
   SELECT doc_id, lang, {_SHINGLES_SQL} AS sh FROM documents
+),
+post AS (
+  SELECT doc_id, lang, len(sh) AS n, unnest(sh) AS s FROM sh
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS common
+  FROM post a JOIN post b
+    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (na + nb - common), 6) AS jaccard
+FROM common
+WHERE common::DOUBLE / (na + nb - common) >= {JACCARD_THRESHOLD}
 """
 
 

@@ -132,12 +132,17 @@ SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by embedding cosine, label-blocked — same blocked
-    pairwise shape as the text near-dup baseline."""
+    pairwise shape as the text near-dup baseline. Per-row norms are
+    computed ONCE at scan time and carried through the join, so the
+    per-pair work is a single zip_with/aggregate dot product; the division
+    `dot/(norm_a*norm_b)` is the same float expression the oracle runs, so
+    hoisting doesn't perturb the 6-dp rounding."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
+    emb = emb.withColumn("nrm", norm(F.col("emb")))
     a, b = emb.alias("a"), emb.alias("b")
-    sim = cosine(F.col("a.emb"), F.col("b.emb"))
+    sim = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
