@@ -34,6 +34,17 @@ JACCARD_THRESHOLD = 0.6
 SIMHASH_BITS = 32
 HAMMING_THRESHOLD = 3
 
+# Universal-hash family for MinHash: h_j(x) = (a_j * x + b_j) mod MERSENNE_P.
+# One md5 per shingle feeds every family member (16× fewer digest+conv
+# evaluations than hashing per member); the affine coefficients are fixed
+# literals so the DuckDB oracle computes bit-identical signatures.
+# (a_j mod p)(x mod p) < 2^62 so the int64 product never overflows.
+MERSENNE_P = (1 << 31) - 1
+HASH_FAMILY = [
+    ((1103515245 * j + 12345) % MERSENNE_P or 1, (69069 * j + 1) % MERSENNE_P)
+    for j in range(NUM_HASHES)
+]
+
 
 # ---------------------------------------------------------------------------
 # Portable primitives (Spark side)
@@ -184,14 +195,15 @@ WHERE common::DOUBLE / (na + nb - common) >= {JACCARD_THRESHOLD}
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """(doc_id, s0..s{n-1}): per-doc MinHash signature. Linear explode, one
-    shuffle (the groupBy on doc_id); each hash family member is
-    hash60('j:' || shingle)."""
+    shuffle (the groupBy on doc_id). Each shingle is digested ONCE
+    (hash60 mod p); the 16 family members are affine transforms of that
+    base hash — integer-only work that stays in whole-stage codegen."""
     exploded = docs.select(
         "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
-    )
+    ).select("doc_id", (hash60(F.col("sh")) % MERSENNE_P).alias("h"))
     aggs = [
-        F.min(hash60(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"s{j}")
-        for j in range(num_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"s{j}")
+        for j, (a, b) in enumerate(HASH_FAMILY[:num_hashes])
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
 
@@ -219,8 +231,12 @@ def lsh_bands(sig: DataFrame, num_bands: int = NUM_BANDS, num_hashes: int = NUM_
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
-    bands = lsh_bands(minhash_signatures(docs))
+    # Both reused sub-plans are tiny relative to the corpus (one row / a few
+    # band rows per doc) and feed multiple joins below; persisting them stops
+    # the band self-join + verify joins from recomputing the shingle/signature
+    # pipeline once per use (broadcast sides don't hit ReuseExchange).
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh")).persist()
+    bands = lsh_bands(minhash_signatures(docs)).persist()
 
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     candidates = (
@@ -251,9 +267,8 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_minhash() -> str:
     rows_per_band = NUM_HASHES // NUM_BANDS
     min_exprs = []
-    for j in range(NUM_HASHES):
-        seeded = f"'{j}:' || sh"
-        min_exprs.append(f"MIN({_hash60_sql(seeded)}) AS s{j}")
+    for j, (a, b) in enumerate(HASH_FAMILY):
+        min_exprs.append(f"MIN(({a} * h + {b}) % {MERSENNE_P}) AS s{j}")
     mins = ", ".join(min_exprs)
     band_rows = []
     for b in range(NUM_BANDS):
@@ -267,7 +282,8 @@ WITH sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
 ),
 ex AS (
-  SELECT doc_id, unnest(sh) AS sh FROM sh
+  SELECT doc_id, {_hash60_sql('s')} % {MERSENNE_P} AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
 ),
 sig AS (
   SELECT doc_id, {mins} FROM ex GROUP BY doc_id

@@ -1,0 +1,194 @@
+"""Extension-operator invariants (text analysis, dedup, similarity,
+multimodal) at the test scale factor. Value-level correctness is enforced by
+the DuckDB oracle gate (tools/check_oracle.py); these pin the semantic
+invariants that survive any refactor of the physical plan."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from langchain_callback_parquet_logger_spark.operators import (
+    dedup as D,
+    multimodal as M,
+    similarity as S,
+    text as X,
+)
+from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+ALL_MODULES = [X, D, S, M]
+
+
+@pytest.mark.parametrize(
+    "mod,name",
+    [(m, n) for m in ALL_MODULES for n in sorted(m.QUERIES)],
+    ids=[n for m in ALL_MODULES for n in sorted(m.QUERIES)],
+)
+def test_query_runs(spark, sf_dir, mod, name):
+    df = mod.QUERIES[name](spark, sf_dir)
+    assert df.columns
+    assert df.limit(3).collect() is not None
+
+
+def test_every_extension_query_has_oracle():
+    for m in ALL_MODULES:
+        assert set(m.ORACLES) == set(m.QUERIES)
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def test_exact_dedup_partitions_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    agg = D.q_exact_dedup(spark, sf_dir)
+    total = agg.agg(F.sum("n_copies")).first()[0]
+    assert total == docs.count()
+
+
+def test_ngram_jaccard_thresholded_and_ordered(spark, sf_dir):
+    rows = D.q_ngram_jaccard(spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard >= D.JACCARD_THRESHOLD
+
+
+def test_minhash_pairs_subset_of_exact_same_lang(spark, sf_dir):
+    """MinHash+LSH verifies candidates with the SAME exact Jaccard: every
+    same-lang surviving pair must appear in the exact lang-blocked join."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in D.q_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lang = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    for r in D.q_minhash_dedup(spark, sf_dir).collect():
+        if lang[r.doc_a] == lang[r.doc_b]:
+            assert (r.doc_a, r.doc_b) in exact
+
+
+def test_simhash_fingerprint_range(spark, sf_dir):
+    rows = D.q_simhash(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.simhash < 2**D.SIMHASH_BITS
+
+
+def test_simhash_pairs_hamming_bound(spark, sf_dir):
+    for r in D.q_simhash_pairs(spark, sf_dir).limit(50).collect():
+        assert 0 <= r.hamming <= D.HAMMING_THRESHOLD
+
+
+# --- similarity -------------------------------------------------------------
+
+
+def test_knn_bruteforce_topk_sorted(spark, sf_dir):
+    rows = S.q_knn_bruteforce(spark, sf_dir).collect()
+    assert len(rows) == S.TOP_K
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.000001 <= s <= 1.000001 for s in sims)
+
+
+def test_knn_ivf_subset_of_bruteforce_space(spark, sf_dir):
+    """IVF searches one coarse cluster, so its hits must score <= the
+    brute-force best and every hit must share the query's label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_label = emb.filter(F.col("vec_id") == S.QUERY_VEC_ID).first().label
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    ivf = S.q_knn_ivf(spark, sf_dir).collect()
+    assert ivf
+    assert all(labels[r.vec_id] == q_label for r in ivf)
+    best_bf = S.q_knn_bruteforce(spark, sf_dir).first().sim
+    assert all(r.sim <= best_bf + 1e-9 for r in ivf)
+
+
+def test_knn_per_label_rank_bounds(spark, sf_dir):
+    rows = S.q_knn_per_label(spark, sf_dir).collect()
+    per_label: dict = {}
+    for r in rows:
+        per_label.setdefault(r.label, []).append(r.rk)
+    for label, rks in per_label.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3
+
+
+def test_embedding_dedup_thresholded(spark, sf_dir):
+    for r in S.q_embedding_dedup(spark, sf_dir).collect():
+        assert r.vec_a < r.vec_b
+        assert r.sim >= S.DEDUP_COSINE_THRESHOLD
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def test_text_stats_invariants(spark, sf_dir):
+    rows = X.q_text_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_chars > 0
+        assert 1 <= r.n_words
+        assert r.n_tokens >= r.n_words  # every word is >= 1 regex token
+        assert 1 <= r.n_distinct_words <= r.n_words
+
+
+def test_quality_score_bounded(spark, sf_dir):
+    for r in X.q_quality_score(spark, sf_dir).collect():
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.len_score <= 1.0
+        assert 0.0 <= r.quality <= 1.0
+
+
+def test_lang_id_vocabulary(spark, sf_dir):
+    langs = set(X.LANG_MARKERS)
+    for r in X.q_lang_id(spark, sf_dir).collect():
+        assert r.predicted_lang in langs
+
+
+def test_fingerprint_matches_python_md5(spark, sf_dir):
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {r.doc_id: r.fingerprint for r in X.q_doc_fingerprint(spark, sf_dir).collect()}
+    for r in docs.limit(10).collect():
+        norm = re.sub(r"\s+", " ", r.text).strip().lower()
+        assert got[r.doc_id] == hashlib.md5(norm.encode()).hexdigest()
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_features_checksum_is_payload_md5(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expected = {
+        r.doc_id: hashlib.md5(r.text.encode("utf-8")).hexdigest()
+        for r in docs.limit(20).collect()
+    }
+    got = {
+        r.doc_id: (r.checksum, r.n_bytes)
+        for r in M.q_multimodal_features(spark, sf_dir).collect()
+    }
+    for doc_id, md in expected.items():
+        checksum, n_bytes = got[doc_id]
+        assert checksum == md
+        assert n_bytes > 0
+
+
+def test_multimodal_meta_counts_assets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    row = M.q_multimodal_meta(spark, sf_dir).first()
+    assert row.n_assets == docs.count()
+    assert row.total_bytes > 0
+
+
+def test_media_column_schema(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_media_column(docs)
+    kinds = dict(media.dtypes)
+    assert kinds["media"] == "binary"
+    assert kinds["n_bytes"] == "bigint"
