@@ -31,8 +31,17 @@ from langchain_callback_parquet_logger_spark.operators import (
     similarity as _similarity,
 )
 from langchain_callback_parquet_logger_spark.operators import text as _text
+from langchain_callback_parquet_logger_spark.streaming import ingest as _streaming
 
-_MODULES = [_queries, _batch_queries, _text, _dedup, _similarity, _multimodal]
+_MODULES = [
+    _queries,
+    _batch_queries,
+    _text,
+    _dedup,
+    _similarity,
+    _multimodal,
+    _streaming,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

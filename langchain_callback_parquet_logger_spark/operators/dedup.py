@@ -138,10 +138,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it once per doc.
     post = docs.select(
         "doc_id", "lang", F.explode(shingles(F.col("text"))).alias("s")
-    )
-    sizes = docs.select(
-        "doc_id", F.size(shingles(F.col("text"))).alias("n")
-    )
+    ).persist()
+    # Shingles are distinct per doc, so the per-doc posting count IS the
+    # shingle-set size — derived from the persisted postings rather than a
+    # second pass over the text.
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = post.alias("a"), post.alias("b")
     common = (
         a.join(
@@ -369,7 +370,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key would be simhash band prefixes; lang blocking keeps the oracle
     tractable while exercising the same plan shape."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = simhash(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    # One fingerprint row per doc, used on both sides of the self-join —
+    # persisted so the token-hash aggregation runs once, not twice.
+    fp = simhash(docs).join(docs.select("doc_id", "lang"), "doc_id").persist()
     a, b = fp.alias("a"), fp.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

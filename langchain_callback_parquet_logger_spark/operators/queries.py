@@ -399,6 +399,113 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-join star query (TPC-H Q5 shape) — fact table joined through two
+# levels of dimensions. Scale: lineitem⋈orders shuffles on orderkey (the two
+# big tables); customer and nation are broadcast so the dimension hops add
+# NO shuffle. At 100 TB the fact-fact join would be bucketed on orderkey to
+# remove even that exchange.
+# ---------------------------------------------------------------------------
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical subtotals in one pass (priority → status → grand
+# total). The reference has nothing like it; Spark expands the grouping
+# sets inside a single two-phase hash aggregate, so the extra subtotal rows
+# cost one expand, not extra scans.
+# ---------------------------------------------------------------------------
+def q_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ORACLE_PRIORITY_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       round(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based sessions via window functions (lag → flag →
+# running count). The canonical event-stream operator the reference's log
+# consumers would run. Scale: one shuffle on user_id; per-user ordering is
+# local to the partition, state is O(1) per row. Gap arithmetic is integer
+# microseconds on both engines.
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.unix_micros(F.col("ts")) - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_scan_project": q_scan_project,
     "q_filter_event_type": q_filter_event_type,
@@ -414,6 +521,9 @@ QUERIES = {
     "q_results_zip": q_results_zip,
     "q_topk": q_topk,
     "q_pricing_summary": q_pricing_summary,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_priority_rollup": q_priority_rollup,
+    "q_sessionize": q_sessionize,
 }
 
 ORACLES = {
@@ -431,4 +541,7 @@ ORACLES = {
     "q_results_zip": ORACLE_RESULTS_ZIP,
     "q_topk": ORACLE_TOPK,
     "q_pricing_summary": ORACLE_PRICING_SUMMARY,
+    "q_revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "q_priority_rollup": ORACLE_PRIORITY_ROLLUP,
+    "q_sessionize": ORACLE_SESSIONIZE,
 }

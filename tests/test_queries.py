@@ -53,3 +53,36 @@ def test_token_rollup_matches_manual(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     expected = events.groupBy("user_id").count().count()
     assert Q.q_token_rollup(spark, sf_dir).count() == expected
+
+
+def test_priority_rollup_has_grand_total(spark, sf_dir):
+    rows = Q.q_priority_rollup(spark, sf_dir).collect()
+    totals = [r for r in rows if r.o_orderpriority is None and r.o_orderstatus is None]
+    assert len(totals) == 1
+    assert totals[0].n_orders == sum(
+        r.n_orders for r in rows if r.o_orderpriority is not None and r.o_orderstatus is not None
+    )
+
+
+def test_sessionize_bounds(spark, sf_dir):
+    for r in Q.q_sessionize(spark, sf_dir).collect():
+        assert 1 <= r.n_sessions <= r.n_events
+
+
+def test_revenue_by_nation_covers_all_lineitems(spark, sf_dir):
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    total = Q.q_revenue_by_nation(spark, sf_dir).agg(
+        {"n_lineitems": "sum"}
+    ).first()[0]
+    assert total == load_table(spark, sf_dir, "lineitem").count()
+
+
+def test_stream_hourly_counts_total(spark, sf_dir):
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+    from langchain_callback_parquet_logger_spark.streaming.ingest import (
+        q_stream_hourly_counts,
+    )
+
+    df = q_stream_hourly_counts(spark, sf_dir)
+    assert df.agg({"n": "sum"}).first()[0] == load_table(spark, sf_dir, "events").count()
