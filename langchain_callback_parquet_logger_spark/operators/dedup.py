@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.session import load_table
+from ..plans.session import load_table, spread
 
 SHINGLE_SIZE = 3
 NUM_HASHES = 16
@@ -94,7 +94,7 @@ def jaccard(a: Column, b: Column) -> Column:
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -129,7 +129,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the one skew risk is a stop-shingle whose posting list is
     huge — mitigated upstream by shingle-frequency capping, and at runtime
     by AQE skew-join splitting."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # Postings carry ONLY (doc_id, lang, shingle); the per-doc shingle count
     # lives in a separate tiny dim attached AFTER the pair aggregation via
     # broadcast joins. Carrying `size(shingles(text))` through the self-join
@@ -231,7 +231,7 @@ def lsh_bands(sig: DataFrame, num_bands: int = NUM_BANDS, num_hashes: int = NUM_
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # Both reused sub-plans are tiny relative to the corpus (one row / a few
     # band rows per doc) and feed multiple joins below; persisting them stops
     # the band self-join + verify joins from recomputing the shingle/signature
@@ -337,7 +337,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return simhash(docs)
 
 
@@ -369,7 +369,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by hamming distance, lang-blocked. At scale the block
     key would be simhash band prefixes; lang blocking keeps the oracle
     tractable while exercising the same plan shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # One fingerprint row per doc, used on both sides of the self-join —
     # persisted so the token-hash aggregation runs once, not twice.
     fp = simhash(docs).join(docs.select("doc_id", "lang"), "doc_id").persist()

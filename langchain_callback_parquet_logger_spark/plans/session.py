@@ -77,3 +77,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before compute-heavy per-row work (shingling,
+    hashing, feature extraction).
+
+    A small table often arrives as a single parquet file → one partition →
+    the whole map side runs on one core while the rest of the machine idles.
+    Repartitioning to the default parallelism costs one tiny shuffle of the
+    input rows and parallelizes everything downstream. At warehouse scale
+    the scan already has ≥cores splits and this is a NO-OP — the condition
+    keeps the extra exchange out of big-data plans."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
