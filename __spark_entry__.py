@@ -32,6 +32,7 @@ from langchain_callback_parquet_logger_spark.operators import (
 )
 from langchain_callback_parquet_logger_spark.operators import text as _text
 from langchain_callback_parquet_logger_spark.streaming import ingest as _streaming
+from langchain_callback_parquet_logger_spark.streaming import stateful as _stateful
 
 _MODULES = [
     _queries,
@@ -41,6 +42,7 @@ _MODULES = [
     _similarity,
     _multimodal,
     _streaming,
+    _stateful,
 ]
 
 

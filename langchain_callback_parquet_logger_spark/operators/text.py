@@ -253,12 +253,102 @@ FROM documents GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (Rabin-Karp polynomial hash over the
+# word sequence): order-sensitive, incremental, the primitive under
+# shift-resistant chunk dedup (content-defined chunking). One linear fold
+# per doc, zero shuffle; h = fold(acc*B + h60(w) mod p) with B,p chosen so
+# every intermediate stays < 2^62 (no overflow on either engine).
+# ---------------------------------------------------------------------------
+
+ROLL_B = 31
+ROLL_P = (1 << 31) - 1
+
+
+def rolling_hash(text: Column) -> Column:
+    hashed = F.transform(
+        words_col(text),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+        % F.lit(ROLL_P),
+    )
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * ROLL_B + x) % ROLL_P,
+    )
+
+
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        rolling_hash(F.col("text")).alias("roll_hash"),
+        F.size(words_col(F.col("text"))).alias("n_words"),
+    )
+
+
+ORACLE_ROLLING_HASH = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ' '),
+             w -> (('0x' || substr(md5(w), 1, 15))::BIGINT) % {ROLL_P})),
+         (a, b) -> (a * {ROLL_B} + b) % {ROLL_P}) AS roll_hash,
+       len(string_split(text, ' ')) AS n_words
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary rollup + per-language top terms — the explode→agg→
+# grouped-top-k shape of every corpus-statistics job. Scale: explode is
+# linear; the aggregate is two-phase (partial per partition, final after
+# one shuffle on (lang, word)); the top-k is a rank window per lang whose
+# input is already the small aggregated frame.
+# ---------------------------------------------------------------------------
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(words_col(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "word", "n", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_TOP_TERMS = """
+WITH counts AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+agg AS (
+  SELECT lang, word, COUNT(*) AS n FROM counts GROUP BY lang, word
+),
+ranked AS (
+  SELECT lang, word, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rk
+  FROM agg
+)
+SELECT lang, word, n, rk::INT AS rk FROM ranked WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_lang_rollup": q_lang_rollup,
+    "q_rolling_hash": q_rolling_hash,
+    "q_top_terms": q_top_terms,
 }
 
 ORACLES = {
@@ -267,4 +357,6 @@ ORACLES = {
     "q_lang_id": _oracle_lang_id(),
     "q_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "q_lang_rollup": ORACLE_LANG_ROLLUP,
+    "q_rolling_hash": ORACLE_ROLLING_HASH,
+    "q_top_terms": ORACLE_TOP_TERMS,
 }

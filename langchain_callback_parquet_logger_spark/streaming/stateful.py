@@ -1,0 +1,138 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The reference keeps no per-key state at all (its only state is the
+processed-id set, SURVEY.md §2.8); this is the Spark-native upgrade path
+for event-stream analytics: per-user state (last event time, running
+session/event counts) lives in the state store, survives micro-batches via
+the checkpoint, and is updated with Arrow-batched pandas — no
+row-at-a-time Python.
+
+Scale design: state is O(1) per user (three longs); keys are hash
+partitioned across executors by the streaming groupBy; each micro-batch
+touches only the arriving keys. The same operator with a processingTime
+trigger and a state TTL (GroupStateTimeout) runs the live tail.
+
+When drained with an availableNow trigger over a static table the result
+equals the batch window-function sessionization — which gives this custom
+stateful operator a full value-level DuckDB oracle (q_sessionize's SQL).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # keep in sync with queries.SESSION_GAP_US
+
+OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
+STATE_SCHEMA = "last_ts bigint, n_sessions bigint, n_events bigint"
+
+
+def _sessionize_group(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold a micro-batch of one user's events into (last_ts, counts)."""
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = None, 0, 0
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"])
+    # datetime64[ns] → integer microseconds (matches unix_micros in batch).
+    ts_us = batch["ts"].astype("int64") // 1_000
+
+    for t in ts_us:
+        t = int(t)
+        if last_ts is None or (t - last_ts) > SESSION_GAP_US:
+            n_sessions += 1
+        last_ts = t
+        n_events += 1
+
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        [(key[0], n_sessions, n_events)],
+        columns=["user_id", "n_sessions", "n_events"],
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """events (ts timestamp, user_id, event_id, ...) → running per-user
+    session/event counts, emitted each micro-batch in update mode."""
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events table through the stateful operator (file stream →
+    state store → memory sink) and return the final per-user counts.
+    Counts are cumulative and monotone, so the last emission per user is
+    the max."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sink_name = "q_stream_sessionize_sink"
+    query = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(sink_name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
+
+
+# Identical semantics to the batch window-function sessionization.
+ORACLE_STREAM_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+QUERIES = {
+    "q_stream_sessionize": q_stream_sessionize,
+}
+
+ORACLES = {
+    "q_stream_sessionize": ORACLE_STREAM_SESSIONIZE,
+}

@@ -192,3 +192,46 @@ def test_media_column_schema(spark, sf_dir):
     kinds = dict(media.dtypes)
     assert kinds["media"] == "binary"
     assert kinds["n_bytes"] == "bigint"
+
+
+# --- rolling hash / top terms ----------------------------------------------
+
+
+def test_rolling_hash_matches_python(spark, sf_dir):
+    rows = {r.doc_id: r.roll_hash for r in X.q_rolling_hash(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").limit(5).collect()
+    P, B = X.ROLL_P, X.ROLL_B
+    for d in docs:
+        acc = 0
+        for w in d.text.split(" "):
+            hw = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % P
+            acc = (acc * B + hw) % P
+        assert rows[d.doc_id] == acc
+
+
+def test_top_terms_ranked_per_lang(spark, sf_dir):
+    per_lang: dict = {}
+    for r in X.q_top_terms(spark, sf_dir).collect():
+        per_lang.setdefault(r.lang, []).append(r.rk)
+    for lang, rks in per_lang.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+# --- stateful streaming -----------------------------------------------------
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir):
+    from langchain_callback_parquet_logger_spark.operators.queries import q_sessionize
+    from langchain_callback_parquet_logger_spark.streaming.stateful import (
+        q_stream_sessionize,
+    )
+
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+    stream = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q_stream_sessionize(spark, sf_dir).collect()
+    }
+    assert batch == stream
