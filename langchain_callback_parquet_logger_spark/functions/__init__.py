@@ -1,0 +1,33 @@
+"""Reusable column functions (all JVM-side, codegen-friendly — no Python
+UDFs): portable hashing, shingling, similarity, and text metrics. These are
+the building blocks the operators compose; exposed here as a public
+functions namespace."""
+
+from ..ingest import extract_custom_id_from_tags, payload_field
+from ..operators.dedup import hash60, jaccard, shingles
+from ..operators.similarity import cosine, dot, norm
+from ..operators.text import (
+    fingerprint,
+    predicted_lang,
+    rolling_hash,
+    stopword_count,
+    token_count_bpe,
+    token_count_ws,
+)
+
+__all__ = [
+    "hash60",
+    "shingles",
+    "jaccard",
+    "cosine",
+    "dot",
+    "norm",
+    "fingerprint",
+    "rolling_hash",
+    "token_count_ws",
+    "token_count_bpe",
+    "stopword_count",
+    "predicted_lang",
+    "payload_field",
+    "extract_custom_id_from_tags",
+]

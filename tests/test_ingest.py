@@ -178,3 +178,37 @@ def test_path_templating():
     p = render_output_path("/base", "cat", "sub", "1.2.3")
     assert p == "/base/cat/sub/v1_2_3"
     assert render_output_path("/base/") == "/base/uncategorized/unsubcategorized/vunversioned"
+
+
+def test_read_events_roundtrip_formats(spark, tmp_path):
+    """Multi-format source intake: the same explicit schema reads json and
+    parquet event files identically."""
+    import json as _json
+
+    from langchain_callback_parquet_logger_spark.sources import read_events
+
+    rows = [
+        {
+            "timestamp": "2024-01-01T00:00:00.000Z",
+            "run_id": f"r{i}",
+            "parent_run_id": "",
+            "event_type": "llm_end",
+            "tags": ["logger_custom_id:42"],
+            "metadata": {"k": "v"},
+            "data": "{}",
+            "raw": "{}",
+        }
+        for i in range(3)
+    ]
+    jdir = tmp_path / "json_events"
+    jdir.mkdir()
+    (jdir / "part-0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    jdf = read_events(spark, str(jdir), fmt="json")
+    assert jdf.count() == 3
+    assert dict(jdf.dtypes)["tags"] == "array<string>"
+
+    pdir = tmp_path / "parquet_events"
+    jdf.write.parquet(str(pdir))
+    pdf = read_events(spark, str(pdir), fmt="parquet")
+    assert pdf.count() == 3
+    assert pdf.schema == jdf.schema
