@@ -81,12 +81,51 @@ FROM documents
 """
 
 
+def q_user_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pandas transform (applyInPandas) — the third leg of the UDF
+    surface beside mapInPandas (q_batch_map) and applyInPandasWithState
+    (q_stream_sessionize). Median is order-insensitive (sort-based), so the
+    numpy result is bit-identical to DuckDB's median and the grouped-pandas
+    path gets a full value oracle.
+
+    Scale: one shuffle on user_id; each group is a small pandas frame;
+    Arrow batches both directions."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def _median(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "median_value": [round(float(np.median(pdf["value"].values)), 6)],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        _median, schema="user_id bigint, median_value double, n_events bigint"
+    )
+
+
+ORACLE_USER_VALUE_MEDIAN = """
+SELECT user_id,
+       round(median(value), 6) AS median_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_batch_map": q_batch_map,
     "q_checkpoint_resume": q_checkpoint_resume,
+    "q_user_value_median": q_user_value_median,
 }
 
 ORACLES = {
     "q_batch_map": ORACLE_BATCH_MAP,
     "q_checkpoint_resume": ORACLE_CHECKPOINT_RESUME,
+    "q_user_value_median": ORACLE_USER_VALUE_MEDIAN,
 }

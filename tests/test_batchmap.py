@@ -265,3 +265,30 @@ def test_dedup_keep_last_deterministic(spark):
     )
     out = {r.response_id: r for r in dedup_keep_last(df).collect()}
     assert out["x"].processed is True and out["x"].updated_at.day == 2
+
+
+def test_user_value_median_matches_builtin(spark, sf_dir):
+    """applyInPandas median agrees with Spark's own percentile_approx-free
+    exact median via sort."""
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.operators.batch_queries import (
+        q_user_value_median,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    got = {
+        r.user_id: (r.median_value, r.n_events)
+        for r in q_user_value_median(spark, sf_dir).collect()
+    }
+    expected = {
+        r.user_id: (round(r.med, 6), r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("median(value)").alias("med"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == expected
