@@ -506,6 +506,41 @@ FROM flagged GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Salted two-phase aggregation — the skew-mitigation pattern spelled out.
+# A hot key (one user producing most of the stream) makes one reducer the
+# straggler in a plain groupBy; salting splits each key across SALT_BUCKETS
+# partial aggregates, then a second (tiny) aggregate folds the partials.
+# Counts are integers so the salted plan is bit-identical to the direct
+# rollup — same oracle shape as q_token_rollup's count path. AQE's
+# skewedJoin handles join skew at runtime; aggregation skew needs this.
+# ---------------------------------------------------------------------------
+SALT_BUCKETS = 8
+
+
+def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    salted = events.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS))
+    )
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("perr"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("perr").alias("n_errors"),
+    )
+
+
+ORACLE_SALTED_ROLLUP = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_scan_project": q_scan_project,
     "q_filter_event_type": q_filter_event_type,
@@ -524,6 +559,7 @@ QUERIES = {
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_priority_rollup": q_priority_rollup,
     "q_sessionize": q_sessionize,
+    "q_salted_rollup": q_salted_rollup,
 }
 
 ORACLES = {
@@ -544,4 +580,5 @@ ORACLES = {
     "q_revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "q_priority_rollup": ORACLE_PRIORITY_ROLLUP,
     "q_sessionize": ORACLE_SESSIONIZE,
+    "q_salted_rollup": ORACLE_SALTED_ROLLUP,
 }

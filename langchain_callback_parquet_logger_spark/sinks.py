@@ -140,3 +140,25 @@ def write_log(
 ) -> None:
     """S3+S4+S5 — the one-call write path for a normalized log frame."""
     ParquetSink(base_dir, partition_on=partition_on, mode=mode).write(df)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_keys: Sequence[str],
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) warehouse table — the co-location
+    primitive for repeated fact-fact joins at scale. Two tables bucketed
+    (and sorted) on the same key join with NO shuffle and NO sort: Spark's
+    sort-merge join reads the co-located buckets directly. This is how the
+    lineitem⋈orders class of join drops its exchange at 100 TB; the parquet
+    files per bucket double as the unit of parallelism."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(
+        num_buckets, *bucket_keys
+    )
+    if sort:
+        writer = writer.sortBy(*bucket_keys)
+    writer.saveAsTable(table)
