@@ -1,0 +1,100 @@
+"""Physical-plan regression tests for the graded query surface.
+
+Correctness is pinned by the DuckDB oracles; these tests pin the *scale*
+properties — the plan shapes that make the same code work at 100 TB:
+
+- predicate pushdown reaches the parquet scan (row-group skipping),
+- column pruning reaches the scan (a 2-column rollup must not read `props`),
+- small dims broadcast (no shuffle of the fact side for q_topk),
+- aggregates are two-phase (map-side partial before the shuffle),
+- JVM-path queries contain NO Python evaluation node (whole-stage codegen
+  end to end; pandas UDFs appear only in the operators that need them).
+
+A refactor that silently breaks one of these still passes the value
+oracles at sf0.01 — and falls over at warehouse scale. This is the
+guard-rail.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from langchain_callback_parquet_logger_spark.operators import (
+    dedup,
+    queries,
+    similarity,
+    text,
+)
+
+
+def _executed_plan(df) -> str:
+    """Final physical plan string. ``collect()`` (not ``count()``) so THIS
+    DataFrame's own query execution runs and its AdaptiveSparkPlan
+    finalizes — count() would plan and execute a different query."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _initial_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = queries.q_filter_event_type(spark, sf_dir)
+    plan = _initial_plan(df)
+    assert "PushedFilters: [In(event_type" in plan, plan
+
+
+def test_rollup_prunes_unused_columns(spark, sf_dir):
+    df = queries.q_token_rollup(spark, sf_dir)
+    plan = _initial_plan(df)
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "user_id" in scan and "value" in scan, scan
+    # the wide columns must not be read for a 2-column rollup
+    assert "props" not in scan and "event_type" not in scan, scan
+
+
+def test_topk_broadcasts_dim_side(spark, sf_dir):
+    df = queries.q_topk(spark, sf_dir)
+    plan = _initial_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # top-k must be TakeOrdered (per-partition heap + driver merge),
+    # never a global sort of the full aggregate output
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rollup_aggregates_in_two_phases(spark, sf_dir):
+    df = queries.q_token_rollup(spark, sf_dir)
+    plan = _initial_plan(df)
+    assert "partial_sum" in plan or "partial_avg" in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        queries.q_pricing_summary,
+        queries.q_json_extract,
+        queries.q_revenue_by_nation,
+        text.q_text_stats,
+        text.q_lang_id,
+        dedup.q_exact_dedup,
+        dedup.q_simhash,
+        dedup.q_minhash_dedup,
+        similarity.q_knn_bruteforce,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_jvm_path_queries_have_no_python_eval(spark, sf_dir, build):
+    plan = _initial_plan(build(spark, sf_dir))
+    assert "EvalPython" not in plan, f"Python eval node leaked into {plan}"
+
+
+def test_pricing_summary_runs_in_whole_stage_codegen(spark, sf_dir):
+    plan = _executed_plan(queries.q_pricing_summary(spark, sf_dir))
+    assert "*(" in plan, plan
+
+
+def test_pricing_summary_filter_pushdown(spark, sf_dir):
+    plan = _initial_plan(queries.q_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
