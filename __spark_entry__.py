@@ -30,6 +30,7 @@ from langchain_callback_parquet_logger_spark.operators import queries as _querie
 from langchain_callback_parquet_logger_spark.operators import (
     similarity as _similarity,
 )
+from langchain_callback_parquet_logger_spark.operators import temporal as _temporal
 from langchain_callback_parquet_logger_spark.operators import text as _text
 from langchain_callback_parquet_logger_spark.streaming import ingest as _streaming
 from langchain_callback_parquet_logger_spark.streaming import stateful as _stateful
@@ -40,6 +41,7 @@ _MODULES = [
     _text,
     _dedup,
     _similarity,
+    _temporal,
     _multimodal,
     _streaming,
     _stateful,

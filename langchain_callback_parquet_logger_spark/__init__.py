@@ -39,6 +39,7 @@ from .checkpoint import (
     retrieve_with_checkpoint,
     save_checkpoint,
 )
+from .operators.temporal import asof_join
 from .sinks import CompositeSink, ParquetSink, create_sink, render_output_path, write_log
 
 __version__ = "0.1.0"
@@ -76,6 +77,8 @@ __all__ = [
     "save_checkpoint",
     "filter_unprocessed",
     "dedup_keep_last",
+    # temporal joins (beyond the reference — SURVEY.md §2.5 note)
+    "asof_join",
     # read path
     "payload_field",
     "read_log_dataset",

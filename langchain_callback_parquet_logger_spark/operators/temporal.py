@@ -1,0 +1,196 @@
+"""Temporal join operators: as-of join and banded range join.
+
+The reference has no join surface at all (SURVEY.md §2.5 — its only
+join-shaped op is the checkpoint anti-join, `background_retrieval.py:133-144`),
+but event-log analytics at scale constantly needs time-travel joins:
+"attach the most recent X before this event" (as-of) and "count/collect
+the Y within a time window around this event" (range). Spark has no
+native as-of or range join, so both are re-expressed as shuffle-friendly
+compositions of equi-joins and windows — never a cross/theta join.
+
+Scale design:
+
+- **As-of join** (`q_asof_join`): the union-and-carry-forward plan.
+  Tag right rows 0 and left rows 1, union, then one window
+  ``last(match, ignorenulls=True) OVER (PARTITION BY key ORDER BY ts, side)``
+  carries the latest right-side payload onto every left row. Cost: ONE
+  shuffle on the join key + a linear in-partition scan. No pairwise
+  blowup, no per-row probe; skew on the key is AQE-splittable. This is
+  how you as-of join two 100 TB tables.
+
+- **Banded range join** (`q_range_join_banded`): the bucketing technique
+  that turns a theta join into an equi join. Each right row is exploded
+  into its time bucket and the next one; each left row probes exactly its
+  own bucket, so every in-window pair co-locates under one (key, bucket)
+  hash key, then the exact interval predicate filters within the bucket
+  pair. Cost: one equi shuffle join with 2× fan-out of the right side —
+  versus Spark's default BroadcastNestedLoopJoin for inequality joins,
+  which is O(|L|·|R|) and undeployable at scale.
+
+Determinism: the right side is pre-deduplicated to one row per
+(key, ts) (keep max event_id), so at-equal-timestamp matches are exact
+and the DuckDB oracle is value-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.session import load_table
+
+ASOF_LEFT_TYPE = "purchase"
+ASOF_RIGHT_TYPE = "click"
+RANGE_LEFT_TYPE = "error"
+RANGE_WINDOW_US = 3600 * 1_000_000  # 1 hour, microseconds
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic as-of join: every ``left`` row gains the payload of the
+    latest ``right`` row with ``right.ts <= left.ts`` for the same key
+    (left rows with no prior right row keep nulls).
+
+    ``right`` must already be unique per (on, ts); callers dedup first.
+    Returns left's columns plus ``matched`` (struct of payload_cols) and
+    relies on the single-shuffle union+window plan described above.
+    """
+    payload_cols = payload_cols or [c for c in right.columns if c not in (on, ts)]
+    match = F.struct(
+        F.col(ts).alias("_ts"), *[F.col(c) for c in payload_cols]
+    ).alias("matched")
+    match_type = right.select(match).schema["matched"].dataType.simpleString()
+
+    left_cols = [c for c in left.columns if c not in (on, ts)]
+    r = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        match,
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(match_type).alias("matched"),
+        *left_cols,
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        r.unionByName(l)
+        .withColumn("matched", F.last("matched", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event → most recent click (same user, at-or-before),
+    with the match's event_id and the exact gap in microseconds."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == ASOF_RIGHT_TYPE)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(purchases, clicks, on="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("matched.click_event_id").alias("matched_click_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched._ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
+ORACLE_ASOF_JOIN = f"""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}' GROUP BY 1, 2
+),
+purch AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = '{ASOF_LEFT_TYPE}'
+)
+SELECT p.event_id, p.user_id, c.click_event_id AS matched_click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: how many clicks by the same user in the hour up to
+    (and including) the error. Banded-bucket equi join, exact predicate
+    applied inside the bucket pair."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == RANGE_LEFT_TYPE).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("e_us"),
+        (F.unix_micros("ts") / F.lit(RANGE_WINDOW_US)).cast("bigint").alias("bucket"),
+    )
+    # Each click lands in its own bucket and the next: any left row whose
+    # 1h-trailing window covers the click probes one of the two.
+    clicks = (
+        events.filter(F.col("event_type") == ASOF_RIGHT_TYPE)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("c_us"),
+            (F.unix_micros("ts") / F.lit(RANGE_WINDOW_US)).cast("bigint").alias("b"),
+        )
+        .select(
+            "user_id",
+            "c_us",
+            F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("bucket"),
+        )
+    )
+    in_window = (F.col("c_us") <= F.col("e_us")) & (
+        F.col("c_us") >= F.col("e_us") - RANGE_WINDOW_US
+    )
+    return (
+        errors.join(clicks, ["user_id", "bucket"], "left")
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.when(in_window, 1)).alias("n_recent_clicks"))
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = '{RANGE_LEFT_TYPE}'
+),
+cl AS (
+  SELECT user_id, ts FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}'
+)
+SELECT e.event_id, e.user_id, COUNT(c.ts) AS n_recent_clicks
+FROM err e LEFT JOIN cl c
+  ON e.user_id = c.user_id
+ AND c.ts <= e.ts
+ AND epoch_us(c.ts) >= epoch_us(e.ts) - {RANGE_WINDOW_US}
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q_asof_join": q_asof_join,
+    "q_range_join_banded": q_range_join_banded,
+}
+
+ORACLES = {
+    "q_asof_join": ORACLE_ASOF_JOIN,
+    "q_range_join_banded": ORACLE_RANGE_JOIN,
+}

@@ -1,0 +1,95 @@
+"""As-of join and banded range join: semantic edge cases the sf-scale
+oracle sweep can't isolate — exact-tie matching, no-prior-match nulls,
+window boundary inclusivity — plus the plan shape that makes the range
+join deployable (equi join, not BroadcastNestedLoop)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from langchain_callback_parquet_logger_spark.operators.temporal import (
+    RANGE_WINDOW_US,
+    asof_join,
+    q_range_join_banded,
+)
+
+UTC = dt.timezone.utc
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, second, tzinfo=UTC)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 101), (1, _ts(30), 102), (2, _ts(5), 201)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 11), (1, _ts(10), 12), (1, _ts(20), 13), (2, _ts(50), 21)],
+        "user_id bigint, ts timestamp, click_event_id bigint",
+    )
+    out = {
+        r["event_id"]: r["matched"]
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    # exact tie (right.ts == left.ts) matches — the 10:10 click, not 10:00
+    assert out[101]["click_event_id"] == 12
+    # strictly the latest prior right row
+    assert out[102]["click_event_id"] == 13
+    # user 2's only click is AFTER the purchase → no match, null payload
+    assert out[201] is None
+
+
+def test_asof_join_keeps_all_left_rows(spark):
+    left = spark.createDataFrame(
+        [(7, _ts(1), 1), (8, _ts(2), 2)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(0), 10)], "user_id bigint, ts timestamp, click_event_id bigint"
+    )
+    assert asof_join(left, right, on="user_id").count() == 2
+
+
+def test_range_join_window_boundaries(spark, tmp_path):
+    """Clicks exactly 1h before (inclusive) and just outside the window."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=UTC)
+    rows = [
+        (1, base, 100, "error", 0.0, "{}"),
+        # exactly at the window edge: counted
+        (2, base - dt.timedelta(microseconds=RANGE_WINDOW_US), 100, "click", 0.0, "{}"),
+        # 1 microsecond outside: not counted
+        (
+            3,
+            base - dt.timedelta(microseconds=RANGE_WINDOW_US + 1),
+            100,
+            "click",
+            0.0,
+            "{}",
+        ),
+        # same instant as the error: counted
+        (4, base, 100, "click", 0.0, "{}"),
+        # after the error: not counted
+        (5, base + dt.timedelta(seconds=1), 100, "click", 0.0, "{}"),
+        # different user: not counted
+        (6, base, 200, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    out = q_range_join_banded(spark, sf_dir).collect()
+    assert len(out) == 1
+    assert out[0]["n_recent_clicks"] == 2
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    plan = q_range_join_banded(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan, plan
