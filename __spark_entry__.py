@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from langchain_callback_parquet_logger_spark.operators import (
+    analytic as _analytic,
+)
+from langchain_callback_parquet_logger_spark.operators import (
     batch_queries as _batch_queries,
 )
 from langchain_callback_parquet_logger_spark.operators import dedup as _dedup
@@ -37,6 +40,7 @@ from langchain_callback_parquet_logger_spark.streaming import stateful as _state
 
 _MODULES = [
     _queries,
+    _analytic,
     _batch_queries,
     _text,
     _dedup,

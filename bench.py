@@ -52,20 +52,38 @@ def main() -> None:
     spark.range(1).count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    counts: dict[str, int] = {}
+
+    def one(name: str) -> None:
+        t0 = time.perf_counter()
+        counts[name] = qs[name](spark, sf_dir).count()
+        runs[name].append(time.perf_counter() - t0)
+
+    # Reps are taken as FULL PASSES over the query list, not back-to-back:
+    # this host's hypervisor stalls come in multi-ten-second bursts, so two
+    # immediate reps of one query land in the same burst and best-of-N
+    # never sees a clean run. Spreading the reps minutes apart decorrelates
+    # them at zero extra cost.
+    for _ in range(reps):
+        for name in names:
+            one(name)
+    # Stall guard: if a query's reps are slow AND mutually inconsistent,
+    # every rep likely stalled — take one extra.
+    for name in names:
+        if reps > 1 and min(runs[name]) > 3.0 and max(runs[name]) / min(runs[name]) > 3.0:
+            one(name)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
-        best = None
-        n = 0
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        best = min(runs[name])
         timings[name] = round(best, 3)
         total += best
-        print(f"# {name}: {n} rows in {best:.3f}s (best of {reps})", file=sys.stderr)
+        print(
+            f"# {name}: {counts[name]} rows in {best:.3f}s (best of {len(runs[name])})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(

@@ -1,0 +1,296 @@
+"""Analytic query surface beyond the reference's own operators.
+
+The reference has no window functions, set ops, grouping sets, pivots or
+percentiles (SURVEY.md §2.6 — "absent from the reference"); Spark supplies
+them natively, and an engine claiming to replace the reference's read-side
+analysis story (reference README.md:211-225 "Analyze token usage") needs
+them first-class. Every query is pure DataFrame API — no UDFs, fully
+whole-stage-codegen'd — with a value-level DuckDB oracle, except the HLL
+sketch whose estimate is implementation-defined (rows-only check, noted
+inline).
+
+Scale notes per query; the common theme: one shuffle per logical
+repartitioning, partial aggregation everywhere Catalyst can, window
+functions only over keyed partitions (never a global ORDER BY window except
+the explicitly-global decile ranking, which at 100 TB would swap to
+approx quantile bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.session import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (p50/p90/p99), grouped.
+# Scale: F.percentile is a JVM sort-based exact aggregate with partial
+# merge; for 100 TB switch to approx_percentile (t-digest) — same shape.
+# ---------------------------------------------------------------------------
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return events.groupBy("event_type").agg(
+        F.round(F.element_at(pcts, 1), 6).alias("p50"),
+        F.round(F.element_at(pcts, 2), 6).alias("p90"),
+        F.round(F.element_at(pcts, 3), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot: long → wide event counts per user. Values are enumerated
+# explicitly — an implicit pivot would scan once just to discover them.
+# Scale: single hash aggregate; output width fixed by the value list.
+# ---------------------------------------------------------------------------
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+ORACLE_EVENT_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all 2^2 grouping sets in ONE pass (complements q_priority_rollup's
+# ROLLUP). Scale: Catalyst expands the cube to a single Expand + hash
+# aggregate — one shuffle regardless of the number of grouping sets.
+# ---------------------------------------------------------------------------
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+       round(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Running total: per-customer cumulative spend over order history.
+# Deterministic accumulation order (date, then key) keeps the float
+# cumsum bit-stable across engines. Scale: window partitioned by
+# customer — shuffles once on o_custkey, linear scan per partition.
+# ---------------------------------------------------------------------------
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+        F.row_number()
+        .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_orderkey, o_custkey,
+       round(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+       ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lead/lag: inter-event gaps per user (the primitive under sessionization
+# and funnel timing). Scale: one shuffle on user_id; both offsets share
+# one window spec → one sort.
+# ---------------------------------------------------------------------------
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return events.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_prev_us"),
+        (F.lead(us).over(w) - us).alias("gap_next_us"),
+    )
+
+
+ORACLE_LEAD_LAG = """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_prev_us,
+       lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_next_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# NTILE deciles of order value → per-decile stats. The global ORDER BY
+# window is the honest cost here; at 100 TB the same answer comes from
+# approx_percentile cutpoints + a bucketing join (no global sort).
+# ---------------------------------------------------------------------------
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+ORACLE_NTILE = """
+SELECT decile, COUNT(*) AS n_orders,
+       round(MIN(o_totalprice), 2) AS lo,
+       round(MAX(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+) GROUP BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT user segments (distinct semantics).
+# Scale: both compile to hash aggregates + a shuffle on user_id; the two
+# branches reuse the same filtered scans.
+# ---------------------------------------------------------------------------
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select("user_id")
+    err = events.filter(F.col("event_type") == "error").select("user_id")
+    both = purch.intersect(err).select("user_id", F.lit("both").alias("segment"))
+    only = purch.subtract(err).select(
+        "user_id", F.lit("purchase_only").alias("segment")
+    )
+    return both.unionByName(only)
+
+
+ORACLE_SET_OPS = """
+SELECT user_id, 'both' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error')
+UNION ALL
+SELECT user_id, 'purchase_only' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error')
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape (adapted: no shipmode column in the driver schema):
+# fact⋈fact equi join + conditional aggregation by priority class.
+# Scale: shuffle hash/sort-merge join on orderkey; the CASE aggregates
+# fold into one pass with partial aggregation.
+# ---------------------------------------------------------------------------
+def q_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_PRIORITY_CLASS = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count,
+       round(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch: approximate distinct users per event type. The estimate is
+# implementation-defined (Spark's HLL++ vs DuckDB's HLL disagree by
+# design), so this entry has NO value oracle — the driver records the
+# rows-only check. It exists because mergeable cardinality sketches are
+# the only way COUNT(DISTINCT) scales to 100 TB: partial sketches merge
+# associatively across partitions, no shuffle of raw values.
+# ---------------------------------------------------------------------------
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count("*").alias("n"),
+    )
+
+
+QUERIES = {
+    "q_percentiles": q_percentiles,
+    "q_event_pivot": q_event_pivot,
+    "q_cube": q_cube,
+    "q_running_total": q_running_total,
+    "q_lead_lag": q_lead_lag,
+    "q_ntile": q_ntile,
+    "q_set_ops": q_set_ops,
+    "q_priority_class": q_priority_class,
+    "q_hll_users": q_hll_users,
+}
+
+ORACLES = {
+    "q_percentiles": ORACLE_PERCENTILES,
+    "q_event_pivot": ORACLE_EVENT_PIVOT,
+    "q_cube": ORACLE_CUBE,
+    "q_running_total": ORACLE_RUNNING_TOTAL,
+    "q_lead_lag": ORACLE_LEAD_LAG,
+    "q_ntile": ORACLE_NTILE,
+    "q_set_ops": ORACLE_SET_OPS,
+    "q_priority_class": ORACLE_PRIORITY_CLASS,
+    # q_hll_users intentionally absent: approximate sketch estimates are
+    # implementation-defined and cannot hash-match an exact oracle.
+}

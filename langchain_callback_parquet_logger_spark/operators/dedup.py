@@ -406,8 +406,57 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — the training-data op that keeps eval sets out
+# of the corpus: flag every training doc sharing at least one word k-gram
+# with any benchmark doc. Real pipelines use k≈13; the synthetic docs are
+# short so the corpus shingle size (k=3) is reused, which also lets the
+# oracle share _SHINGLES_SQL verbatim.
+#
+# Scale: the benchmark side is ~1/97th of the corpus — its exploded posting
+# list broadcasts, so the training side streams through a broadcast hash
+# join with NO shuffle of the 100 TB side; the only wide op is the final
+# per-doc aggregate. If the benchmark outgrows the broadcast threshold the
+# same plan degrades gracefully to a shuffle join on the shingle key.
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    post = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    bench = post.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    train = post.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench.dropDuplicates()), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_hits"),
+            F.countDistinct("s").alias("n_shared_shingles"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH post AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+),
+bench AS (
+  SELECT DISTINCT doc_id AS bench_id, s FROM post WHERE doc_id % 97 = 0
+)
+SELECT p.doc_id,
+       COUNT(DISTINCT b.bench_id) AS n_bench_hits,
+       COUNT(DISTINCT p.s) AS n_shared_shingles
+FROM post p JOIN bench b ON p.s = b.s
+WHERE p.doc_id % 97 <> 0
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
+    "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_dedup": q_minhash_dedup,
     "q_simhash": q_simhash,
@@ -416,6 +465,7 @@ QUERIES = {
 
 ORACLES = {
     "q_exact_dedup": ORACLE_EXACT_DEDUP,
+    "q_decontaminate": ORACLE_DECONTAMINATE,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_minhash_dedup": _oracle_minhash(),
     "q_simhash": _oracle_simhash(),

@@ -79,6 +79,38 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+class scoped_conf:
+    """Temporarily override session confs (restored on exit). Used to size
+    a streaming query's state-store partition count independently of the
+    batch shuffle parallelism: the stateful shuffle's partition count is
+    fixed at first checkpoint and every partition carries a state-store
+    provider, so a small drain wants few fat state partitions while batch
+    shuffles keep cores×1. On a real cluster the same knob scales the
+    state partition count UP with the key cardinality."""
+
+    def __init__(self, spark: SparkSession, confs: dict[str, str]):
+        self._spark = spark
+        self._confs = dict(confs)
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in self._confs.items():
+            try:
+                self._saved[k] = self._spark.conf.get(k)
+            except Exception:
+                self._saved[k] = None
+            self._spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is None:
+                self._spark.conf.unset(k)
+            else:
+                self._spark.conf.set(k, old)
+        return False
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Widen a narrow scan before compute-heavy per-row work (shingling,
     hashing, feature extraction).

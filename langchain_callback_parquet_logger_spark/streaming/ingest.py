@@ -133,7 +133,7 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the same plan runs unchanged with a directory of arriving files
     and trigger=processingTime; state is bounded by the watermark."""
-    import os
+    from ..plans.session import scoped_conf
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
@@ -151,14 +151,17 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     sink_name = "q_stream_hourly_counts_sink"
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # State partition width is pinned at the stream's first checkpoint;
+    # scope it to the drain size (see stateful.q_stream_sessionize).
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(sink_name).select(
         F.col("w.start").alias("hour_start"),
         "event_type",
@@ -172,12 +175,62 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` on the stream keeps the
+    first arrival per (user_id, event_type) in the state store — the
+    exactly-once streaming upgrade of the reference's processed-id set
+    (background_retrieval.py:102-144). Only the dedup keys are projected,
+    so which physical row survives is immaterial and the drained result
+    equals batch DISTINCT — giving the stateful operator a full value
+    oracle. The follow-up rollup counts distinct users per event type.
+
+    Scale: state is one entry per live key; with a watermark
+    (dropDuplicatesWithinWatermark) state is evicted after the lateness
+    horizon, bounding it for unbounded streams."""
+    from ..plans.session import scoped_conf
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    sink_name = "q_stream_dedup_sink"
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return (
+        spark.table(sink_name)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_stream_hourly_counts": q_stream_hourly_counts,
+    "q_stream_dedup": q_stream_dedup,
 }
 
 ORACLES = {
     "q_stream_hourly_counts": ORACLE_STREAM_HOURLY_COUNTS,
+    "q_stream_dedup": ORACLE_STREAM_DEDUP,
 }
 
 

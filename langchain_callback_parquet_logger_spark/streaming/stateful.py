@@ -47,14 +47,19 @@ def _sessionize_group(
     batch = pd.concat(list(pdfs), ignore_index=True)
     batch = batch.sort_values(["ts", "event_id"])
     # datetime64[ns] → integer microseconds (matches unix_micros in batch).
-    ts_us = batch["ts"].astype("int64") // 1_000
+    # The fold is vectorized: a session starts wherever the gap to the
+    # previous event exceeds the threshold; the previous event of row 0 is
+    # the state's last_ts (or a sentinel forcing a new session).
+    ts_us = (batch["ts"].astype("int64") // 1_000).to_numpy()
+    if len(ts_us):
+        import numpy as np
 
-    for t in ts_us:
-        t = int(t)
-        if last_ts is None or (t - last_ts) > SESSION_GAP_US:
-            n_sessions += 1
-        last_ts = t
-        n_events += 1
+        prev = np.empty_like(ts_us)
+        prev[1:] = ts_us[:-1]
+        prev[0] = last_ts if last_ts is not None else ts_us[0] - SESSION_GAP_US - 1
+        n_sessions += int((ts_us - prev > SESSION_GAP_US).sum())
+        n_events += len(ts_us)
+        last_ts = int(ts_us[-1])
 
     state.update((last_ts, n_sessions, n_events))
     yield pd.DataFrame(
@@ -84,6 +89,8 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store → memory sink) and return the final per-user counts.
     Counts are cumulative and monotone, so the last emission per user is
     the max."""
+    from ..plans.session import scoped_conf
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(
@@ -95,15 +102,19 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     sink_name = "q_stream_sessionize_sink"
-    query = (
-        sessionize_stream(stream)
-        .writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # The state partition count is fixed at the stream's first checkpoint;
+    # a one-file drain wants few fat state partitions (each carries a
+    # state-store provider), so scope the shuffle width to the drain.
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        query = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return (
         spark.table(sink_name)
         .groupBy("user_id")

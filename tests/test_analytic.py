@@ -1,0 +1,106 @@
+"""Analytic query surface (operators/analytic.py) + the decontamination and
+streaming-dedup additions: shape/invariant tests at sf0.001; value-level
+correctness is the DuckDB oracle gate (tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from langchain_callback_parquet_logger_spark.operators import analytic as A
+from langchain_callback_parquet_logger_spark.operators import dedup as D
+from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+
+@pytest.mark.parametrize("name", sorted(A.QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = A.QUERIES[name](spark, sf_dir)
+    assert df.columns
+    assert df.limit(3).collect() is not None
+
+
+def test_registry_oracle_alignment():
+    # Every oracle maps to a query; q_hll_users is the one deliberate
+    # rows-only entry (approximate sketch, no exact oracle possible).
+    assert set(A.ORACLES) == set(A.QUERIES) - {"q_hll_users"}
+
+
+def test_percentiles_ordered(spark, sf_dir):
+    for r in A.q_percentiles(spark, sf_dir).collect():
+        assert r.p50 <= r.p90 <= r.p99
+
+
+def test_pivot_counts_consistent(spark, sf_dir):
+    wide = A.q_event_pivot(spark, sf_dir)
+    total_wide = wide.select(
+        sum(F.sum(f"n_{t}") for t in A.EVENT_TYPES).alias("n")
+    ).collect()[0].n
+    assert total_wide == load_table(spark, sf_dir, "events").count()
+
+
+def test_cube_has_all_grouping_sets(spark, sf_dir):
+    rows = A.q_cube(spark, sf_dir).collect()
+    grand = [r for r in rows if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1
+    li_count = load_table(spark, sf_dir, "lineitem").count()
+    assert grand[0].n_lines == li_count
+
+
+def test_running_total_monotone_per_customer(spark, sf_dir):
+    df = A.q_running_total(spark, sf_dir)
+    bad = (
+        df.withColumn(
+            "prev",
+            F.lag("cum_spend").over(
+                Window.partitionBy("o_custkey").orderBy("order_seq")
+            ),
+        )
+        .filter(F.col("prev").isNotNull() & (F.col("cum_spend") < F.col("prev")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ntile_partitions_all_orders(spark, sf_dir):
+    rows = A.q_ntile(spark, sf_dir).collect()
+    assert {r.decile for r in rows} == set(range(1, 11))
+    assert sum(r.n_orders for r in rows) == load_table(
+        spark, sf_dir, "orders"
+    ).count()
+
+
+def test_set_ops_segments_disjoint(spark, sf_dir):
+    df = A.q_set_ops(spark, sf_dir)
+    per_user = df.groupBy("user_id").count().filter("count > 1").count()
+    assert per_user == 0  # a user is 'both' or 'purchase_only', never both
+
+
+def test_hll_close_to_exact(spark, sf_dir):
+    approx = {r.event_type: r.approx_users for r in A.q_hll_users(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n)
+
+
+def test_decontaminate_excludes_benchmark_docs(spark, sf_dir):
+    df = D.q_decontaminate(spark, sf_dir)
+    assert df.filter(F.col("doc_id") % 97 == 0).count() == 0
+    assert df.filter("n_bench_hits < 1 or n_shared_shingles < 1").count() == 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    plan = D.q_decontaminate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_eval_in_analytic_plans(spark, sf_dir):
+    for name, q in A.QUERIES.items():
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
