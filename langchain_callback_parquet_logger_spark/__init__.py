@@ -39,6 +39,15 @@ from .checkpoint import (
     retrieve_with_checkpoint,
     save_checkpoint,
 )
+from .config import (
+    EventType,
+    JobConfig,
+    LLMConfig,
+    ProcessingConfig,
+    S3Config,
+    StorageConfig,
+    build_job_metadata,
+)
 from .operators.temporal import asof_join
 from .sinks import CompositeSink, ParquetSink, create_sink, render_output_path, write_log
 
@@ -77,6 +86,14 @@ __all__ = [
     "save_checkpoint",
     "filter_unprocessed",
     "dedup_keep_last",
+    # configuration surface (reference config.py:8-157)
+    "EventType",
+    "S3Config",
+    "JobConfig",
+    "ProcessingConfig",
+    "StorageConfig",
+    "LLMConfig",
+    "build_job_metadata",
     # temporal joins (beyond the reference — SURVEY.md §2.5 note)
     "asof_join",
     # read path
