@@ -29,6 +29,9 @@ from langchain_callback_parquet_logger_spark.operators import dedup as _dedup
 from langchain_callback_parquet_logger_spark.operators import (
     multimodal as _multimodal,
 )
+from langchain_callback_parquet_logger_spark.operators import (
+    pipeline as _pipeline,
+)
 from langchain_callback_parquet_logger_spark.operators import queries as _queries
 from langchain_callback_parquet_logger_spark.operators import (
     similarity as _similarity,
@@ -47,6 +50,7 @@ _MODULES = [
     _similarity,
     _temporal,
     _multimodal,
+    _pipeline,
     _streaming,
     _stateful,
 ]

@@ -428,8 +428,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "s"
     )
     train = post.filter(F.col("doc_id") % 97 != 0)
+    # bench rows are already unique per (bench_id, s): shingles() emits
+    # array_distinct per doc, so no dedup exchange before the broadcast.
     return (
-        train.join(F.broadcast(bench.dropDuplicates()), "s")
+        train.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("bench_id").alias("n_bench_hits"),

@@ -1,0 +1,131 @@
+"""End-to-end training-data curation pipeline: the composition the
+individual text/dedup operators exist for — one declarative plan from raw
+documents to a cleaned, deduplicated, language-bucketed corpus.
+
+Stages (all JVM-side, zero Python UDFs):
+  1. quality gate   — stopword/punctuation/length composite ≥ threshold
+  2. language ID    — marker-argmax heuristic (text.predicted_lang)
+  3. exact dedup    — keep the lowest doc_id per normalized fingerprint
+  4. corpus rollup  — per-language doc/token/quality statistics
+
+Scale shape: stages 1-2 are embarrassingly parallel scan work fused into
+one projection by Catalyst (no materialization between "operators" — this
+is the whole point of composing declaratively instead of staging through
+files the way pipeline scripts typically do). Stage 3 is the single wide
+op: one shuffle on the fingerprint, window row_number to keep the
+canonical doc. Stage 4 rides the same exchange when AQE notices the
+partial aggregate, else adds one small shuffle on the language key
+(4 distinct values → partial aggregation does almost all the work
+map-side). Filters run BEFORE the shuffle, so low-quality docs never
+cross the wire — at 100 TB that ordering is the difference between
+shuffling the whole corpus and shuffling the ~65% that survives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.session import load_table
+from .text import (
+    STOPWORDS,
+    TOKEN_PATTERN,
+    fingerprint,
+    predicted_lang,
+    stopword_count,
+    token_count_bpe,
+    token_count_ws,
+)
+
+QUALITY_THRESHOLD = 0.5  # keeps ~65% of the synthetic corpus
+
+
+def quality_score(t: Column) -> Column:
+    """The q_quality_score composite, unrounded (shared formula)."""
+    sw_ratio = stopword_count(t) / token_count_ws(t)
+    punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0)))
+    punct_ratio = punct / F.length(t)
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    return (sw_ratio + (1 - punct_ratio) + len_score) / 3
+
+
+def clean_corpus(
+    docs: DataFrame, quality_threshold: float = QUALITY_THRESHOLD
+) -> DataFrame:
+    """documents(doc_id, text, ...) → cleaned corpus with
+    (doc_id, predicted_lang, n_tokens, quality); quality-gated, exact-dedup
+    keeping the lowest doc_id per fingerprint."""
+    t = F.col("text")
+    carry = [c for c in ("lang",) if c in docs.columns]
+    scored = docs.select(
+        "doc_id",
+        *carry,
+        predicted_lang(t).alias("predicted_lang"),
+        token_count_bpe(t).alias("n_tokens"),
+        fingerprint(t).alias("fp"),
+        quality_score(t).alias("quality"),
+    ).filter(F.col("quality") >= quality_threshold)
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats of the cleaned corpus. Grouping is on the
+    LABELED lang (the synthetic corpus draws from one vocabulary, so the
+    marker heuristic collapses to 'en'); predicted_lang still rides along
+    as a per-doc column and is value-checked by q_lang_id's oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus(docs).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _oracle_corpus_clean() -> str:
+    """Composes the quality, fingerprint and dedup formulas from the same
+    constants as the Spark plan so they cannot drift. (predicted_lang is
+    computed-then-pruned by Catalyst since the rollup doesn't consume it,
+    so the oracle rightly omits it; its value semantics are pinned by
+    q_lang_id's own oracle.)"""
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text,' '), w -> w IN ({_SW_LIST})))::DOUBLE
+             / len(string_split(text,' ')) AS sw_ratio,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text)
+             AS punct_ratio,
+         least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+         len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, n_tokens, fp,
+         (sw_ratio + (1 - punct_ratio) + len_score) / 3 AS quality
+  FROM s
+),
+g AS (SELECT * FROM q WHERE quality >= {QUALITY_THRESHOLD}),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM g
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       round(AVG(quality), 6) AS avg_quality
+FROM d WHERE rn = 1 GROUP BY lang
+"""
+
+
+QUERIES = {
+    "q_corpus_clean": q_corpus_clean,
+}
+
+ORACLES = {
+    "q_corpus_clean": _oracle_corpus_clean(),
+}

@@ -1,0 +1,120 @@
+"""End-to-end corpus-curation pipeline (operators/pipeline.py) plus
+property-based tests (hypothesis) for the pure helpers — exceeding the
+reference's test strategy (SURVEY.md §5: no property testing there)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from langchain_callback_parquet_logger_spark.ingest import (
+    extract_custom_id_from_tags,
+    with_tags,
+)
+from langchain_callback_parquet_logger_spark.operators import pipeline as P
+from langchain_callback_parquet_logger_spark.plans.session import load_table
+from langchain_callback_parquet_logger_spark.schema import CUSTOM_ID_PREFIX
+
+
+def test_corpus_clean_runs(spark, sf_dir):
+    rows = P.q_corpus_clean(spark, sf_dir).collect()
+    assert rows and all(r.n_docs > 0 and r.total_tokens > 0 for r in rows)
+
+
+def test_clean_corpus_quality_gate_and_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = P.clean_corpus(docs)
+    assert cleaned.filter(F.col("quality") < P.QUALITY_THRESHOLD).count() == 0
+    # exact dedup: no two surviving docs share a fingerprint
+    from langchain_callback_parquet_logger_spark.operators.text import fingerprint
+
+    fps = (
+        cleaned.join(docs.select("doc_id", "text"), "doc_id")
+        .select(fingerprint(F.col("text")).alias("fp"))
+    )
+    assert fps.count() == fps.distinct().count()
+
+
+def test_clean_corpus_fuses_scan_stages(spark, sf_dir):
+    """Stages 1-2 must fuse into the scan projection: exactly ONE exchange
+    (the fingerprint window) before the final aggregate's."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = P.q_corpus_clean(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 3  # fp window + lang agg (+AQE read)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property-based: with_tags / custom-id round trip (reference
+# tagging.py:7-98 semantics, pinned over arbitrary inputs).
+# ---------------------------------------------------------------------------
+
+_tag = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters=":\x00"),
+    min_size=0,
+    max_size=20,
+)
+_custom_id = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(tags=st.lists(_tag, max_size=5), custom_id=_custom_id)
+@settings(max_examples=50, deadline=None)
+def test_with_tags_embed_extract_roundtrip_python(tags, custom_id):
+    cfg = with_tags(*tags, custom_id=custom_id)
+    embedded = [t for t in cfg["tags"] if t.startswith(CUSTOM_ID_PREFIX)]
+    assert embedded == [f"{CUSTOM_ID_PREFIX}{custom_id}"]
+    # plain tags that don't collide with the prefix survive in order
+    assert [t for t in cfg["tags"][: len(tags)]] == list(tags)
+
+
+def test_custom_id_roundtrip_spark(spark):
+    """The Spark-side extraction inverts the Python-side embedding for a
+    sampled set of ids (one Spark job for the whole sample)."""
+    ids = ["a", "id-42", "x y z", "Ä", "trailing ", " lead", "a:b"]
+    rows = [(i, with_tags("t0", custom_id=i)["tags"]) for i in ids]
+    df = spark.createDataFrame(rows, "custom_id string, tags array<string>")
+    out = df.select(
+        "custom_id", extract_custom_id_from_tags(F.col("tags")).alias("extracted")
+    )
+    assert out.filter(F.col("custom_id") != F.col("extracted")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property-based: as-of join vs naive per-row maximum (small random data).
+# ---------------------------------------------------------------------------
+
+_ts = st.integers(min_value=0, max_value=50)
+_key = st.integers(min_value=0, max_value=3)
+
+
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=12),
+    right=st.lists(st.tuples(_key, _ts), min_size=0, max_size=12),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_naive(spark, left, right):
+    from langchain_callback_parquet_logger_spark.operators.temporal import asof_join
+
+    # right must be unique per (key, ts) — the operator's documented contract
+    right = list({(k, t): None for k, t in right}.keys())
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k bigint, ts bigint, lid bigint"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(right)],
+        "k bigint, ts bigint, rid bigint",
+    )
+    got = {
+        r.lid: r.matched.rid if r.matched else None
+        for r in asof_join(ldf, rdf, on="k").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, 100 + j) for j, (rk, rt) in enumerate(right) if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (k, t, cands)
