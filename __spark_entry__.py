@@ -26,6 +26,7 @@ from langchain_callback_parquet_logger_spark.operators import (
     batch_queries as _batch_queries,
 )
 from langchain_callback_parquet_logger_spark.operators import dedup as _dedup
+from langchain_callback_parquet_logger_spark.operators import graph as _graph
 from langchain_callback_parquet_logger_spark.operators import (
     multimodal as _multimodal,
 )
@@ -51,6 +52,7 @@ _MODULES = [
     _temporal,
     _multimodal,
     _pipeline,
+    _graph,
     _streaming,
     _stateful,
 ]

@@ -1,0 +1,120 @@
+"""Iterative graph operator: connected components over near-duplicate
+pairs — the step that turns pairwise dedup verdicts (q_ngram_jaccard,
+q_minhash_dedup, q_simhash_pairs) into disjoint duplicate CLUSTERS with
+one canonical document each, which is what a curation pipeline actually
+deletes against. The reference has nothing iterative at all; this is the
+standard Pregel-style min-label propagation expressed in DataFrame ops.
+
+Algorithm: every node starts labeled with itself; each round a node takes
+the minimum label among itself and its neighbors; converged when no label
+changes. Rounds needed = graph diameter (near-dup clusters are small and
+clique-ish, so 2-4 in practice).
+
+Scale design:
+- Each round is ONE shuffle join (symmetric edge list ⋈ labels on the
+  node key) + a min-aggregate — the exact shape GraphFrames/GraphX use.
+  Partitioning by node key is stable across rounds, so AQE reuses the
+  exchange layout.
+- ``localCheckpoint(eager=True)`` truncates the lineage every round;
+  without it the plan doubles per iteration and the driver OOMs on plan
+  size long before data is the problem (on a cluster, ``checkpoint()`` to
+  reliable storage is the durable variant).
+- The convergence probe collects ONE scalar (changed-label count) per
+  round — a driver-side loop over aggregates, not over rows; this is the
+  legitimate use of an action inside an operator.
+
+The declared query's oracle is a DuckDB recursive CTE computing the
+transitive closure and taking min over each reachable set — same fixpoint,
+different engine, value-identical labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import ORACLE_NGRAM_JACCARD, q_ngram_jaccard
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """(src, dst) undirected edge list → (node, label) where label is the
+    smallest node id in the node's component."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("label", "old")
+            .join(new_labels, "node")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact n-gram Jaccard ≥ threshold) → duplicate
+    clusters: canonical doc (minimum doc_id) and cluster size."""
+    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.groupBy(F.col("label").alias("canonical_doc_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  {ORACLE_NGRAM_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.node, e.v FROM reach r JOIN edges e ON r.m = e.u
+),
+comp AS (
+  SELECT node, MIN(m) AS label FROM reach GROUP BY node
+)
+SELECT label AS canonical_doc_id, COUNT(*) AS cluster_size
+FROM comp GROUP BY label
+"""
+
+
+QUERIES = {
+    "q_dedup_clusters": q_dedup_clusters,
+}
+
+ORACLES = {
+    "q_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+}

@@ -1,0 +1,43 @@
+"""Connected components (operators/graph.py): hand-built graphs pin the
+fixpoint semantics; the DuckDB recursive-CTE oracle pins values at sf0.01."""
+
+from __future__ import annotations
+
+from langchain_callback_parquet_logger_spark.operators.graph import (
+    connected_components,
+    q_dedup_clusters,
+)
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {
+        r.node: r.label for r in connected_components(df, "src", "dst").collect()
+    }
+
+
+def test_two_components(spark):
+    got = _labels(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    # a path graph of diameter 6: propagation must iterate, not just look
+    # one hop out
+    chain = [(i, i + 1) for i in range(1, 7)]
+    got = _labels(spark, chain)
+    assert set(got.values()) == {1}
+
+
+def test_cycle_and_self_loop(spark):
+    got = _labels(spark, [(5, 6), (6, 7), (7, 5), (9, 9)])
+    assert got[5] == got[6] == got[7] == 5
+    assert got[9] == 9
+
+
+def test_dedup_clusters_sizes(spark, sf_dir):
+    rows = q_dedup_clusters(spark, sf_dir).collect()
+    # every cluster has ≥2 members (singletons have no near-dup pair) and
+    # the canonical id is not shared between clusters
+    assert all(r.cluster_size >= 2 for r in rows)
+    assert len({r.canonical_doc_id for r in rows}) == len(rows)
