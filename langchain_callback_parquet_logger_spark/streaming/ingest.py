@@ -223,14 +223,93 @@ FROM events GROUP BY event_type
 """
 
 
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events table (shared by the q_stream_* set)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    clicks in the trailing hour — the streaming form of the banded range
+    join (operators/temporal.py), built on Spark's watermarked symmetric
+    hash join. Both sides carry watermarks and the join predicate carries
+    the event-time band, so the state store evicts rows once they can no
+    longer match — bounded state on unbounded streams, the thing the
+    reference's buffer (logger.py:418-440) could never express.
+
+    The availableNow drain over a static table equals the batch interval
+    join, so this stateful operator gets a full value oracle."""
+    from ..plans.session import scoped_conf
+
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    sink_name = "q_stream_join_sink"
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return (
+        spark.table(sink_name)
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n_clicks_1h"))
+    )
+
+
+ORACLE_STREAM_JOIN = """
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks_1h
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000::BIGINT
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_stream_hourly_counts": q_stream_hourly_counts,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_join": q_stream_join,
 }
 
 ORACLES = {
     "q_stream_hourly_counts": ORACLE_STREAM_HOURLY_COUNTS,
     "q_stream_dedup": ORACLE_STREAM_DEDUP,
+    "q_stream_join": ORACLE_STREAM_JOIN,
 }
 
 

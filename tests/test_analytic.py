@@ -100,6 +100,41 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_stream_join_matches_batch_range_join(spark, sf_dir):
+    """The drained stream-stream join equals the batch interval join
+    (inner: only purchases with ≥1 click in the trailing hour appear)."""
+    from langchain_callback_parquet_logger_spark.streaming.ingest import q_stream_join
+    from langchain_callback_parquet_logger_spark.operators.temporal import (
+        q_range_join_banded,
+    )
+
+    got = {r.purchase_id: r.n_clicks_1h for r in q_stream_join(spark, sf_dir).collect()}
+    # q_range_join_banded counts clicks per ERROR event; recompute its
+    # purchase-side analog directly for the cross-check
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = events.filter("event_type = 'click'").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    want = {
+        r.purchase_id: r.n
+        for r in p.join(c, "user_id")
+        .filter("c_us <= p_us and c_us >= p_us - 3600000000")
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_no_python_eval_in_analytic_plans(spark, sf_dir):
     for name, q in A.QUERIES.items():
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
