@@ -541,8 +541,42 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# F2 on Spark 4's native semi-structured path: the payload JSON is parsed
+# ONCE into a VariantType column (compact binary encoding, field paths
+# evaluated without re-parsing text per access) and aggregated through a
+# typed variant_get. This is the forward-looking alternative to
+# get_json_object flagged in SURVEY.md §1.2 — same answers, but at 100 TB
+# the parse cost is paid once per row instead of once per extracted field,
+# and the binary encoding columnar-compresses far better than JSON text.
+# ---------------------------------------------------------------------------
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+ORACLE_VARIANT_EXTRACT = """
+SELECT event_type,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       round(AVG(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
+       COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_scan_project": q_scan_project,
+    "q_variant_extract": q_variant_extract,
     "q_filter_event_type": q_filter_event_type,
     "q_json_extract": q_json_extract,
     "q_custom_id_extract": q_custom_id_extract,
@@ -566,6 +600,7 @@ ORACLES = {
     "q_scan_project": ORACLE_SCAN_PROJECT,
     "q_filter_event_type": ORACLE_FILTER_EVENT_TYPE,
     "q_json_extract": ORACLE_JSON_EXTRACT,
+    "q_variant_extract": ORACLE_VARIANT_EXTRACT,
     "q_custom_id_extract": ORACLE_CUSTOM_ID_EXTRACT,
     "q_date_partition_agg": ORACLE_DATE_PARTITION_AGG,
     "q_token_rollup": ORACLE_TOKEN_ROLLUP,
