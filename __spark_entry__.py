@@ -37,6 +37,9 @@ from langchain_callback_parquet_logger_spark.operators import queries as _querie
 from langchain_callback_parquet_logger_spark.operators import (
     similarity as _similarity,
 )
+from langchain_callback_parquet_logger_spark.operators import (
+    sql_surface as _sql_surface,
+)
 from langchain_callback_parquet_logger_spark.operators import temporal as _temporal
 from langchain_callback_parquet_logger_spark.operators import text as _text
 from langchain_callback_parquet_logger_spark.streaming import ingest as _streaming
@@ -45,6 +48,7 @@ from langchain_callback_parquet_logger_spark.streaming import stateful as _state
 _MODULES = [
     _queries,
     _analytic,
+    _sql_surface,
     _batch_queries,
     _text,
     _dedup,
