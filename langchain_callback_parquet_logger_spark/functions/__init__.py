@@ -5,7 +5,10 @@ functions namespace."""
 
 from ..ingest import extract_custom_id_from_tags, payload_field
 from ..operators.dedup import hash60, jaccard, shingles
+from ..operators.graph import connected_components
+from ..operators.pipeline import clean_corpus, quality_score
 from ..operators.similarity import cosine, dot, norm
+from ..operators.temporal import asof_join
 from ..operators.text import (
     fingerprint,
     predicted_lang,
@@ -30,4 +33,8 @@ __all__ = [
     "predicted_lang",
     "payload_field",
     "extract_custom_id_from_tags",
+    "quality_score",
+    "clean_corpus",
+    "connected_components",
+    "asof_join",
 ]

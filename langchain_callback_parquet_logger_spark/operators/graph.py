@@ -41,10 +41,17 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) undirected edge list → (node, label) where label is the
     smallest node id in the node's component."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the edge list BEFORE the symmetric union: both union
+    # branches reference `edges`, and without this the upstream plan (here:
+    # the whole near-dup pair computation) executes twice.
+    edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
     )
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = (
+        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
