@@ -121,6 +121,20 @@ def stream_to_sinks(
     return writer.start()
 
 
+def stream_progress(query: StreamingQuery) -> dict:
+    """A2/D9 — batch-size and progress counting (reference batch.py:62-79,
+    background_retrieval.py:342): rows-ingested and micro-batch counters
+    come free from the StreamingQuery progress feed; no custom counters,
+    no tqdm — on a cluster the same numbers land in the Spark UI and any
+    registered StreamingQueryListener."""
+    total = 0
+    batches = 0
+    for p in query.recentProgress or []:
+        total += int(p.get("numInputRows", 0) or 0)
+        batches += 1
+    return {"num_input_rows": total, "micro_batches": batches}
+
+
 def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end in the graded surface: the events
     table is consumed as a FILE STREAM (not a batch scan), tumbling

@@ -70,6 +70,25 @@ def test_stream_drain_exactly_once(spark, tmp_path):
     assert back2.count() == 17  # 12 + 5, nothing reprocessed
 
 
+def test_stream_progress_counters(spark, tmp_path):
+    from langchain_callback_parquet_logger_spark.streaming.ingest import (
+        stream_progress,
+    )
+
+    _write_source_batch(tmp_path, 0, 9)
+    events = read_event_stream(spark, str(tmp_path / "incoming"))
+    q = stream_to_log(
+        events,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        event_types=ALL_TYPES,
+    )
+    q.awaitTermination(120)
+    prog = stream_progress(q)
+    assert prog["num_input_rows"] == 9
+    assert prog["micro_batches"] >= 1
+
+
 def test_event_type_filter_applies_in_stream(spark, tmp_path):
     _write_source_batch(tmp_path, 0, 9)
     events = read_event_stream(spark, str(tmp_path / "incoming"))
