@@ -149,16 +149,7 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and trigger=processingTime; state is bounded by the watermark."""
     from ..plans.session import scoped_conf
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _event_stream(spark, sf_dir)
     counts = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -203,14 +194,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, bounding it for unbounded streams."""
     from ..plans.session import scoped_conf
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        _event_stream(spark, sf_dir)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
@@ -238,17 +223,24 @@ FROM events GROUP BY event_type
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream over the events table (shared by the q_stream_* set)."""
+    """File-stream over the events table (shared by the q_stream_* set).
+    Both layouts work: an events.parquet/ DIRECTORY of part files (what
+    any distributed writer produces — streamed directly), or a single
+    events.parquet FILE (driver testdata — streaming sources require a
+    directory base, so the parent is streamed with a name glob)."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    reader = spark.readStream.schema(
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
     )
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        src = reader.parquet(path)
+    else:
+        src = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,17 +90,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are cumulative and monotone, so the last emission per user is
     the max."""
     from ..plans.session import scoped_conf
+    from .ingest import _event_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _event_stream(spark, sf_dir)
     sink_name = "q_stream_sessionize_sink"
     # The state partition count is fixed at the stream's first checkpoint;
     # a one-file drain wants few fat state partitions (each carries a

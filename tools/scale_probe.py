@@ -1,0 +1,145 @@
+"""Scaling probe: build a K× replica of the sf0.1 tables (ids offset, doc
+texts perturbed so near-dup structure scales ~linearly instead of
+quadratically) under /tmp, run the representative queries at both scales,
+and report the runtime ratio. A healthy plan scales ≲K× on a fixed-core
+machine; superlinear ratios flag shapes that would not survive 100 TB.
+
+    python tools/scale_probe.py            # K=10, writes SCALING.md
+    SCALE_K=4 python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from langchain_callback_parquet_logger_spark.plans.session import get_spark, load_table
+
+import __spark_entry__ as entrymod
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = int(os.environ.get("SCALE_K", "10"))
+BIG = f"/tmp/sfbig_x{K}"
+
+QUERIES = [
+    "q_token_rollup",
+    "q_dedup_keep_last",
+    "q_sessionize",
+    "q_event_pivot",
+    "q_asof_join",
+    "q_range_join_banded",
+    "q_exact_dedup",
+    "q_minhash_dedup",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_decontaminate",
+    "q_corpus_clean",
+    "q_user_value_median",
+    "q_stream_hourly_counts",
+]
+
+
+def build(spark) -> None:
+    if os.path.exists(os.path.join(BIG, "_OK")):
+        return
+    os.makedirs(BIG, exist_ok=True)
+    ev = load_table(spark, BASE, "events")
+    docs = load_table(spark, BASE, "documents")
+    emb = load_table(spark, BASE, "embeddings")
+
+    def replicate(df, out, transforms):
+        parts = []
+        for k in range(K):
+            d = df
+            for col, fn in transforms.items():
+                d = d.withColumn(col, fn(k))
+            parts.append(d)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.mode("overwrite").parquet(os.path.join(BIG, out))
+
+    replicate(
+        ev,
+        "events.parquet",
+        {
+            "event_id": lambda k: F.col("event_id") + k * 1_000_000_000,
+            "user_id": lambda k: F.col("user_id") + k * 1_000_000,
+            # keep the driver layout's encoding: ts as nanos-since-epoch
+            # bigint (load_table and the stream schema both expect it)
+            "ts": lambda k: F.unix_micros(F.col("ts")) * 1000,
+        },
+    )
+    replicate(
+        docs,
+        "documents.parquet",
+        {
+            "doc_id": lambda k: F.col("doc_id") + k * 10_000_000,
+            "text": lambda k: F.concat(F.col("text"), F.lit(f" uniquetok{k}")),
+        },
+    )
+    replicate(
+        emb,
+        "embeddings.parquet",
+        {"vec_id": lambda k: F.col("vec_id") + k * 10_000_000},
+    )
+    # small dims copied as-is so joins keep working
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        load_table(spark, BASE, t).write.mode("overwrite").parquet(
+            os.path.join(BIG, f"{t}.parquet")
+        )
+    open(os.path.join(BIG, "_OK"), "w").close()
+
+
+def best_of(fn, reps=2):
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    build(spark)
+    qs = entrymod.queries()
+    spark.range(1).count()
+
+    lines = [
+        "# SCALING — runtime ratio at K× data (same 32 cores)",
+        "",
+        f"Base = sf0.1, Big = {K}× replica (ids offset, doc texts perturbed).",
+        "ratio ≈ K means linear scaling — the plan's work grows with the",
+        "data, not with data². ratio >> K flags a pairwise/quadratic shape.",
+        "Streaming rows are end-to-end drains (state + sink included).",
+        "",
+        "| query | base s | big s | ratio (target ≲{}) |".format(K),
+        "|---|---|---|---|",
+    ]
+    # interleave scales per-query to decorrelate hypervisor stall bursts
+    for name in QUERIES:
+        base_t = best_of(lambda: qs[name](spark, BASE).count())
+        big_t = best_of(lambda: qs[name](spark, BIG).count())
+        ratio = big_t / base_t if base_t > 0 else float("inf")
+        lines.append(f"| {name} | {base_t:.2f} | {big_t:.2f} | {ratio:.1f}× |")
+        print(lines[-1], file=sys.stderr)
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
