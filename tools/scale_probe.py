@@ -27,6 +27,14 @@ K = int(os.environ.get("SCALE_K", "10"))
 BIG = f"/tmp/sfbig_x{K}"
 
 QUERIES = [
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_hierarchy_join",
+    "q_topk",
+    "q_running_total",
+    "q_sql_exists_semi",
+    "q_sql_correlated_scalar",
+    "q_sql_moving_avg",
     "q_token_rollup",
     "q_dedup_keep_last",
     "q_sessionize",
@@ -90,8 +98,21 @@ def build(spark) -> None:
         "embeddings.parquet",
         {"vec_id": lambda k: F.col("vec_id") + k * 10_000_000},
     )
-    # small dims copied as-is so joins keep working
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    # facts replicated with CONSISTENT join keys: l_orderkey tracks
+    # o_orderkey, customers stay fixed (K× orders per customer — realistic
+    # fanout growth, and the dim joins stay broadcastable).
+    replicate(
+        load_table(spark, BASE, "orders"),
+        "orders.parquet",
+        {"o_orderkey": lambda k: F.col("o_orderkey") + k * 1_000_000_000},
+    )
+    replicate(
+        load_table(spark, BASE, "lineitem"),
+        "lineitem.parquet",
+        {"l_orderkey": lambda k: F.col("l_orderkey") + k * 1_000_000_000},
+    )
+    # dims copied as-is so joins keep working
+    for t in ("region", "nation", "customer", "supplier", "part"):
         load_table(spark, BASE, t).write.mode("overwrite").parquet(
             os.path.join(BIG, f"{t}.parquet")
         )
