@@ -140,12 +140,127 @@ FROM documents
 """
 
 
+RESIZE_BINS = 8
+FRAME_BYTES = 16
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def resize_media(media_df: DataFrame, bins: int = RESIZE_BINS) -> DataFrame:
+    """'Resize' stage: average-pool the byte stream into a fixed-width
+    vector — the deterministic stand-in for image downsampling (a real
+    deploy swaps the pooling loop for PIL/torchvision inside the SAME
+    mapInPandas; schema, batching and partitioning are unchanged). Block
+    b covers byte positions [b*n/bins, (b+1)*n/bins)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, pooled = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(arr)
+                bounds = [(b * n) // bins for b in range(bins + 1)]
+                pooled.append(
+                    [
+                        round(float(arr[bounds[b] : bounds[b + 1]].mean()), 6)
+                        if bounds[b + 1] > bounds[b]
+                        else 0.0
+                        for b in range(bins)
+                    ]
+                )
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "pooled": pooled})
+
+    return media_df.mapInPandas(_resize, schema="doc_id bigint, pooled array<double>")
+
+
+def sample_frames(media_df: DataFrame) -> DataFrame:
+    """'Frame-sample' stage: treat the byte stream as FRAME_BYTES-sized
+    frames, keep every FRAME_STRIDE-th frame — the video-keyframe pattern
+    (a real deploy decodes with pyav inside the same mapInPandas). Returns
+    the sampled-frame count and the checksum of the sampled bytes, so the
+    sampling arithmetic itself is value-checked."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                buf = bytes(payload)
+                n_frames = math.ceil(len(buf) / FRAME_BYTES)
+                kept = bytearray()
+                n_kept = 0
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    kept += buf[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    n_kept += 1
+                out.append((doc_id, n_frames, n_kept, hashlib.md5(bytes(kept)).hexdigest()))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_frames", "n_sampled", "sample_md5"]
+            )
+
+    return media_df.mapInPandas(
+        _sample,
+        schema="doc_id bigint, n_frames bigint, n_sampled bigint, sample_md5 string",
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(attach_media_column(docs))
+
+
+ORACLE_MULTIMODAL_RESIZE = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS bytes,
+         length(text) AS n
+  FROM documents
+)
+SELECT doc_id,
+       list_transform(range(0, {RESIZE_BINS}), bi ->
+         CASE WHEN ((bi + 1) * n) // {RESIZE_BINS} > (bi * n) // {RESIZE_BINS}
+              THEN round(list_aggregate(
+                     bytes[(bi * n) // {RESIZE_BINS} + 1 : ((bi + 1) * n) // {RESIZE_BINS}],
+                     'avg')::DOUBLE, 6)
+              ELSE 0.0 END) AS pooled
+FROM b
+"""
+
+
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_media_column(docs))
+
+
+ORACLE_MULTIMODAL_FRAMESAMPLE = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(ceil(length(text)::DOUBLE / {FRAME_BYTES}) AS BIGINT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, n_frames,
+       len(range(0, n_frames, {FRAME_STRIDE})) AS n_sampled,
+       md5(array_to_string(
+         list_transform(range(0, n_frames, {FRAME_STRIDE}),
+                        fr -> substr(text, fr * {FRAME_BYTES} + 1, {FRAME_BYTES})),
+         '')) AS sample_md5
+FROM f
+"""
+
+
 QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_resize": q_multimodal_resize,
+    "q_multimodal_framesample": q_multimodal_framesample,
 }
 
 ORACLES = {
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,
     "q_multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "q_multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
+    "q_multimodal_framesample": ORACLE_MULTIMODAL_FRAMESAMPLE,
 }

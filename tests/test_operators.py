@@ -186,6 +186,30 @@ def test_multimodal_meta_counts_assets(spark, sf_dir):
     assert row.total_bytes > 0
 
 
+def test_multimodal_resize_pools_to_fixed_width(spark, sf_dir):
+    rows = M.q_multimodal_resize(spark, sf_dir).limit(20).collect()
+    for r in rows:
+        assert len(r.pooled) == M.RESIZE_BINS
+        assert all(0.0 <= v <= 255.0 for v in r.pooled)
+
+
+def test_multimodal_framesample_arithmetic(spark, sf_dir):
+    import hashlib
+    import math
+
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").limit(10).collect()}
+    got = {r.doc_id: r for r in M.q_multimodal_framesample(spark, sf_dir).collect()}
+    for doc_id, text in docs.items():
+        buf = text.encode("utf-8")
+        n_frames = math.ceil(len(buf) / M.FRAME_BYTES)
+        kept = b"".join(
+            buf[f * M.FRAME_BYTES : (f + 1) * M.FRAME_BYTES]
+            for f in range(0, n_frames, M.FRAME_STRIDE)
+        )
+        r = got[doc_id]
+        assert (r.n_frames, r.sample_md5) == (n_frames, hashlib.md5(kept).hexdigest())
+
+
 def test_media_column_schema(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_media_column(docs)
