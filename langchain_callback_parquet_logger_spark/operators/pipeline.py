@@ -86,6 +86,71 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_PCT = 10  # hash-sample keep rate, percent
+DOMAIN_CAP = 40  # max docs per language bucket
+
+
+def hash_sample(df: DataFrame, key: Column, pct: int = SAMPLE_PCT) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose key hashes into the
+    first ``pct`` of 100 buckets. This — not rand() — is how a 100 TB
+    pipeline samples: reproducible across runs/engines/retries, stable
+    under repartitioning, and joinable (the same row is in or out
+    everywhere). Bucket = first 15 md5 hex digits mod 100."""
+    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return df.filter(bucket < pct)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample of documents, with per-lang counts proving
+    the rate holds per stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, F.col("doc_id"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+ORACLE_HASH_SAMPLE = f"""
+SELECT lang, COUNT(*) AS n_sampled, SUM(doc_id) AS id_sum
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < {SAMPLE_PCT}
+GROUP BY lang
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap — the data-mixing primitive: keep at most
+    DOMAIN_CAP docs per language, chosen by hash rank (deterministic,
+    uniform) rather than arrival order. One window shuffle on the domain
+    key; at 100 TB the same plan runs with domains as the partition
+    column and AQE splitting any mega-domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+ORACLE_DOMAIN_CAP = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum
+FROM ranked WHERE rk <= {DOMAIN_CAP} GROUP BY lang
+"""
+
+
 _SW_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
@@ -124,8 +189,12 @@ FROM d WHERE rn = 1 GROUP BY lang
 
 QUERIES = {
     "q_corpus_clean": q_corpus_clean,
+    "q_hash_sample": q_hash_sample,
+    "q_domain_cap": q_domain_cap,
 }
 
 ORACLES = {
     "q_corpus_clean": _oracle_corpus_clean(),
+    "q_hash_sample": ORACLE_HASH_SAMPLE,
+    "q_domain_cap": ORACLE_DOMAIN_CAP,
 }

@@ -46,6 +46,20 @@ def test_clean_corpus_fuses_scan_stages(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_hash_sample_deterministic_and_near_rate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = P.hash_sample(docs, F.col("doc_id")).select("doc_id")
+    b = P.hash_sample(docs, F.col("doc_id")).select("doc_id")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    rate = a.count() / docs.count()
+    assert 0.03 <= rate <= 0.25  # ~10% with small-sample slack
+
+
+def test_domain_cap_enforced(spark, sf_dir):
+    rows = P.q_domain_cap(spark, sf_dir).collect()
+    assert rows and all(r.n_kept <= P.DOMAIN_CAP for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # Property-based: with_tags / custom-id round trip (reference
 # tagging.py:7-98 semantics, pinned over arbitrary inputs).
