@@ -83,6 +83,21 @@ COMMENTARY: dict[str, str] = {
         "(no exchanges until the dedup window): composing operators "
         "declaratively instead of materializing between pipeline steps."
     ),
+    "q_sql_exists_semi": (
+        "The EXISTS subquery is gone from the physical plan: Catalyst "
+        "decorrelated it into a LeftSemi join on the correlation key — "
+        "never per-row subquery execution."
+    ),
+    "q_variant_extract": (
+        "The payload JSON is parsed once per row into a Variant binary "
+        "(parse_json), then typed path access feeds a two-phase hash "
+        "aggregate. No per-field re-parsing, no Python."
+    ),
+    "q_domain_cap": (
+        "One window exchange on the domain key, hash-rank row_number, "
+        "then the rollup reuses the same partitioning — the per-domain "
+        "cap costs exactly one shuffle."
+    ),
     "q_asof_join": (
         "No join operator at all: the as-of operator itself is union + "
         "last(ignorenulls) window — a single exchange on the key and a "
