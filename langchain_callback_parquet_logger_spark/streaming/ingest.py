@@ -306,16 +306,75 @@ GROUP BY 1
 """
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization with Spark's NATIVE session_window — the
+    built-in counterpart of the custom applyInPandasWithState operator
+    (q_stream_sessionize): dynamic-gap windows merge as events arrive,
+    state closes once the watermark passes a session's end. Same
+    semantics, zero custom code — the comparison point that justifies
+    when a custom stateful operator is actually needed (running
+    cumulative counts; the built-in emits only closed sessions).
+
+    Drained availableNow over a static table, every session closes, so
+    per-user session/event totals equal the batch lag-based rollup —
+    full value oracle."""
+    from ..plans.session import scoped_conf
+
+    stream = _event_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    sessions = stream.groupBy(
+        F.col("user_id"), F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n_events"))
+    sink_name = "q_stream_session_window_sink"
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return (
+        spark.table(sink_name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+# Same fixpoint as the lag-based batch sessionization: a session break is
+# a gap strictly greater than 30 minutes (session_window treats an event
+# exactly at gap distance as extending the session).
+ORACLE_STREAM_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_stream_hourly_counts": q_stream_hourly_counts,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_join": q_stream_join,
+    "q_stream_session_window": q_stream_session_window,
 }
 
 ORACLES = {
     "q_stream_hourly_counts": ORACLE_STREAM_HOURLY_COUNTS,
     "q_stream_dedup": ORACLE_STREAM_DEDUP,
     "q_stream_join": ORACLE_STREAM_JOIN,
+    "q_stream_session_window": ORACLE_STREAM_SESSION_WINDOW,
 }
 
 
