@@ -67,6 +67,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation). The conf is (re)applied at runtime so externally-created
     sessions (e.g. the driver's) work too."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamps in the testdata are timezone-naive and the DuckDB oracle
+    # treats them as such; a non-UTC session would shift to_date()/window()
+    # rendering. Set at runtime so externally-created sessions (the
+    # driver's) get the same semantics as get_spark().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
