@@ -226,11 +226,149 @@ SELECT label, vec_id, sim, rk::INT AS rk FROM ranked WHERE rk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH top-k — the third ANN access path beside brute
+# force and IVF: 16 sign bits (one per hyperplane) banded 4×4; candidates
+# share at least one band with the query, exact cosine re-ranks them.
+# Hyperplane coefficients are derived deterministically from md5 in Python
+# and embedded as LITERALS in both the Spark plan and the oracle SQL —
+# same doubles, same accumulation order, bit-identical signs (the
+# HASH_FAMILY pattern from dedup.py).
+#
+# Scale: the corpus side computes signatures in one scan projection and
+# explodes to 4 (band, value) keys; the query side broadcasts, so
+# candidate selection is a broadcast semi join — no shuffle of the
+# vectors. Exact cosine runs only on candidates (recall tunable by
+# bits/bands), then TakeOrderedAndProject. This is the plan that serves
+# ANN over 100 TB of embeddings without an index service.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+LSH_BITS = 16
+LSH_BANDS = 4
+LSH_BAND_BITS = LSH_BITS // LSH_BANDS
+EMB_DIM = 64
+
+
+def _plane_coef(b: int, d: int) -> float:
+    h = int(_hashlib.md5(f"rh-{b}-{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001) / 1000.0 - 1.0
+
+
+PLANES = [[_plane_coef(b, d) for d in range(EMB_DIM)] for b in range(LSH_BITS)]
+
+
+def _band_cols(emb: Column) -> list[Column]:
+    """4 band values, each packing 4 sign bits of hyperplane dot products."""
+    bits = [
+        F.when(dot(emb, F.array(*[F.lit(c) for c in PLANES[b]])) >= 0, 1).otherwise(0)
+        for b in range(LSH_BITS)
+    ]
+    bands = []
+    for k in range(LSH_BANDS):
+        v = F.lit(0)
+        for j in range(LSH_BAND_BITS):
+            v = v + bits[k * LSH_BAND_BITS + j] * (1 << (LSH_BAND_BITS - 1 - j))
+        bands.append(v)
+    return bands
+
+
+def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = TOP_K) -> DataFrame:
+    """LSH candidate selection + exact re-rank over an (vec_id, emb
+    array<double>) frame. Recall follows the hyperplane-LSH collision
+    law: P(bit agrees) = 1 − θ/π, so a 0.99-cosine near-duplicate
+    collides in ≥1 of the 4 bands with probability ≈0.999 while a
+    near-orthogonal pair (θ≈90°) collides only ≈23% of the time — the
+    filter is FOR near-duplicates; low-similarity "neighbors" of a
+    random query are expected casualties."""
+    with_bands = emb.select(
+        "vec_id",
+        "emb",
+        F.posexplode(F.array(*_band_cols(F.col("emb")))).alias("band_idx", "band_val"),
+    )
+    qb = with_bands.filter(F.col("vec_id") == query_vec_id).select(
+        "band_idx", "band_val"
+    )
+    candidates = (
+        with_bands.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(qb), ["band_idx", "band_val"], "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+    q_emb = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("q_emb")
+    )
+    sim = cosine(F.col("emb"), F.col("q_emb"))
+    return (
+        candidates.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q_emb))
+        .select("vec_id", F.round(sim, 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    return knn_lsh(emb, QUERY_VEC_ID)
+
+
+def _oracle_knn_lsh() -> str:
+    def plane_sql(b: int) -> str:
+        lits = ", ".join(repr(c) for c in PLANES[b])
+        return f"list_dot_product(emb, [{lits}]::DOUBLE[])"
+
+    band_exprs = []
+    for k in range(LSH_BANDS):
+        parts = []
+        for j in range(LSH_BAND_BITS):
+            b = k * LSH_BAND_BITS + j
+            parts.append(
+                f"(CASE WHEN {plane_sql(b)} >= 0 THEN 1 ELSE 0 END)"
+                f" * {1 << (LSH_BAND_BITS - 1 - j)}"
+            )
+        band_exprs.append(f"({' + '.join(parts)}) AS band_{k}")
+    band_cols = ", ".join(band_exprs)
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS band_idx, band_{k} AS band_val FROM sigs"
+        for k in range(LSH_BANDS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, {band_cols} FROM e
+),
+bands AS ({unpivot}),
+qbands AS (SELECT band_idx, band_val FROM bands WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT DISTINCT b.vec_id FROM bands b
+  JOIN qbands q ON b.band_idx = q.band_idx AND b.band_val = q.band_val
+  WHERE b.vec_id <> {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT c.vec_id,
+         round(list_dot_product(a.emb, q.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(q.emb, q.emb))), 6) AS sim
+  FROM cand c
+  JOIN e a ON a.vec_id = c.vec_id
+  CROSS JOIN (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID}) q
+)
+SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_ivf": q_knn_ivf,
     "q_embedding_dedup": q_embedding_dedup,
     "q_knn_per_label": q_knn_per_label,
+    "q_knn_lsh": q_knn_lsh,
 }
 
 ORACLES = {
@@ -238,4 +376,5 @@ ORACLES = {
     "q_knn_ivf": ORACLE_KNN_IVF,
     "q_embedding_dedup": ORACLE_EMBEDDING_DEDUP,
     "q_knn_per_label": ORACLE_KNN_PER_LABEL,
+    "q_knn_lsh": _oracle_knn_lsh(),
 }

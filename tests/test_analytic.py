@@ -100,6 +100,52 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_knn_lsh_finds_planted_near_duplicate(spark, sf_dir):
+    """LSH's actual contract: a high-cosine near-duplicate collides with
+    the query in ≥1 band with probability ≈0.999 (sign-agreement law),
+    and with fixed hyperplanes the outcome is deterministic. Plant a
+    0.99-cosine copy of the query among the corpus and require LSH to
+    surface it as the top hit; also every LSH result must appear in the
+    exact ranking with the identical similarity."""
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        _as_double,
+        knn_bruteforce,
+        knn_lsh,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    near = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.lit(999_999).alias("vec_id"),
+        F.transform(
+            "emb", lambda x, i: F.when(i == 0, x + F.lit(0.25)).otherwise(x)
+        ).alias("emb"),
+    )
+    corpus = emb.unionByName(near)
+    top = knn_lsh(corpus, QUERY_VEC_ID, k=5).collect()
+    assert top[0].vec_id == 999_999 and top[0].sim > 0.9
+
+    exact = {
+        r.vec_id: r.sim
+        for r in knn_bruteforce(
+            corpus.filter(F.col("vec_id") != QUERY_VEC_ID).withColumnRenamed(
+                "emb", "embedding"
+            ),
+            corpus.filter(F.col("vec_id") == QUERY_VEC_ID).withColumnRenamed(
+                "emb", "embedding"
+            ),
+            k=1000,
+        ).collect()
+    }
+    for r in top:
+        assert exact[r.vec_id] == r.sim
+
+
 def test_stream_join_matches_batch_range_join(spark, sf_dir):
     """The drained stream-stream join equals the batch interval join
     (inner: only purchases with ≥1 click in the trailing hour appear)."""
