@@ -68,6 +68,14 @@ COMMENTARY: dict[str, str] = {
         "partition: the 100 TB side streams once, never shuffles. The "
         "cosine is a JVM higher-order-function reduce, no Python."
     ),
+    "q_knn_lsh": (
+        "Candidate selection is a BroadcastHashJoin LeftSemi on "
+        "(band_idx, band_val): the corpus computes its 16 sign bits in "
+        "one scan projection and only rows colliding with the broadcast "
+        "query bands survive to the exact cosine re-rank + "
+        "TakeOrderedAndProject. The heavy side never shuffles; recall is "
+        "tuned by bits/bands, not by moving data."
+    ),
     "q_decontaminate": (
         "The benchmark posting list broadcasts (BroadcastHashJoin); the "
         "training side streams through it without shuffling raw text. The "
