@@ -49,7 +49,14 @@ from .config import (
     build_job_metadata,
 )
 from .operators.temporal import asof_join
-from .sinks import CompositeSink, ParquetSink, create_sink, render_output_path, write_log
+from .sinks import (
+    CompositeSink,
+    ParquetSink,
+    compact_logs,
+    create_sink,
+    render_output_path,
+    write_log,
+)
 
 __version__ = "0.1.0"
 
@@ -74,6 +81,7 @@ __all__ = [
     "create_sink",
     "render_output_path",
     "write_log",
+    "compact_logs",
     # batch processing (reference: batch_run, batch_process, ColumnConfig)
     "batch_run",
     "batch_process",

@@ -1,0 +1,116 @@
+"""Maintenance operators for the log warehouse: small-file compaction and
+the partition-pruned read path it preserves.
+
+The reference's flush cadence (one parquet file per buffer fill,
+logger.py:418-470 in /root/reference) is exactly the small-files problem at
+scale; `compact_logs` is the counterpart operator."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from langchain_callback_parquet_logger_spark.plans.session import load_table
+from langchain_callback_parquet_logger_spark.sinks import compact_logs, write_log
+
+
+def _parquet_files(root: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    ]
+
+
+@pytest.fixture()
+def fragmented_logs(spark, sf_dir, tmp_path):
+    """A date-partitioned log tree written the way the reference writes it:
+    many tiny flush files per partition (forced via repartition(24))."""
+    out = str(tmp_path / "logs")
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    write_log(events.repartition(24), out)
+    return out, events.count()
+
+
+def test_compact_logs_reduces_files_preserves_rows(spark, fragmented_logs):
+    out, n_rows = fragmented_logs
+    before_files = _parquet_files(out)
+    checks = [F.sum("event_id"), F.round(F.sum("value"), 3), F.count("*")]
+    before_sum = spark.read.parquet(out).agg(*checks).collect()[0]
+
+    compact_logs(spark, out, target_rows_per_file=max(1, n_rows // 2))
+
+    after_files = _parquet_files(out)
+    assert len(after_files) < len(before_files) / 2, (
+        f"{len(before_files)} -> {len(after_files)}"
+    )
+    after = spark.read.parquet(out)
+    assert after.count() == n_rows
+    after_sum = after.agg(*checks).collect()[0]
+    assert list(before_sum) == list(after_sum)
+    assert not os.path.exists(out + ".compact-tmp")
+    assert not os.path.exists(out + ".compact-old")
+
+
+def test_compact_logs_clusters_timestamp_ranges(spark, fragmented_logs):
+    """Post-compaction, files inside one date partition must cover disjoint
+    timestamp ranges (repartitionByRange + sortWithinPartitions) — that is
+    what lets parquet min/max stats skip whole files on time-window scans.
+    Pre-compaction the random flush files all overlap."""
+    out, n_rows = fragmented_logs
+    compact_logs(spark, out, target_rows_per_file=max(1, n_rows // 6))
+
+    by_dir: dict[str, list[tuple]] = {}
+    for f in _parquet_files(out):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("timestamp")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        by_dir.setdefault(os.path.dirname(f), []).append((min(mins), max(maxs)))
+
+    assert any(len(v) > 1 for v in by_dir.values()), "want multi-file partitions"
+    for files in by_dir.values():
+        files.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(files, files[1:]):
+            assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+
+
+def test_date_partition_join_prunes_dynamically(spark, fragmented_logs):
+    """Joining the partitioned log tree to a date dim that a filter reduces
+    to one day must inject a dynamic-pruning predicate into the scan's
+    PartitionFilters — at 100 TB this is the difference between reading one
+    partition and reading the decade."""
+    import datetime as dt
+
+    out, _ = fragmented_logs
+    logs = spark.read.parquet(out)
+    days = sorted(
+        dt.date.fromisoformat(os.path.basename(d).split("=", 1)[1])
+        for d in glob.glob(os.path.join(out, "date=*"))
+    )
+    assert len(days) > 1, "fixture should span multiple date partitions"
+    dim = spark.createDataFrame(
+        [(d, "keep" if i == 0 else "drop") for i, d in enumerate(days)],
+        "date date, tag string",
+    )
+    joined = (
+        logs.join(dim.filter(F.col("tag") == "keep"), "date")
+        .groupBy("date")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 1
