@@ -6,7 +6,12 @@ functions namespace."""
 from ..ingest import extract_custom_id_from_tags, payload_field
 from ..operators.dedup import hash60, jaccard, shingles
 from ..operators.graph import connected_components
-from ..operators.pipeline import clean_corpus, quality_score
+from ..operators.pipeline import (
+    clean_corpus,
+    hash_sample,
+    mixture_sample,
+    quality_score,
+)
 from ..operators.similarity import cosine, dot, norm
 from ..operators.temporal import asof_join
 from ..operators.text import (
@@ -19,6 +24,8 @@ from ..operators.text import (
 )
 
 __all__ = [
+    "hash_sample",
+    "mixture_sample",
     "hash60",
     "shingles",
     "jaccard",

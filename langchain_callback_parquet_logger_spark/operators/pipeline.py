@@ -122,6 +122,69 @@ GROUP BY lang
 """
 
 
+# Mixture weights for the sampling operator, percent kept per stratum —
+# the "30% web / 60% code / 10% books" knob of a training-data mix, keyed
+# here on the corpus' language column.
+MIX_PCT = {"en": 25, "fr": 50, "de": 75, "es": 10, "zh": 100}
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing operator:
+    each stratum keeps ``rates[stratum]`` percent of its rows, selected by
+    the same md5-bucket rule as `hash_sample` so membership is
+    reproducible across runs, engines and retries, and consistent for the
+    same key everywhere it appears.
+
+    The rates ship as a broadcast dimension rather than a literal CASE
+    WHEN: a real mixture config has thousands of strata (domains), and a
+    broadcast hash join keeps the corpus side scan-parallel with no
+    shuffle — the filter still runs before anything wide, so dropped rows
+    never cross a wire. Strata absent from the config keep
+    ``default_pct`` percent (default: dropped)."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(s, p) for s, p in rates.items()], f"{stratum} string, keep_pct int"
+    )
+    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return (
+        df.join(F.broadcast(dim), stratum, "left")
+        .filter(bucket < F.coalesce(F.col("keep_pct"), F.lit(default_pct)))
+        .drop("keep_pct")
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture resample of documents; per-lang counts + id_sum
+    prove each stratum honors its configured rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, F.col("doc_id"), "lang", MIX_PCT)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+def _oracle_mixture_sample() -> str:
+    values = ", ".join(f"('{s}', {p})" for s, p in MIX_PCT.items())
+    return f"""
+WITH rates(lang, keep_pct) AS (VALUES {values})
+SELECT d.lang, COUNT(*) AS n_sampled, SUM(d.doc_id) AS id_sum
+FROM documents d
+LEFT JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < COALESCE(r.keep_pct, 0)
+GROUP BY d.lang
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap — the data-mixing primitive: keep at most
     DOMAIN_CAP docs per language, chosen by hash rank (deterministic,
@@ -190,11 +253,13 @@ FROM d WHERE rn = 1 GROUP BY lang
 QUERIES = {
     "q_corpus_clean": q_corpus_clean,
     "q_hash_sample": q_hash_sample,
+    "q_mixture_sample": q_mixture_sample,
     "q_domain_cap": q_domain_cap,
 }
 
 ORACLES = {
     "q_corpus_clean": _oracle_corpus_clean(),
     "q_hash_sample": ORACLE_HASH_SAMPLE,
+    "q_mixture_sample": _oracle_mixture_sample(),
     "q_domain_cap": ORACLE_DOMAIN_CAP,
 }

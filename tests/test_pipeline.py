@@ -132,3 +132,41 @@ def test_asof_join_matches_naive(spark, left, right):
         cands = [(rt, 100 + j) for j, (rk, rt) in enumerate(right) if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (k, t, cands)
+
+
+def test_mixture_sample_rates_and_membership(spark, sf_dir):
+    """Each stratum's kept set must equal the md5-bucket rule at its own
+    rate: rate-100 keeps everything, absent strata drop to default_pct,
+    and membership is a subset of the global hash_sample at a higher
+    rate (consistency across operators)."""
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.operators.pipeline import (
+        hash_sample,
+        mixture_sample,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 100, "fr": 0, "de": 30}
+    kept = mixture_sample(docs, F.col("doc_id"), "lang", rates)
+    by_lang = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("en") == totals["en"]          # rate 100 keeps all
+    assert "fr" not in by_lang                        # rate 0 drops all
+    assert "es" not in by_lang and "zh" not in by_lang  # absent strata drop
+    assert 0 < by_lang.get("de", 0) < totals["de"]    # partial rate
+
+    # membership consistency: de@30 is exactly hash_sample@30 restricted to de
+    de_mix = {r.doc_id for r in kept.filter(F.col("lang") == "de").select("doc_id").collect()}
+    de_hash = {
+        r.doc_id
+        for r in hash_sample(docs.filter(F.col("lang") == "de"), F.col("doc_id"), 30)
+        .select("doc_id")
+        .collect()
+    }
+    assert de_mix == de_hash
+
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
