@@ -12,6 +12,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -118,14 +121,60 @@ FROM events GROUP BY user_id
 """
 
 
+def q_user_value_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-to-scalar pandas UDF (GROUPED_AGG) — the true-UDAF leg of
+    the UDF surface: unlike applyInPandas (grouped map), a grouped-agg
+    pandas UDF participates in Spark's aggregation machinery (Spark
+    forbids mixing it with JVM aggregates in one agg(), so the row count
+    is a second pandas aggregate riding the same shuffle). The reference
+    has no UDAF at all (SURVEY §2.9).
+
+    The interpolation is spelled out (sort, h=(n-1)q, linear between
+    ranks) so it is the same arithmetic DuckDB's quantile_cont performs —
+    a full value oracle instead of an approx check.
+
+    Scale: one shuffle on user_id; Arrow-batched columnar transfer; each
+    group reduces to a scalar, so the post-shuffle frame is one row per
+    user."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def p90(v: pd.Series) -> float:
+        xs = np.sort(v.to_numpy(dtype="float64"))
+        h = (len(xs) - 1) * 0.9
+        lo = int(h)
+        hi = min(lo + 1, len(xs) - 1)
+        return round(float(xs[lo] + (xs[hi] - xs[lo]) * (h - lo)), 6)
+
+    @pandas_udf("bigint")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return events.groupBy("user_id").agg(
+        p90(F.col("value")).alias("p90_value"),
+        n_rows(F.col("value")).alias("n_events"),
+    )
+
+
+ORACLE_USER_VALUE_P90 = """
+SELECT user_id,
+       round(quantile_cont(value, 0.90), 6) AS p90_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_batch_map": q_batch_map,
     "q_checkpoint_resume": q_checkpoint_resume,
     "q_user_value_median": q_user_value_median,
+    "q_user_value_p90": q_user_value_p90,
 }
 
 ORACLES = {
     "q_batch_map": ORACLE_BATCH_MAP,
     "q_checkpoint_resume": ORACLE_CHECKPOINT_RESUME,
     "q_user_value_median": ORACLE_USER_VALUE_MEDIAN,
+    "q_user_value_p90": ORACLE_USER_VALUE_P90,
 }

@@ -341,7 +341,69 @@ SELECT lang, word, n, rk::INT AS rk FROM ranked WHERE rk <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Python UDTF — the table-function leg of the UDF surface (the reference
+# has none, SURVEY §2.9; Spark's scalar/grouped/map legs are covered by
+# q_quality_score-style columns, q_user_value_median, q_batch_map). A UDTF
+# is the right tool when one row fans out into a VARIABLE number of rows
+# via imperative logic; trigram emission keeps the semantics
+# SQL-checkable so the lateral-join plumbing gets a full value oracle.
+# Arrow-optimized (useArrow) so batches cross the boundary columnar.
+# ---------------------------------------------------------------------------
+
+
+def _trigram_udtf():
+    from pyspark.sql.functions import udtf
+
+    class TrigramEmitter:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = text.split(" ")
+            for i in range(len(words) - 2):
+                yield i, " ".join(words[i : i + 3])
+
+    try:
+        return udtf(TrigramEmitter, returnType="pos int, trigram string", useArrow=True)
+    except TypeError:  # older pyspark without useArrow kwarg
+        return udtf(TrigramEmitter, returnType="pos int, trigram string")
+
+
+def q_udtf_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram shingle profile per language, fanned out by a Python
+    UDTF in a LATERAL join. Scale: the UDTF is per-row independent (no
+    state), so it parallelizes with the scan; the only wide op is the
+    two-phase rollup after emission. Distinct-counting rides the same
+    aggregate."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    spark.udtf.register("trigram_emit", _trigram_udtf())
+    return spark.sql(
+        """
+        SELECT d.lang,
+               COUNT(*) AS n_trigrams,
+               COUNT(DISTINCT g.trigram) AS n_distinct
+        FROM docs_udtf d, LATERAL trigram_emit(d.text) g
+        GROUP BY d.lang
+        """
+    )
+
+
+ORACLE_UDTF_TRIGRAMS = """
+WITH w AS (
+  SELECT lang, string_split(text, ' ') AS ws FROM documents
+),
+t AS (
+  SELECT lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS trigram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g
+  WHERE len(ws) >= 3
+)
+SELECT lang, COUNT(*) AS n_trigrams, COUNT(DISTINCT trigram) AS n_distinct
+FROM t GROUP BY lang
+"""
+
+
 QUERIES = {
+    "q_udtf_trigrams": q_udtf_trigrams,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -352,6 +414,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_udtf_trigrams": ORACLE_UDTF_TRIGRAMS,
     "q_text_stats": ORACLE_TEXT_STATS,
     "q_quality_score": ORACLE_QUALITY_SCORE,
     "q_lang_id": _oracle_lang_id(),
