@@ -102,6 +102,43 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 # ---------------------------------------------------------------------------
+# GROUPING SETS: the general form behind cube/rollup — an explicit,
+# non-hierarchical set list ((flag, status), (flag), (linenumber)) that neither
+# CUBE nor ROLLUP can express. Same scale shape: one Expand node
+# replicates each input row once per set, one shuffle, one hash
+# aggregate; grouping_id() disambiguates the NULL produced by Expand
+# from a NULL in the data.
+# ---------------------------------------------------------------------------
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, l_linenumber,
+               CAST(grouping_id(l_returnflag, l_linestatus, l_linenumber) AS BIGINT)
+                   AS gid,
+               COUNT(*) AS n_lines,
+               round(SUM(l_extendedprice), 2) AS sum_price
+        FROM li_gs
+        GROUP BY GROUPING SETS (
+            (l_returnflag, l_linestatus), (l_returnflag), (l_linenumber)
+        )
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, l_linenumber,
+       grouping_id(l_returnflag, l_linestatus, l_linenumber) AS gid,
+       COUNT(*) AS n_lines,
+       round(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS (
+    (l_returnflag, l_linestatus), (l_returnflag), (l_linenumber)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Running total: per-customer cumulative spend over order history.
 # Deterministic accumulation order (date, then key) keeps the float
 # cumsum bit-stable across engines. Scale: window partitioned by
@@ -274,6 +311,7 @@ QUERIES = {
     "q_percentiles": q_percentiles,
     "q_event_pivot": q_event_pivot,
     "q_cube": q_cube,
+    "q_grouping_sets": q_grouping_sets,
     "q_running_total": q_running_total,
     "q_lead_lag": q_lead_lag,
     "q_ntile": q_ntile,
@@ -286,6 +324,7 @@ ORACLES = {
     "q_percentiles": ORACLE_PERCENTILES,
     "q_event_pivot": ORACLE_EVENT_PIVOT,
     "q_cube": ORACLE_CUBE,
+    "q_grouping_sets": ORACLE_GROUPING_SETS,
     "q_running_total": ORACLE_RUNNING_TOTAL,
     "q_lead_lag": ORACLE_LEAD_LAG,
     "q_ntile": ORACLE_NTILE,

@@ -98,3 +98,36 @@ def test_pricing_summary_runs_in_whole_stage_codegen(spark, sf_dir):
 def test_pricing_summary_filter_pushdown(spark, sf_dir):
     plan = _initial_plan(queries.q_pricing_summary(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Several operators lean on AQE skew-join splitting as their
+    100 TB skew story (dedup posting lists, as-of keys) — prove the
+    mechanism actually engages. A 95%-one-key fact sort-merge-joined to a
+    uniform side, with the skew thresholds scaled down to test data
+    sizes, must show `skew=true` on the SMJ in the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.plans.session import scoped_conf
+
+    skewed = spark.range(120_000).select(
+        F.when(F.col("id") % 20 == 0, F.col("id") % 50).otherwise(0).alias("k"),
+        F.col("id").alias("v"),
+    )
+    uniform = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    ):
+        joined = skewed.join(uniform, "k")
+        plan = _executed_plan(joined)
+    assert "skew=true" in plan, plan
