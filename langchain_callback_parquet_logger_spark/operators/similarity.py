@@ -363,12 +363,77 @@ SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Scalar (int8-style) quantization — the storage-side half of ANN at
+# 100 TB: 64 float32 dims → 64 bytes (+2 floats of scale metadata), a 4×
+# footprint cut before any index is built. Everything is JVM higher-order
+# functions over the array column (no Python, no shuffle until the tiny
+# per-label rollup); the quantize/dequantize arithmetic is spelled out
+# with floor(x + 0.5) so Spark and DuckDB round identically and the
+# reconstruction-error bound gets a full value oracle.
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255
+
+
+def quantize_error(emb: Column) -> Column:
+    """Max per-dimension |x - dequantize(quantize(x))| for one vector
+    under per-vector min/max scaling to QUANT_LEVELS+1 codes. Bounded by
+    scale/2 = (max-min)/510 by construction."""
+    lo = F.array_min(emb)
+    scale = (F.array_max(emb) - lo) / F.lit(float(QUANT_LEVELS))
+    code = lambda x: F.floor((x - lo) / scale + F.lit(0.5))  # noqa: E731
+    return F.array_max(
+        F.transform(emb, lambda x: F.abs(x - (lo + code(x) * scale)))
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    return (
+        emb.select("label", quantize_error(F.col("emb")).alias("max_err"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("max_err"), 6).alias("mean_err"),
+            F.round(F.max("max_err"), 6).alias("worst_err"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = f"""
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+p AS (
+  SELECT label, emb,
+         list_min(emb) AS lo,
+         (list_max(emb) - list_min(emb)) / {float(QUANT_LEVELS)} AS scale
+  FROM e
+),
+err AS (
+  SELECT label,
+         list_max(list_transform(emb,
+             x -> abs(x - (lo + floor((x - lo) / scale + 0.5) * scale))))
+             AS max_err
+  FROM p
+)
+SELECT label, COUNT(*) AS n_vecs,
+       round(AVG(max_err), 6) AS mean_err,
+       round(MAX(max_err), 6) AS worst_err
+FROM err GROUP BY label
+"""
+
+
 QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_ivf": q_knn_ivf,
     "q_embedding_dedup": q_embedding_dedup,
     "q_knn_per_label": q_knn_per_label,
     "q_knn_lsh": q_knn_lsh,
+    "q_embedding_quantize": q_embedding_quantize,
 }
 
 ORACLES = {
@@ -377,4 +442,5 @@ ORACLES = {
     "q_embedding_dedup": ORACLE_EMBEDDING_DEDUP,
     "q_knn_per_label": ORACLE_KNN_PER_LABEL,
     "q_knn_lsh": _oracle_knn_lsh(),
+    "q_embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
 }

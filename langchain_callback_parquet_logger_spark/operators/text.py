@@ -342,6 +342,62 @@ SELECT lang, word, n, rk::INT AS rk FROM ranked WHERE rk <= 5
 
 
 # ---------------------------------------------------------------------------
+# Pattern redaction — the scrubbing stage of a curation pipeline: one
+# compiled alternation of PII-shaped patterns (email here) plus a
+# configurable denylist, applied in a single regexp pass per document.
+# Scale: pure scan-side JVM regex (whole-stage codegen, no shuffle until
+# the per-language rollup); the pattern is a literal, so the same plan
+# serves any denylist size that fits a regex trie.
+# ---------------------------------------------------------------------------
+
+REDACT_DENYLIST = ("spark", "vector")
+REDACT_PATTERN = (
+    r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    + "".join(rf"|\b{w}\b" for w in REDACT_DENYLIST)
+)
+REDACT_TOKEN = "[REDACTED]"
+
+
+def redact(text: Column, pattern: str = REDACT_PATTERN) -> Column:
+    return F.regexp_replace(text, pattern, REDACT_TOKEN)
+
+
+def redaction_count(text: Column, pattern: str = REDACT_PATTERN) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def q_denylist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        redaction_count(t).alias("n_red"),
+        F.length(redact(t)).alias("scrubbed_len"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_red").alias("n_redactions"),
+        F.count_if(F.col("n_red") > 0).alias("docs_affected"),
+        F.sum("scrubbed_len").alias("sum_scrubbed_len"),
+    )
+
+
+def _oracle_denylist_redact() -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS n_red,
+         length(regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g'))
+             AS scrubbed_len
+  FROM documents
+)
+SELECT lang, SUM(n_red) AS n_redactions,
+       COUNT(*) FILTER (WHERE n_red > 0) AS docs_affected,
+       SUM(scrubbed_len) AS sum_scrubbed_len
+FROM per_doc GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Python UDTF — the table-function leg of the UDF surface (the reference
 # has none, SURVEY §2.9; Spark's scalar/grouped/map legs are covered by
 # q_quality_score-style columns, q_user_value_median, q_batch_map). A UDTF
@@ -404,6 +460,7 @@ FROM t GROUP BY lang
 
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
+    "q_denylist_redact": q_denylist_redact,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -415,6 +472,7 @@ QUERIES = {
 
 ORACLES = {
     "q_udtf_trigrams": ORACLE_UDTF_TRIGRAMS,
+    "q_denylist_redact": _oracle_denylist_redact(),
     "q_text_stats": ORACLE_TEXT_STATS,
     "q_quality_score": ORACLE_QUALITY_SCORE,
     "q_lang_id": _oracle_lang_id(),

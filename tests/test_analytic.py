@@ -185,3 +185,28 @@ def test_no_python_eval_in_analytic_plans(spark, sf_dir):
     for name, q in A.QUERIES.items():
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_quantize_error_bounded_by_half_scale(spark, sf_dir):
+    """Scalar quantization's contract: max reconstruction error per vector
+    is at most scale/2 = (max-min)/(2*QUANT_LEVELS)."""
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.operators.similarity import (
+        QUANT_LEVELS,
+        _as_double,
+        quantize_error,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        _as_double(F.col("embedding")).alias("emb")
+    )
+    checked = emb.select(
+        quantize_error(F.col("emb")).alias("err"),
+        (
+            (F.array_max("emb") - F.array_min("emb"))
+            / F.lit(2.0 * QUANT_LEVELS)
+        ).alias("bound"),
+    )
+    assert checked.filter(F.col("err") > F.col("bound") * 1.0000001).count() == 0
