@@ -76,6 +76,28 @@ COMMENTARY: dict[str, str] = {
         "TakeOrderedAndProject. The heavy side never shuffles; recall is "
         "tuned by bits/bands, not by moving data."
     ),
+    "q_mixture_sample": (
+        "The rate dim joins as BroadcastHashJoin LeftOuter before the "
+        "filter — the corpus side never shuffles, and the md5-bucket "
+        "predicate drops rows at scan speed. The only exchange is the "
+        "final per-stratum rollup. Mixture config size doesn't change "
+        "the plan: a thousand-domain config is still one broadcast."
+    ),
+    "q_embedding_quantize": (
+        "The entire quantize→dequantize→error pipeline is ONE scan "
+        "projection of higher-order functions (transform/array_min/"
+        "array_max) inside codegen — no Python, no intermediate "
+        "materialization. The only exchange carries one row per label. "
+        "This is the shape that re-encodes 100 TB of embeddings in a "
+        "single pass."
+    ),
+    "q_udtf_trigrams": (
+        "The ArrowEvalPythonUDTF node is the one "
+        "intentional Python stage; it is per-row independent so it "
+        "parallelizes with the scan, and the rollup above it is a "
+        "standard two-phase hash aggregate. Distinct-count rides the "
+        "same shuffle via partial aggregation."
+    ),
     "q_decontaminate": (
         "The benchmark posting list broadcasts (BroadcastHashJoin); the "
         "training side streams through it without shuffling raw text. The "
