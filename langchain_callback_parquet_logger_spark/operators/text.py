@@ -342,6 +342,83 @@ SELECT lang, word, n, rk::INT AS rk FROM ranked WHERE rk <= 5
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF top terms per language — the classic corpus-statistics operator.
+# Factored deliberately: per-(lang, word) term frequency is an INTEGER
+# aggregate and idf is computed once per word, so the final score is one
+# int×double multiply — no float summation order anywhere, which is what
+# lets a distributed engine hash-match a single-threaded oracle exactly.
+# Scale: explode is linear; tf and df are two-phase hash aggregates; the
+# doc-count N broadcasts as a scalar; top-k per lang is a rank window
+# over the (small) per-lang word table.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(words_col(F.col("text"))).alias("word")
+    )
+    tf = words.groupBy("lang", "word").agg(F.count("*").alias("total_tf"))
+    df_ = words.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df_docs")
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "word",
+            "total_tf",
+            "df_docs",
+            F.round(
+                F.col("total_tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("lang", "word", "total_tf", "df_docs", "tfidf",
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT lang, word, COUNT(*) AS total_tf FROM words GROUP BY lang, word
+),
+df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df_docs FROM words GROUP BY word
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.lang, tf.word, tf.total_tf, df.df_docs,
+         round(tf.total_tf * ln((n.n_docs + 1)::DOUBLE / (df.df_docs + 1)), 6)
+             AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY tfidf DESC, word ASC) AS rk
+  FROM scored
+)
+SELECT lang, word, total_tf, df_docs, tfidf, rk::INT AS rk
+FROM ranked WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Pattern redaction — the scrubbing stage of a curation pipeline: one
 # compiled alternation of PII-shaped patterns (email here) plus a
 # configurable denylist, applied in a single regexp pass per document.
@@ -461,6 +538,7 @@ FROM t GROUP BY lang
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
+    "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -473,6 +551,7 @@ QUERIES = {
 ORACLES = {
     "q_udtf_trigrams": ORACLE_UDTF_TRIGRAMS,
     "q_denylist_redact": _oracle_denylist_redact(),
+    "q_tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "q_text_stats": ORACLE_TEXT_STATS,
     "q_quality_score": ORACLE_QUALITY_SCORE,
     "q_lang_id": _oracle_lang_id(),
