@@ -47,9 +47,17 @@ QUERIES = [
     "q_simhash",
     "q_knn_bruteforce",
     "q_knn_ivf",
+    "q_knn_lsh",
+    "q_embedding_quantize",
     "q_decontaminate",
     "q_corpus_clean",
+    "q_mixture_sample",
+    "q_denylist_redact",
+    "q_tfidf_top_terms",
+    "q_udtf_trigrams",
+    "q_grouping_sets",
     "q_user_value_median",
+    "q_user_value_p90",
     "q_stream_hourly_counts",
 ]
 
