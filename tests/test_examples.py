@@ -10,7 +10,12 @@ import sys
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-EXAMPLES = ["minimal.py", "batch_run_example.py", "curation_pipeline_example.py"]
+EXAMPLES = [
+    "minimal.py",
+    "batch_run_example.py",
+    "curation_pipeline_example.py",
+    "data_mixing_example.py",
+]
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
