@@ -307,6 +307,111 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Funnel: view → click → purchase, strictly ordered per user. Each stage
+# is "earliest qualifying event after the previous stage's time" — a
+# conditional min aggregate, NOT a pattern-match UDF. Scale: three hash
+# aggregates on user_id that reuse one partitioning; the per-stage time
+# tables are one-row-per-user and broadcast back onto the events scan, so
+# the event table streams three times but never shuffles its raw rows.
+# ---------------------------------------------------------------------------
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = events.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        events.join(F.broadcast(s1), "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.join(F.broadcast(s2), "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    totals = events.select(F.countDistinct("user_id").alias("n_users"))
+    return (
+        totals.crossJoin(s1.select(F.count("*").alias("n_viewed")))
+        .crossJoin(s2.select(F.count("*").alias("n_clicked")))
+        .crossJoin(s3.select(F.count("*").alias("n_purchased")))
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM s1) AS n_viewed,
+       (SELECT COUNT(*) FROM s2) AS n_clicked,
+       (SELECT COUNT(*) FROM s3) AS n_purchased
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen date; day-1/day-7 return
+# rates. Scale: the (user, day) activity table is a distinct aggregate on
+# user_id+date; the cohort assignment is a min aggregate on the same
+# user_id partitioning; the final rollup is tiny (one row per cohort
+# day). No window over the whole history, no self-join on raw events.
+# ---------------------------------------------------------------------------
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = user_days.join(cohorts, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).alias("age"),
+    )
+    return joined.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(F.when(F.col("age") == 1, F.col("user_id"))).alias(
+            "retained_d1"
+        ),
+        F.countDistinct(F.when(F.col("age") == 7, F.col("user_id"))).alias(
+            "retained_d7"
+        ),
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY user_id
+),
+aged AS (
+  SELECT u.user_id, c.cohort_day, u.day - c.cohort_day AS age
+  FROM user_days u JOIN cohorts c ON u.user_id = c.user_id
+)
+SELECT cohort_day,
+       COUNT(DISTINCT user_id) AS cohort_size,
+       COUNT(DISTINCT CASE WHEN age = 1 THEN user_id END) AS retained_d1,
+       COUNT(DISTINCT CASE WHEN age = 7 THEN user_id END) AS retained_d7
+FROM aged GROUP BY cohort_day
+"""
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_event_pivot": q_event_pivot,
@@ -316,6 +421,8 @@ QUERIES = {
     "q_lead_lag": q_lead_lag,
     "q_ntile": q_ntile,
     "q_set_ops": q_set_ops,
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
     "q_priority_class": q_priority_class,
     "q_hll_users": q_hll_users,
 }
@@ -329,6 +436,8 @@ ORACLES = {
     "q_lead_lag": ORACLE_LEAD_LAG,
     "q_ntile": ORACLE_NTILE,
     "q_set_ops": ORACLE_SET_OPS,
+    "q_funnel": ORACLE_FUNNEL,
+    "q_cohort_retention": ORACLE_COHORT_RETENTION,
     "q_priority_class": ORACLE_PRIORITY_CLASS,
     # q_hll_users intentionally absent: approximate sketch estimates are
     # implementation-defined and cannot hash-match an exact oracle.
