@@ -412,6 +412,81 @@ FROM aged GROUP BY cohort_day
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-score anomaly counts: two-pass mean/stddev then threshold — the cheap
+# outlier screen a pipeline runs before expensive per-row scoring. Scale:
+# first pass is a tiny per-type aggregate that broadcasts back; second
+# pass is scan-side arithmetic. stddev_samp is the same two-moment
+# formula in both engines; comparisons sit far from float boundaries for
+# continuous data.
+# ---------------------------------------------------------------------------
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(
+                F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma")
+            ).alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("value") - F.col("mu")) / F.col("sigma")), 6)
+            .alias("max_z"),
+        )
+    )
+
+
+ORACLE_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE ABS(e.value - s.mu) > 2 * s.sigma) AS n_outliers,
+       round(MAX(ABS(e.value - s.mu) / s.sigma), 6) AS max_z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Histogram: fixed-width bins over [0, 600), overflow clamped into the
+# last bin. The bucket expression is the identical floor arithmetic in
+# both engines (DuckDB has no width_bucket), so bucketing is exactly
+# reproducible. Scale: one two-phase hash aggregate on (type, bucket);
+# bin count bounds the output, not the data.
+# ---------------------------------------------------------------------------
+HIST_BINS = 12
+HIST_WIDTH = 50.0
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("bigint"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        events.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.min("value"), 6).alias("lo"),
+             F.round(F.max("value"), 6).alias("hi"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = f"""
+SELECT event_type,
+       least(floor(value / {HIST_WIDTH})::BIGINT, {HIST_BINS - 1}) AS bucket,
+       COUNT(*) AS n,
+       round(MIN(value), 6) AS lo,
+       round(MAX(value), 6) AS hi
+FROM events GROUP BY event_type, bucket
+"""
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_event_pivot": q_event_pivot,
@@ -423,6 +498,8 @@ QUERIES = {
     "q_set_ops": q_set_ops,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
+    "q_anomaly_zscore": q_anomaly_zscore,
+    "q_value_histogram": q_value_histogram,
     "q_priority_class": q_priority_class,
     "q_hll_users": q_hll_users,
 }
@@ -438,6 +515,8 @@ ORACLES = {
     "q_set_ops": ORACLE_SET_OPS,
     "q_funnel": ORACLE_FUNNEL,
     "q_cohort_retention": ORACLE_COHORT_RETENTION,
+    "q_anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
+    "q_value_histogram": ORACLE_VALUE_HISTOGRAM,
     "q_priority_class": ORACLE_PRIORITY_CLASS,
     # q_hll_users intentionally absent: approximate sketch estimates are
     # implementation-defined and cannot hash-match an exact oracle.
