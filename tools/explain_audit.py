@@ -128,6 +128,21 @@ COMMENTARY: dict[str, str] = {
         "then the rollup reuses the same partitioning — the per-domain "
         "cap costs exactly one shuffle."
     ),
+    "q_funnel": (
+        "Each funnel stage is a conditional-min hash aggregate whose "
+        "one-row-per-user output broadcasts back onto the events scan — "
+        "the raw event table is never shuffled, and the three stages "
+        "reuse the same user_id aggregation shape. Pattern-matching "
+        "funnels without a pattern-match engine."
+    ),
+    "q_tfidf_top_terms": (
+        "tf and df are independent two-phase hash aggregates off one "
+        "explode; N broadcasts as a scalar; the score is a single "
+        "int×double multiply so no float summation order exists anywhere "
+        "— the property that lets a distributed engine hash-match a "
+        "single-threaded oracle. Top-k is a rank window over the small "
+        "per-lang word table, not the corpus."
+    ),
     "q_asof_join": (
         "No join operator at all: the as-of operator itself is union + "
         "last(ignorenulls) window — a single exchange on the key and a "

@@ -56,6 +56,10 @@ QUERIES = [
     "q_tfidf_top_terms",
     "q_udtf_trigrams",
     "q_grouping_sets",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_anomaly_zscore",
+    "q_value_histogram",
     "q_user_value_median",
     "q_user_value_p90",
     "q_stream_hourly_counts",
