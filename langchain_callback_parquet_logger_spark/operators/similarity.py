@@ -427,6 +427,187 @@ FROM err GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed k-means + multiprobe IVF — the "real" version of q_knn_ivf
+# (which borrows the label column as its cluster assignment). Lloyd
+# iterations in pure DataFrame ops:
+#   assign:  argmin_c (|c|² − 2·x·c)  — the |x|² term is constant per row
+#            and dropped, so the score is dot products only (the one float
+#            kernel already proven hash-stable against DuckDB)
+#   update:  per-(cluster, dim) mean via posexplode + avg, ROUNDED to 6dp
+#            — rounding makes the centroids bit-identical across engines
+#            despite Spark's order-nondeterministic partial sums, so every
+#            subsequent assignment is deterministic
+# Seeds = the K lowest vec_ids (no RNG anywhere). The search probes the 2
+# nearest clusters (multiprobe) and exact-cosine re-ranks only their
+# members.
+#
+# Scale: assignment is a broadcast cross join with K rows (K centroids
+# always fit in a broadcast); the update shuffles (cluster, dim) partial
+# sums, not vectors; iterations are bounded and each is one shuffle. At
+# 100 TB the final assignment becomes the partition column and probing is
+# partition-pruned I/O — same plan, bigger K.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+IVF_PROBES = 2
+
+
+def _centroid_score(emb_col: Column, c_col: Column) -> Column:
+    """argmin key: |c|² − 2·x·c (monotone in squared distance per row)."""
+    return dot(c_col, c_col) - 2.0 * dot(emb_col, c_col)
+
+
+def kmeans_fit(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+    """(vec_id, emb) → (cid, c_emb) after ``iters`` Lloyd updates from
+    deterministic seeds (the k lowest vec_ids). Centroids rounded to 6dp
+    each update for cross-engine reproducibility."""
+    from pyspark.sql import Window as W
+
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"))
+    )
+    for _ in range(iters):
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "emb",
+            "cid",
+            _centroid_score(F.col("emb"), F.col("c_emb")).alias("score"),
+        )
+        w = W.partitionBy("vec_id").orderBy("score", "cid")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "emb", "cid")
+        )
+        dims = assigned.select("cid", F.posexplode("emb").alias("dim", "val"))
+        means = dims.groupBy("cid", "dim").agg(F.round(F.avg("val"), 6).alias("m"))
+        centroids = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("c_emb")
+        )
+    return centroids
+
+
+def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    centroids = kmeans_fit(emb)
+
+    # final assignment with the fitted centroids
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "emb",
+        "cid",
+        _centroid_score(F.col("emb"), F.col("c_emb")).alias("score"),
+    )
+    w = W.partitionBy("vec_id").orderBy("score", "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+
+    # the query's IVF_PROBES nearest clusters
+    probes = (
+        assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("emb")
+        .crossJoin(F.broadcast(centroids))
+        .select("cid", _centroid_score(F.col("emb"), F.col("c_emb")).alias("score"))
+        .orderBy("score", "cid")
+        .limit(IVF_PROBES)
+        .select("cid")
+    )
+
+    q_emb = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("q_emb")
+    )
+    sim = cosine(F.col("emb"), F.col("q_emb"))
+    return (
+        assigned.join(F.broadcast(probes), "cid", "left_semi")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q_emb))
+        .select("vec_id", F.round(sim, 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def _oracle_kmeans_ivf() -> str:
+    k, probes = KMEANS_K, IVF_PROBES
+
+    def assign(src_e: str, src_c: str, out: str) -> str:
+        return f"""
+{out}_s AS (
+  SELECT e.vec_id, e.emb, c.cid,
+         list_dot_product(c.c_emb, c.c_emb)
+             - 2 * list_dot_product(e.emb, c.c_emb) AS score,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(c.c_emb, c.c_emb)
+                                - 2 * list_dot_product(e.emb, c.c_emb), c.cid)
+             AS rn
+  FROM {src_e} e CROSS JOIN {src_c} c
+),
+{out} AS (SELECT vec_id, emb, cid FROM {out}_s WHERE rn = 1)"""
+
+    def update(src_a: str, out: str) -> str:
+        return f"""
+{out}_d AS (
+  SELECT a.cid, d.i AS dim, a.emb[d.i] AS val
+  FROM {src_a} a,
+       LATERAL (SELECT unnest(generate_series(1, len(a.emb))) AS i) d
+),
+{out}_m AS (
+  SELECT cid, dim, round(AVG(val), 6) AS m FROM {out}_d GROUP BY cid, dim
+),
+{out} AS (
+  SELECT cid, list(m ORDER BY dim) AS c_emb FROM {out}_m GROUP BY cid
+)"""
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, emb AS c_emb FROM e ORDER BY vec_id LIMIT {k}
+),
+{assign("e", "c0", "a1").lstrip()},
+{update("a1", "c1").lstrip()},
+{assign("e", "c1", "a2").lstrip()},
+{update("a2", "c2").lstrip()},
+{assign("e", "c2", "a3").lstrip()},
+probes AS (
+  SELECT c.cid
+  FROM (SELECT emb FROM a3 WHERE vec_id = {QUERY_VEC_ID}) q
+       CROSS JOIN c2 c
+  ORDER BY list_dot_product(c.c_emb, c.c_emb)
+           - 2 * list_dot_product(q.emb, c.c_emb), c.cid
+  LIMIT {probes}
+),
+q AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT a.vec_id, a.emb FROM a3 a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT c.vec_id,
+         round(list_dot_product(c.emb, q.emb)
+               / (sqrt(list_dot_product(c.emb, c.emb))
+                  * sqrt(list_dot_product(q.emb, q.emb))), 6) AS sim
+  FROM cand c CROSS JOIN q
+)
+SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_ivf": q_knn_ivf,
@@ -434,6 +615,7 @@ QUERIES = {
     "q_knn_per_label": q_knn_per_label,
     "q_knn_lsh": q_knn_lsh,
     "q_embedding_quantize": q_embedding_quantize,
+    "q_kmeans_ivf": q_kmeans_ivf,
 }
 
 ORACLES = {
@@ -443,4 +625,5 @@ ORACLES = {
     "q_knn_per_label": ORACLE_KNN_PER_LABEL,
     "q_knn_lsh": _oracle_knn_lsh(),
     "q_embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    "q_kmeans_ivf": _oracle_kmeans_ivf(),
 }

@@ -210,3 +210,36 @@ def test_quantize_error_bounded_by_half_scale(spark, sf_dir):
         ).alias("bound"),
     )
     assert checked.filter(F.col("err") > F.col("bound") * 1.0000001).count() == 0
+
+
+def test_kmeans_fit_partitions_all_vectors(spark, sf_dir):
+    """The fit must yield exactly K non-empty clusters covering every
+    vector, and the IVF result's similarities must agree with the exact
+    ranking (IVF may miss neighbors outside probed clusters, never
+    misscore them)."""
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.operators.similarity import (
+        KMEANS_K,
+        QUERY_VEC_ID,
+        _as_double,
+        kmeans_fit,
+        q_kmeans_ivf,
+        q_knn_bruteforce,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    centroids = kmeans_fit(emb)
+    assert centroids.count() == KMEANS_K
+    dims = {r[0] for r in centroids.select(F.size("c_emb")).collect()}
+    assert dims == {64}
+
+    exact = {r.vec_id: r.sim for r in q_knn_bruteforce(spark, sf_dir).limit(1000).collect()}
+    ivf = q_kmeans_ivf(spark, sf_dir).collect()
+    assert len(ivf) == 10
+    for r in ivf:
+        if r.vec_id in exact:
+            assert exact[r.vec_id] == r.sim
