@@ -1,14 +1,20 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Two access paths, per the standard ANN playbook:
+Access paths, per the standard ANN playbook:
 - **brute force** — exact cosine top-k via higher-order functions
   (`zip_with` + `aggregate`), fully JVM-side, O(n·d) per query. The
   baseline, and exactly what you run when the query set is small.
-- **IVF-style partition-pruned search** — restrict the scan to the query's
-  coarse cluster (the `label` column plays the centroid assignment here;
-  in production the assignment comes from a k-means fit). At 100 TB the
+- **IVF (label-blocked)** — restrict the scan to the query's coarse
+  cluster (the `label` column as a stand-in assignment). At 100 TB the
   cluster id is a partition column, so the search is partition-pruned I/O,
   not just less compute.
+- **IVF (k-means fit)** — `kmeans_fit` runs deterministic Lloyd
+  iterations in DataFrame ops and the search probes the nearest
+  IVF_PROBES clusters (q_kmeans_ivf).
+- **random-hyperplane LSH** — banded sign-bit signatures; candidates
+  share ≥1 band with the query via a broadcast semi join (q_knn_lsh).
+- **scalar quantization** — int8-style re-encoding for a 4× storage cut
+  with a verified reconstruction-error bound (q_embedding_quantize).
 
 All arithmetic is done in DOUBLE on both engines (embeddings are stored as
 float32; DuckDB's list_cosine_similarity on FLOAT lists computes in float

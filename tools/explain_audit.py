@@ -76,6 +76,15 @@ COMMENTARY: dict[str, str] = {
         "TakeOrderedAndProject. The heavy side never shuffles; recall is "
         "tuned by bits/bands, not by moving data."
     ),
+    "q_kmeans_ivf": (
+        "Every Lloyd iteration is: K-row broadcast cross join (never a "
+        "shuffle of vectors), per-vec argmin window, then a (cluster, dim) "
+        "partial-mean shuffle — the update moves K×64 aggregates, not "
+        "data. The probe semi-join prunes the corpus to 2 clusters before "
+        "the exact re-rank. Centroids round to 6dp per update, which is "
+        "what makes a distributed float fit bit-reproducible against the "
+        "single-threaded oracle."
+    ),
     "q_mixture_sample": (
         "The rate dim joins as BroadcastHashJoin LeftOuter before the "
         "filter — the corpus side never shuffles, and the md5-bucket "
