@@ -118,3 +118,34 @@ def test_windowed_counts_memory_sink(spark, tmp_path):
     rows = spark.sql("SELECT * FROM win_counts").collect()
     assert rows
     assert sum(r.n for r in rows) == 12
+
+
+def test_transform_with_state_user_stats(spark, sf_dir):
+    """Spark 4 transformWithState leg of the stateful surface. Runtime-
+    gated: the driver worker needs google.protobuf, absent from the bare
+    container — skips there, runs wherever the dependency exists."""
+    import pytest
+
+    from langchain_callback_parquet_logger_spark.streaming.stateful import (
+        _has_transform_with_state_runtime,
+        q_stream_user_stats,
+    )
+
+    if not _has_transform_with_state_runtime():
+        pytest.skip("google.protobuf not available in this runtime")
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in q_stream_user_stats(spark, sf_dir).collect()
+    }
+    want = {
+        int(u): (int(n), float(t))
+        for u, n, t in duckdb.sql(
+            f"SELECT user_id, COUNT(*), round(SUM(value), 6) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY user_id"
+        ).fetchall()
+    }
+    assert got == want
