@@ -215,18 +215,28 @@ def compact_logs(
     finally:
         spark.conf.set(ts_conf, prev_ts)
 
+    swap_dirs(spark, tmp, path)
+    return n_files
+
+
+def swap_dirs(spark: SparkSession, src_path: str, dst_path: str) -> None:
+    """Promote ``src_path`` to ``dst_path`` via rename, staging the old
+    tree aside and rolling back on failure. Works on any Hadoop scheme.
+    (At warehouse scale this step is a table format's atomic commit; the
+    plain-parquet swap matches the reference's plain-parquet world.)"""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    src = jvm.org.apache.hadoop.fs.Path(src_path)
     fs = dst.getFileSystem(hconf)
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact-old")
+    old = jvm.org.apache.hadoop.fs.Path(dst_path.rstrip("/") + ".swap-old")
     if fs.exists(old):
         fs.delete(old, True)
-    if not fs.rename(dst, old):
-        raise IOError(f"compact_logs: could not stage {path} aside")
+    had_dst = fs.exists(dst)
+    if had_dst and not fs.rename(dst, old):
+        raise IOError(f"swap_dirs: could not stage {dst_path} aside")
     if not fs.rename(src, dst):
-        fs.rename(old, dst)  # roll back
-        raise IOError(f"compact_logs: could not promote compacted tree to {path}")
+        if had_dst:
+            fs.rename(old, dst)  # roll back
+        raise IOError(f"swap_dirs: could not promote {src_path} to {dst_path}")
     fs.delete(old, True)
-    return n_files

@@ -59,7 +59,7 @@ def test_compact_logs_reduces_files_preserves_rows(spark, fragmented_logs):
     after_sum = after.agg(*checks).collect()[0]
     assert list(before_sum) == list(after_sum)
     assert not os.path.exists(out + ".compact-tmp")
-    assert not os.path.exists(out + ".compact-old")
+    assert not os.path.exists(out + ".swap-old")
 
 
 def test_compact_logs_clusters_timestamp_ranges(spark, fragmented_logs):

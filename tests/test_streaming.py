@@ -149,3 +149,51 @@ def test_transform_with_state_user_stats(spark, sf_dir):
         ).fetchall()
     }
     assert got == want
+
+
+def test_materialized_rollup_incremental_merge(spark, sf_dir, tmp_path):
+    """The foreachBatch merge-upsert must equal the batch rollup after a
+    multi-batch drain, and re-applying a delivered batch id must be a
+    no-op (exactly-once despite re-delivery)."""
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+    from langchain_callback_parquet_logger_spark.streaming.materialize import (
+        _last_applied,
+        maintain_rollup,
+        merge_rollup_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ingest = str(tmp_path / "ingest")
+    events.repartition(3).write.json(ingest)
+
+    table = str(tmp_path / "rollup")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(ingest)
+    )
+    q = maintain_rollup(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert _last_applied(table) >= 1, "expected a multi-batch drain"
+
+    got = {
+        r.event_type: (r.n, round(r.total, 3))
+        for r in spark.read.parquet(table).collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.total, 3))
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+    # re-delivery of an already-applied batch id must not change the table
+    merge_rollup_batch(events, 0, table, keys=("event_type",))
+    again = {
+        r.event_type: (r.n, round(r.total, 3))
+        for r in spark.read.parquet(table).collect()
+    }
+    assert again == got
