@@ -487,6 +487,49 @@ FROM events GROUP BY event_type, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Gaps & islands: maximal runs of the same event_type per user via the
+# two-row_number difference trick — run id = rn_overall − rn_within_type,
+# constant exactly while the type repeats. Scale: the user_id exchange
+# satisfies BOTH window partitionings (user_id ⊆ (user_id, event_type)),
+# so the plan is one shuffle + two in-partition sorts, then a two-phase
+# rollup on the run key.
+# ---------------------------------------------------------------------------
+def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = events.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    per_run = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return per_run.groupBy("user_id").agg(
+        F.count("*").alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+    )
+
+
+ORACLE_EVENT_RUNS = """
+WITH runs AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM events
+),
+per_run AS (
+  SELECT user_id, event_type, grp, COUNT(*) AS run_len
+  FROM runs GROUP BY user_id, event_type, grp
+)
+SELECT user_id, COUNT(*) AS n_runs, MAX(run_len) AS longest_run
+FROM per_run GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_event_pivot": q_event_pivot,
@@ -500,6 +543,7 @@ QUERIES = {
     "q_cohort_retention": q_cohort_retention,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_value_histogram": q_value_histogram,
+    "q_event_runs": q_event_runs,
     "q_priority_class": q_priority_class,
     "q_hll_users": q_hll_users,
 }
@@ -517,6 +561,7 @@ ORACLES = {
     "q_cohort_retention": ORACLE_COHORT_RETENTION,
     "q_anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
     "q_value_histogram": ORACLE_VALUE_HISTOGRAM,
+    "q_event_runs": ORACLE_EVENT_RUNS,
     "q_priority_class": ORACLE_PRIORITY_CLASS,
     # q_hll_users intentionally absent: approximate sketch estimates are
     # implementation-defined and cannot hash-match an exact oracle.
