@@ -185,6 +185,57 @@ GROUP BY d.lang
 """
 
 
+PACK_BUDGET = 2048  # tokens per training sequence window
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed-budget token windows
+    for training: docs are taken in deterministic (doc_id) order per
+    language and a doc starts a new bin when the running total crosses
+    the budget (bin = cumulative-tokens-before ÷ budget; docs are never
+    split, so a bin can overshoot by at most one doc — the deterministic,
+    engine-portable variant of greedy first-fit, whose bin choice would
+    depend on scan order). Scale: one window shuffle per language
+    partition (integer cumsum, no float), then a two-phase rollup keyed
+    by (lang, bin)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count_bpe(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = docs.select(
+        "lang",
+        "n_tokens",
+        F.floor(cum_before / F.lit(PACK_BUDGET)).alias("bin"),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+ORACLE_SEQUENCE_PACK = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT lang, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM packed GROUP BY lang, bin
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap — the data-mixing primitive: keep at most
     DOMAIN_CAP docs per language, chosen by hash rank (deterministic,
@@ -254,6 +305,7 @@ QUERIES = {
     "q_corpus_clean": q_corpus_clean,
     "q_hash_sample": q_hash_sample,
     "q_mixture_sample": q_mixture_sample,
+    "q_sequence_pack": q_sequence_pack,
     "q_domain_cap": q_domain_cap,
 }
 
@@ -261,5 +313,6 @@ ORACLES = {
     "q_corpus_clean": _oracle_corpus_clean(),
     "q_hash_sample": ORACLE_HASH_SAMPLE,
     "q_mixture_sample": _oracle_mixture_sample(),
+    "q_sequence_pack": ORACLE_SEQUENCE_PACK,
     "q_domain_cap": ORACLE_DOMAIN_CAP,
 }

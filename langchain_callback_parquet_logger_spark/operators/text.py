@@ -342,6 +342,80 @@ SELECT lang, word, n, rk::INT AS rk FROM ranked WHERE rk <= 5
 
 
 # ---------------------------------------------------------------------------
+# Intra-document repetition ratio — the Gopher-style quality signal that
+# catches boilerplate/spam: fraction of word-trigram occurrences that are
+# repeats of an earlier trigram in the same doc. Pure array higher-order
+# functions in one scan projection (the trigram list is built with
+# transform over an index sequence — no explode, no shuffle until the
+# rollup); the same construction in DuckDB gives a full value oracle.
+# ---------------------------------------------------------------------------
+
+REPETITION_THRESHOLD = 0.2
+
+
+def trigram_list(text: Column) -> Column:
+    w = words_col(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1)))
+    return F.when(
+        n >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+                F.element_at(w, (i + 3).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratio(text: Column) -> Column:
+    tg = trigram_list(text)
+    n = F.size(tg)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(tg))) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    r = repetition_ratio(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.round(r, 6)), 6).alias("avg_repetition"),
+        F.count_if(F.round(r, 6) > REPETITION_THRESHOLD).alias("n_repetitive"),
+    )
+
+
+ORACLE_REPETITION_RATIO = f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_transform(
+             generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])
+         ELSE [] END AS tg
+  FROM documents
+),
+r AS (
+  SELECT lang,
+         CASE WHEN len(tg) > 0
+              THEN round((len(tg) - len(list_distinct(tg)))::DOUBLE / len(tg), 6)
+              ELSE 0.0 END AS rep
+  FROM t
+)
+SELECT lang, COUNT(*) AS n_docs,
+       round(AVG(rep), 6) AS avg_repetition,
+       COUNT(*) FILTER (WHERE rep > {REPETITION_THRESHOLD}) AS n_repetitive
+FROM r GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per language — the classic corpus-statistics operator.
 # Factored deliberately: per-(lang, word) term frequency is an INTEGER
 # aggregate and idf is computed once per word, so the final score is one
@@ -539,6 +613,7 @@ QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
     "q_tfidf_top_terms": q_tfidf_top_terms,
+    "q_repetition_ratio": q_repetition_ratio,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
@@ -552,6 +627,7 @@ ORACLES = {
     "q_udtf_trigrams": ORACLE_UDTF_TRIGRAMS,
     "q_denylist_redact": _oracle_denylist_redact(),
     "q_tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "q_repetition_ratio": ORACLE_REPETITION_RATIO,
     "q_text_stats": ORACLE_TEXT_STATS,
     "q_quality_score": ORACLE_QUALITY_SCORE,
     "q_lang_id": _oracle_lang_id(),
