@@ -48,12 +48,16 @@ QUERIES = [
     "q_knn_bruteforce",
     "q_knn_ivf",
     "q_knn_lsh",
+    "q_kmeans_ivf",
     "q_embedding_quantize",
     "q_decontaminate",
     "q_corpus_clean",
     "q_mixture_sample",
     "q_denylist_redact",
     "q_tfidf_top_terms",
+    "q_repetition_ratio",
+    "q_sequence_pack",
+    "q_event_runs",
     "q_udtf_trigrams",
     "q_grouping_sets",
     "q_funnel",
