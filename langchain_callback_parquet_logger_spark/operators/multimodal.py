@@ -112,7 +112,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL_META = """
 SELECT 'image/fake' AS media_type,
        COUNT(*) AS n_assets,
-       SUM(length(text)) AS total_bytes,
+       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
        round(AVG(length(text)), 6) AS avg_bytes
 FROM documents
 """

@@ -114,7 +114,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_HASH_SAMPLE = f"""
-SELECT lang, COUNT(*) AS n_sampled, SUM(doc_id) AS id_sum
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
       < {SAMPLE_PCT}
@@ -176,7 +176,7 @@ def _oracle_mixture_sample() -> str:
     values = ", ".join(f"('{s}', {p})" for s, p in MIX_PCT.items())
     return f"""
 WITH rates(lang, keep_pct) AS (VALUES {values})
-SELECT d.lang, COUNT(*) AS n_sampled, SUM(d.doc_id) AS id_sum
+SELECT d.lang, COUNT(*) AS n_sampled, CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
 FROM documents d
 LEFT JOIN rates r ON d.lang = r.lang
 WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
@@ -231,7 +231,7 @@ packed AS (
                      - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin
   FROM toks
 )
-SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM packed GROUP BY lang, bin
 """
 
@@ -260,7 +260,7 @@ WITH ranked AS (
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM ranked WHERE rk <= {DOMAIN_CAP} GROUP BY lang
 """
 
@@ -295,7 +295,7 @@ g AS (SELECT * FROM q WHERE quality >= {QUALITY_THRESHOLD}),
 d AS (
   SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM g
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        round(AVG(quality), 6) AS avg_quality
 FROM d WHERE rn = 1 GROUP BY lang
 """

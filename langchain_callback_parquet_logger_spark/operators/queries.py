@@ -501,7 +501,7 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM flagged GROUP BY user_id
 """
 
@@ -536,7 +536,7 @@ def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SALTED_ROLLUP = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
 FROM events GROUP BY user_id
 """
 
@@ -567,7 +567,7 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_VARIANT_EXTRACT = """
 SELECT event_type,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        round(AVG(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
        COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k
 FROM events GROUP BY event_type

@@ -102,10 +102,13 @@ GROUP BY n.n_name
 # bound, not the row count). The windowed sum runs on DECIMAL so both
 # engines aggregate exactly — windowed FLOAT aggregation is engine-
 # implementation-defined (sliding accumulators vs segment trees) and
-# rounds differently at half-cent boundaries.
+# rounds differently at half-cent boundaries. The final CAST AS DOUBLE is
+# presentation only (after exact round): Spark renders DECIMAL(38,2) with
+# trailing zeros ('.40') while DuckDB's pandas export gives float64
+# ('.4'), which the driver's stringified value hash would see as a diff.
 SQL_MOVING_AVG = """
 SELECT o_orderkey, o_custkey,
-       round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS spend_7d,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS spend_7d,
        COUNT(*) OVER w AS n_orders_7d
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate

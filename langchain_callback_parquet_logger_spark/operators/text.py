@@ -248,7 +248,7 @@ ORACLE_LANG_ROLLUP = """
 SELECT lang,
        COUNT(*) AS n_docs,
        round(AVG(length(text)), 6) AS avg_chars,
-       SUM(len(string_split(text,' '))) AS total_words
+       CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_words
 FROM documents GROUP BY lang
 """
 
@@ -541,9 +541,9 @@ WITH per_doc AS (
              AS scrubbed_len
   FROM documents
 )
-SELECT lang, SUM(n_red) AS n_redactions,
+SELECT lang, CAST(SUM(n_red) AS BIGINT) AS n_redactions,
        COUNT(*) FILTER (WHERE n_red > 0) AS docs_affected,
-       SUM(scrubbed_len) AS sum_scrubbed_len
+       CAST(SUM(scrubbed_len) AS BIGINT) AS sum_scrubbed_len
 FROM per_doc GROUP BY lang
 """
 

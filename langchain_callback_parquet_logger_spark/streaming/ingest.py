@@ -358,7 +358,7 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM flagged GROUP BY user_id
 """
 
