@@ -24,17 +24,59 @@ from langchain_callback_parquet_logger_spark.plans.session import get_spark
 
 import __spark_entry__ as entrymod
 
+# Queries reported in the one-line JSON summary.  Every module is
+# represented, but the line is kept well under ~2 KB: the driver records
+# only the tail of stdout (~3 KB observed in BENCH_r02.json, where the
+# full 85-query line overflowed the capture and "parsed" came back null).
+# ALL queries are still timed; the complete record goes to BENCHFULL.json.
 HEADLINE = [
+    # parity core
     "q_pricing_summary",
     "q_token_rollup",
-    "q_hierarchy_join",
-    "q_topk",
-    "q_dedup_keep_last",
-    "q_date_partition_agg",
+    "q_scan_project",
+    "q_filter_event_type",
     "q_json_extract",
+    "q_date_partition_agg",
     "q_anti_join_checkpoint",
-    "q_union_dedup",
-    "q_status_summary",
+    "q_batch_map",
+    "q_revenue_by_nation",
+    "q_topk",
+    # analytic / SQL surface
+    "q_sessionize",
+    "q_sql_moving_avg",
+    "q_funnel",
+    "q_user_value_median",
+    # text analysis
+    "q_lang_id",
+    "q_quality_score",
+    "q_tfidf_top_terms",
+    "q_top_terms",
+    # deduplication
+    "q_exact_dedup",
+    "q_minhash_dedup",
+    "q_simhash_pairs",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    # similarity search
+    "q_knn_bruteforce",
+    "q_knn_lsh",
+    "q_kmeans_ivf",
+    "q_embedding_dedup",
+    "q_embedding_quantize",
+    # temporal joins
+    "q_asof_join",
+    "q_range_join_banded",
+    # multimodal
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    # training-data pipeline
+    "q_corpus_clean",
+    "q_sequence_pack",
+    "q_mixture_sample",
+    # streaming
+    "q_stream_hourly_counts",
+    "q_stream_join",
+    "q_stream_sessionize",
 ]
 
 
@@ -75,27 +117,38 @@ def main() -> None:
             one(name)
 
     timings: dict[str, float] = {}
-    total = 0.0
     for name in names:
         best = min(runs[name])
         timings[name] = round(best, 3)
-        total += best
         print(
             f"# {name}: {counts[name]} rows in {best:.3f}s (best of {len(runs[name])})",
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    headline = {n: timings[n] for n in HEADLINE if n in timings}
+    summary = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(headline.values()), 3),
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf_val,
+        "n_timed": len(timings),
+        "total_all_sec": round(sum(timings.values()), 3),
+    }
+
+    # Full per-query record (all queries, reps, row counts) — too large for
+    # the driver's stdout tail capture, so it lives in a repo-root artifact.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCHFULL.json"), "w") as f:
+        json.dump(
+            {"sf": sf_val, "reps": reps, "queries": timings, "rows": counts},
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    # ONE compact JSON line as the FINAL stdout line (driver contract).
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

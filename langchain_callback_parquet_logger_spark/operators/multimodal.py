@@ -208,9 +208,21 @@ def sample_frames(media_df: DataFrame) -> DataFrame:
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded projection of :func:`resize_media`. The pooled vector is
+    flattened to scalar columns ``p0..p{bins-1}`` — the grading harness
+    canonicalizes results via pandas sort, which cannot order list cells,
+    and a fixed-width pooled vector is exactly a fixed set of columns."""
     docs = load_table(spark, sf_dir, "documents")
-    return resize_media(attach_media_column(docs))
+    resized = resize_media(attach_media_column(docs))
+    return resized.select(
+        "doc_id",
+        *[F.col("pooled")[i].alias(f"p{i}") for i in range(RESIZE_BINS)],
+    )
 
+
+_RESIZE_COLS = ",\n       ".join(
+    f"pooled[{i + 1}] AS p{i}" for i in range(RESIZE_BINS)
+)
 
 ORACLE_MULTIMODAL_RESIZE = f"""
 WITH b AS (
@@ -218,15 +230,19 @@ WITH b AS (
          list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS bytes,
          length(text) AS n
   FROM documents
+), pooled_t AS (
+  SELECT doc_id,
+         list_transform(range(0, {RESIZE_BINS}), bi ->
+           CASE WHEN ((bi + 1) * n) // {RESIZE_BINS} > (bi * n) // {RESIZE_BINS}
+                THEN round(list_aggregate(
+                       bytes[(bi * n) // {RESIZE_BINS} + 1 : ((bi + 1) * n) // {RESIZE_BINS}],
+                       'avg')::DOUBLE, 6)
+                ELSE 0.0 END) AS pooled
+  FROM b
 )
 SELECT doc_id,
-       list_transform(range(0, {RESIZE_BINS}), bi ->
-         CASE WHEN ((bi + 1) * n) // {RESIZE_BINS} > (bi * n) // {RESIZE_BINS}
-              THEN round(list_aggregate(
-                     bytes[(bi * n) // {RESIZE_BINS} + 1 : ((bi + 1) * n) // {RESIZE_BINS}],
-                     'avg')::DOUBLE, 6)
-              ELSE 0.0 END) AS pooled
-FROM b
+       {_RESIZE_COLS}
+FROM pooled_t
 """
 
 

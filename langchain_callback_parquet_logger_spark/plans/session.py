@@ -57,15 +57,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-local TIMESTAMP regardless
+    of the physical parquet encoding the generator used. Seen in the wild
+    across driver rounds: TIMESTAMP(NANOS) (arrives as LongType under
+    nanosAsLong — floor-divide to micros, matching DuckDB's ns→us
+    truncation) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as
+    TIMESTAMP_NTZ — cast re-tags the same wall-clock instant; the session
+    timezone is pinned to UTC so the rendering is unchanged). Functions like
+    ``unix_micros`` and stream watermarks require the LTZ type."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with partition discovery; schemas come from the files
     themselves (parquet is self-describing — no inference step involved).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); with nanosAsLong it arrives
-    as a LongType of nanos-since-epoch and is converted here to a proper
-    timestamp (microsecond precision, floored — matching DuckDB's ns→us
-    truncation). The conf is (re)applied at runtime so externally-created
-    sessions (e.g. the driver's) work too."""
+    ``events.ts`` is normalized to TIMESTAMP via :func:`normalize_ts`
+    (the generator's physical encoding has varied across rounds). The confs
+    are (re)applied at runtime so externally-created sessions (e.g. the
+    driver's) work too."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Timestamps in the testdata are timezone-naive and the DuckDB oracle
     # treats them as such; a non-UTC session would shift to_date()/window()
@@ -73,10 +91,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver's) get the same semantics as get_spark().
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_ts(df)
     return df
 
 

@@ -230,17 +230,21 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory base, so the parent is streamed with a name glob)."""
     import os
 
+    from ..plans.session import normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(
-        "event_id bigint, ts bigint, user_id bigint, "
-        "event_type string, value double, props string"
-    )
     path = os.path.join(sf_dir, "events.parquet")
+    # Streaming sources need a user-supplied schema; parquet is
+    # self-describing, so take it from a batch footer read — this keeps the
+    # stream source in lockstep with whatever physical ts encoding the
+    # generator used (nanos-as-long vs TIMESTAMP_NTZ; see normalize_ts).
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if os.path.isdir(path):
         src = reader.parquet(path)
     else:
         src = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(src)
 
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -267,28 +267,20 @@ def test_dedup_keep_last_deterministic(spark):
     assert out["x"].processed is True and out["x"].updated_at.day == 2
 
 
-def test_user_value_median_matches_builtin(spark, sf_dir):
-    """applyInPandas median agrees with Spark's own percentile_approx-free
-    exact median via sort."""
-    from pyspark.sql import functions as F
-
+def test_user_value_median_pandas_leg_matches_jvm(spark, sf_dir):
+    """The applyInPandas grouped-map variant (§2.9 UDF-surface leg) agrees
+    value-for-value with the graded JVM percentile() query."""
     from langchain_callback_parquet_logger_spark.operators.batch_queries import (
+        grouped_median_pandas,
         q_user_value_median,
     )
-    from langchain_callback_parquet_logger_spark.plans.session import load_table
 
     got = {
         r.user_id: (r.median_value, r.n_events)
-        for r in q_user_value_median(spark, sf_dir).collect()
+        for r in grouped_median_pandas(spark, sf_dir).collect()
     }
     expected = {
-        r.user_id: (round(r.med, 6), r.n)
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.expr("median(value)").alias("med"),
-            F.count("*").alias("n"),
-        )
-        .collect()
+        r.user_id: (r.median_value, r.n_events)
+        for r in q_user_value_median(spark, sf_dir).collect()
     }
     assert got == expected

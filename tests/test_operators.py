@@ -118,9 +118,29 @@ def test_knn_per_label_rank_bounds(spark, sf_dir):
 
 
 def test_embedding_dedup_thresholded(spark, sf_dir):
-    for r in S.q_embedding_dedup(spark, sf_dir).collect():
+    rows = S.q_embedding_dedup(spark, sf_dir).collect()
+    assert rows, "LSH dedup should surface candidate pairs at sf0.001+"
+    for r in rows:
         assert r.vec_a < r.vec_b
-        assert r.sim >= S.DEDUP_COSINE_THRESHOLD
+        assert r.sim >= S.DEDUP_LSH_THRESHOLD
+    # no duplicate pairs out of the band-join distinct
+    pairs = [(r.vec_a, r.vec_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_embedding_dedup_lsh_subset_of_exact(spark, sf_dir):
+    """Every LSH-surfaced pair must carry the exact cosine the all-pairs
+    baseline computes (the LSH stage may only PRUNE, never rescore)."""
+    lsh = {
+        (r.vec_a, r.vec_b): r.sim for r in S.q_embedding_dedup(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in S.embedding_dedup_blocked(spark, sf_dir).collect()
+    }
+    for pair, sim in lsh.items():
+        if pair in exact:
+            assert sim == exact[pair]
 
 
 # --- text analysis ----------------------------------------------------------
@@ -187,10 +207,18 @@ def test_multimodal_meta_counts_assets(spark, sf_dir):
 
 
 def test_multimodal_resize_pools_to_fixed_width(spark, sf_dir):
-    rows = M.q_multimodal_resize(spark, sf_dir).limit(20).collect()
-    for r in rows:
+    # resize_media keeps the vector form; the graded query flattens it to
+    # p0..p{bins-1} scalar columns (grading harness can't sort list cells).
+    vec_rows = M.resize_media(
+        M.attach_media_column(load_table(spark, sf_dir, "documents"))
+    ).limit(20).collect()
+    for r in vec_rows:
         assert len(r.pooled) == M.RESIZE_BINS
         assert all(0.0 <= v <= 255.0 for v in r.pooled)
+    flat_rows = M.q_multimodal_resize(spark, sf_dir).limit(20).collect()
+    for r in flat_rows:
+        vals = [r[f"p{i}"] for i in range(M.RESIZE_BINS)]
+        assert all(0.0 <= v <= 255.0 for v in vals)
 
 
 def test_multimodal_framesample_arithmetic(spark, sf_dir):
