@@ -33,6 +33,8 @@ by (arrow batch size × row width), not the dataset.
 from __future__ import annotations
 
 import asyncio
+import random
+import time
 from dataclasses import dataclass, field
 from typing import Any, Awaitable, Callable, Iterable, Iterator, Mapping
 
@@ -43,6 +45,64 @@ from pyspark.sql import functions as F
 RowFn = Callable[[dict], Awaitable[Any]]
 
 RESULT_COLUMNS = ("result", "status", "error")
+
+
+@dataclass(frozen=True)
+class RateLimitConfig:
+    """Rate-limit-header-driven backoff (reference
+    background_retrieval.py:125-126, 161-167, 177-184, 229-235).
+
+    Two cooperating mechanisms, mirroring the reference:
+    - **header budget**: successful responses may expose
+      ``x-ratelimit-remaining-requests`` / ``x-ratelimit-reset-after``
+      headers; when the remaining budget hits 0, subsequent calls on the
+      same event loop SLEEP until the advertised reset instant instead of
+      burning attempts on guaranteed 429s.
+    - **429 backoff**: an exception classified by ``is_rate_limited`` is
+      always retried (even when ``RetryConfig.retryable`` says no) with
+      capped exponential backoff plus 0-10% jitter
+      (``min(cap, base^attempt * (1 + jitter()*0.1))``).
+    """
+
+    initial_remaining: int = 50  # the reference seeds this with batch_size
+    remaining_header: str = "x-ratelimit-remaining-requests"
+    reset_after_header: str = "x-ratelimit-reset-after"
+    # 429 analog: OpenAI raises openai.RateLimitError; structural match on
+    # the type name / status attr keeps this SDK-agnostic.
+    is_rate_limited: Callable[[BaseException], bool] = field(
+        default=lambda e: type(e).__name__ == "RateLimitError"
+        or getattr(e, "status_code", None) == 429
+    )
+    jitter: Callable[[], float] = field(default=random.random)
+
+
+class RateLimitState:
+    """Mutable budget shared by every coroutine on one event loop — the
+    Spark analog of the reference's nonlocal ``rate_limit_remaining`` /
+    ``rate_limit_reset`` (one per partition here, one per process there).
+    ``clock`` is injectable for deterministic tests."""
+
+    def __init__(self, cfg: RateLimitConfig, clock: Callable[[], float] = time.time):
+        self.cfg = cfg
+        self.clock = clock
+        self.remaining = cfg.initial_remaining
+        self.reset_at = 0.0
+
+    async def wait_if_exhausted(self, sleep=asyncio.sleep) -> None:
+        now = self.clock()
+        if self.remaining <= 0 and now < self.reset_at:
+            await sleep(self.reset_at - now)
+
+    def observe(self, response: Any) -> None:
+        headers = getattr(response, "headers", None)
+        if not headers:
+            return
+        remaining = headers.get(self.cfg.remaining_header)
+        if remaining is not None:
+            self.remaining = int(remaining)
+        reset_after = headers.get(self.cfg.reset_after_header)
+        if reset_after is not None:
+            self.reset_at = self.clock() + float(reset_after)
 
 
 @dataclass(frozen=True)
@@ -69,19 +129,40 @@ class RetryConfig:
     retryable: Callable[[BaseException], bool] = field(
         default=lambda e: isinstance(e, (TimeoutError, ConnectionError, OSError))
     )
+    # header-driven adaptive backoff; None keeps the plain exponential path
+    rate_limit: RateLimitConfig | None = None
 
 
 async def _call_with_retry(
-    fn: RowFn, row: dict, retry: RetryConfig, sleep=asyncio.sleep
+    fn: RowFn,
+    row: dict,
+    retry: RetryConfig,
+    sleep=asyncio.sleep,
+    rate_limit: RateLimitState | None = None,
 ) -> Any:
     attempt = 0
     while True:
         try:
-            return await asyncio.wait_for(fn(row), timeout=retry.timeout)
+            if rate_limit is not None:
+                await rate_limit.wait_if_exhausted(sleep)
+            value = await asyncio.wait_for(fn(row), timeout=retry.timeout)
+            if rate_limit is not None:
+                rate_limit.observe(value)
+            return value
         except BaseException as e:  # noqa: BLE001 — classified below
-            if attempt >= retry.max_retries or not retry.retryable(e):
+            limited = rate_limit is not None and rate_limit.cfg.is_rate_limited(e)
+            if attempt >= retry.max_retries or not (limited or retry.retryable(e)):
                 raise
-            delay = min(retry.backoff_cap, retry.backoff_base ** attempt)
+            if limited:
+                # reference background_retrieval.py:231-234: capped
+                # exponential with 0-10% jitter on rate-limit errors
+                delay = min(
+                    retry.backoff_cap,
+                    (retry.backoff_base**attempt)
+                    * (1 + rate_limit.cfg.jitter() * 0.1),
+                )
+            else:
+                delay = min(retry.backoff_cap, retry.backoff_base**attempt)
             await sleep(delay)
             attempt += 1
 
@@ -120,13 +201,23 @@ def batch_run(
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         async def run_batch(rows: list[dict]) -> list[tuple]:
             sem = asyncio.Semaphore(max_concurrency)
+            # One rate-limit budget per event loop — shared by every
+            # coroutine in this partition, like the reference's per-process
+            # nonlocal state (background_retrieval.py:125-126).
+            rl_state = (
+                RateLimitState(retry_cfg.rate_limit)
+                if retry_cfg is not None and retry_cfg.rate_limit is not None
+                else None
+            )
 
             async def one(row: dict) -> tuple:
                 rid = str(row.get(id_col, ""))
                 try:
                     async with sem:
                         if retry_cfg is not None:
-                            value = await _call_with_retry(fn, row, retry_cfg)
+                            value = await _call_with_retry(
+                                fn, row, retry_cfg, rate_limit=rl_state
+                            )
                         else:
                             value = await fn(row)
                     res = "" if value is None else str(value)

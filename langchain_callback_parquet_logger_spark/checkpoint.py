@@ -96,6 +96,82 @@ def checkpoint_entries(
     )
 
 
+def audit_events(
+    pending: DataFrame,
+    results: DataFrame,
+    updated_at: dt.datetime,
+    id_col: str = "response_id",
+    custom_id_col: str = "custom_id",
+) -> DataFrame:
+    """Shape the retrieval run into the reference's three audit event types
+    flowing into the 7-column log table: one ``background_retrieval_attempt``
+    per pending row (reference background_retrieval.py:146-159), one
+    ``background_retrieval_complete`` per success (ibid:185-201), one
+    ``background_retrieval_error`` per exhausted failure (ibid:249-267).
+
+    Declarative, set-based: the trail is derived from the pending/results
+    frames rather than logged call-by-call inside the async map — no logger
+    object rides to executors and the events get Spark's write path
+    (partitioned parquet) like every other log row."""
+    import json
+
+    meta = F.lit(json.dumps({"source": "retrieve_with_checkpoint"}))
+    ts = F.lit(updated_at).cast("timestamp")
+    when = F.lit(updated_at.isoformat())
+
+    def envelope(frame: DataFrame, event_type: str, payload) -> DataFrame:
+        cid = (
+            F.coalesce(F.col(custom_id_col).cast("string"), F.lit(""))
+            if custom_id_col in frame.columns
+            else F.lit("")
+        )
+        return frame.select(
+            ts.alias("timestamp"),
+            F.lit("").alias("run_id"),
+            F.lit("").alias("parent_run_id"),
+            cid.alias("custom_id"),
+            F.lit(event_type).alias("event_type"),
+            meta.alias("logger_metadata"),
+            F.to_json(payload).alias("payload"),
+        )
+
+    rid = F.col(id_col).alias("response_id")
+    attempts = envelope(
+        pending,
+        "background_retrieval_attempt",
+        F.struct(rid, when.alias("attempt_time")),
+    )
+    # results carry only (id, result, status, error); custom_id rides back
+    # in via a broadcast equi-join on the id (J3 — never positional)
+    keyed_ids = (
+        pending.select(id_col, custom_id_col)
+        if custom_id_col in pending.columns
+        else pending.select(id_col)
+    )
+    res = results.join(F.broadcast(keyed_ids), id_col, "left")
+    completes = envelope(
+        res.filter(F.col("status") == "ok"),
+        "background_retrieval_complete",
+        F.struct(
+            rid,
+            F.col("result").alias("response"),
+            F.lit("completed").alias("status"),
+            when.alias("retrieval_time"),
+        ),
+    )
+    errors = envelope(
+        res.filter(F.col("status") == "error"),
+        "background_retrieval_error",
+        F.struct(
+            rid,
+            F.col("error").alias("error"),
+            F.lit("failed").alias("status"),
+            when.alias("failure_time"),
+        ),
+    )
+    return attempts.unionByName(completes).unionByName(errors)
+
+
 def retrieve_with_checkpoint(
     spark: SparkSession,
     df: DataFrame,
@@ -105,13 +181,17 @@ def retrieve_with_checkpoint(
     id_col: str = "response_id",
     max_concurrency: int = 50,
     retry: RetryConfig | None = None,
+    audit_log_dir: str | None = None,
+    custom_id_col: str = "custom_id",
 ) -> DataFrame:
     """End-to-end resume loop (reference background_retrieval.py:272-347):
     load checkpoint → anti-join out processed rows → async retrieve with
     retry → merge results back into the checkpoint → return results.
 
     Already-processed rows are reported with status='already_processed'
-    (reference background_retrieval.py:133-144) without re-invoking fn."""
+    (reference background_retrieval.py:133-144) without re-invoking fn.
+    With ``audit_log_dir`` set, the attempt/complete/error audit trail is
+    written to the log table (see :func:`audit_events`)."""
     if id_col not in df.columns:
         raise ValueError(f"missing required column {id_col!r}")
 
@@ -137,6 +217,14 @@ def retrieve_with_checkpoint(
         checkpoint_entries(results, updated_at, id_col),
         existing=checkpoint,
     )
+
+    if audit_log_dir is not None:
+        from .sinks import write_log
+
+        write_log(
+            audit_events(pending, results, updated_at, id_col, custom_id_col),
+            audit_log_dir,
+        )
 
     done = checkpoint.filter(F.col("processed")).select(
         F.col("response_id").alias(id_col)

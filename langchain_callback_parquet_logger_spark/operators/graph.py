@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import ORACLE_NGRAM_JACCARD, q_ngram_jaccard
+from .dedup import _oracle_minhash, q_minhash_dedup
 
 
 def connected_components(
@@ -87,9 +87,13 @@ def connected_components(
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (exact n-gram Jaccard ≥ threshold) → duplicate
-    clusters: canonical doc (minimum doc_id) and cluster size."""
-    pairs = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    """Near-dup pairs → duplicate clusters: canonical doc (minimum doc_id)
+    and cluster size. Edges come from the MinHash+LSH path
+    (:func:`~..dedup.q_minhash_dedup`) — the candidate generator that stays
+    linear at 100 TB; the exact n-gram Jaccard all-pairs baseline
+    (q_ngram_jaccard) is kept only for validating LSH recall at small SF,
+    never as the production edge input."""
+    pairs = q_minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
     return labels.groupBy(F.col("label").alias("canonical_doc_id")).agg(
         F.count("*").alias("cluster_size")
@@ -98,7 +102,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE pairs AS (
-  {ORACLE_NGRAM_JACCARD}
+  {_oracle_minhash()}
 ),
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs

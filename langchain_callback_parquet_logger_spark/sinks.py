@@ -70,21 +70,44 @@ class ParquetSink:
     # error  → propagate write failures (reference S3Config.on_failure='error')
     # continue → log and keep going (storage.py:94-98)
     on_failure: Literal["error", "continue"] = "error"
+    # whole-write retry budget (reference storage.py:81-101 retries
+    # put_object; here the unit is the Spark write job, whose
+    # FileOutputCommitter stages to _temporary — a failed attempt commits
+    # nothing, so a retry cannot double-append)
+    retry_attempts: int = 3
+    retry_backoff: float = 0.0  # seconds; 2**attempt multiplier when > 0
+
+    def _write_once(self, df: DataFrame) -> None:
+        writer = df.write.mode(self.mode).option("compression", self.compression)
+        if self.partition_on == "date":
+            dated = df.withColumn("date", F.to_date("timestamp"))
+            writer = dated.write.mode(self.mode).option(
+                "compression", self.compression
+            ).partitionBy("date")
+        writer.parquet(self.base_dir)
 
     def write(self, df: DataFrame) -> None:
-        try:
-            writer = df.write.mode(self.mode).option("compression", self.compression)
-            if self.partition_on == "date":
-                dated = df.withColumn("date", F.to_date("timestamp"))
-                writer = dated.write.mode(self.mode).option(
-                    "compression", self.compression
-                ).partitionBy("date")
-            writer.parquet(self.base_dir)
-        except Exception:
-            if self.on_failure == "continue":
-                logger.exception("sink write failed (continuing): %s", self.base_dir)
-            else:
-                raise
+        import time as _time
+
+        last: Exception | None = None
+        attempts = max(1, self.retry_attempts)
+        for attempt in range(attempts):
+            try:
+                self._write_once(df)
+                return
+            except Exception as e:  # noqa: BLE001 — policy applied below
+                last = e
+                if attempt + 1 < attempts and self.retry_backoff:
+                    _time.sleep(self.retry_backoff * (2**attempt))
+        if self.on_failure == "continue":
+            logger.error(
+                "sink write failed after %d attempts (continuing): %s: %s",
+                attempts, self.base_dir, last,
+            )
+        else:
+            raise RuntimeError(
+                f"sink write failed after {attempts} attempts: {self.base_dir}"
+            ) from last
 
     def exists(self, spark: SparkSession, rel: str = "") -> bool:
         """S8 — existence probe through the Hadoop FileSystem API."""

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from langchain_callback_parquet_logger_spark.batchmap import (
     ColumnConfig,
+    RateLimitConfig,
+    RateLimitState,
     RetryConfig,
     _call_with_retry,
     attach_results,
@@ -181,6 +183,126 @@ def test_retry_exhausts():
         )
 
 
+# --- rate-limit-header-driven backoff (D6 parity with reference
+# background_retrieval.py:125-126,161-184,229-235; scenarios mirror
+# reference tests/test_background_retrieval.py:84-151) ---
+
+
+class FakeRateLimitError(Exception):
+    """Matched structurally via status_code (the openai.RateLimitError
+    analog; the SDK is not installed in this container)."""
+
+    status_code = 429
+
+
+def test_rate_limit_error_retried_with_jittered_backoff():
+    import asyncio
+
+    calls = {"n": 0}
+
+    async def limited_then_ok(row: dict) -> str:
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FakeRateLimitError("Rate limit exceeded")
+        return "done"
+
+    sleeps: list[float] = []
+
+    async def fake_sleep(s: float) -> None:
+        sleeps.append(s)
+
+    cfg = RetryConfig(
+        max_retries=3,
+        # jitter pinned to 1.0 → delay = base**attempt * 1.1 exactly
+        rate_limit=RateLimitConfig(jitter=lambda: 1.0),
+        # NOT in retryable: only the rate-limit classification may retry it
+        retryable=lambda e: False,
+    )
+    out = asyncio.run(
+        _call_with_retry(
+            limited_then_ok, {}, cfg, sleep=fake_sleep,
+            rate_limit=RateLimitState(cfg.rate_limit),
+        )
+    )
+    assert out == "done"
+    assert sleeps == [1.1]  # 2**0 * (1 + 1.0*0.1)
+
+
+def test_rate_limit_backoff_capped():
+    import asyncio
+
+    async def always_limited(row: dict) -> str:
+        raise FakeRateLimitError("Rate limit exceeded")
+
+    sleeps: list[float] = []
+
+    async def fake_sleep(s: float) -> None:
+        sleeps.append(s)
+
+    cfg = RetryConfig(
+        max_retries=8, backoff_cap=60.0,
+        rate_limit=RateLimitConfig(jitter=lambda: 0.0),
+    )
+    with pytest.raises(FakeRateLimitError):
+        asyncio.run(
+            _call_with_retry(
+                always_limited, {}, cfg, sleep=fake_sleep,
+                rate_limit=RateLimitState(cfg.rate_limit),
+            )
+        )
+    assert sleeps == [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 60.0, 60.0]  # min(60, 2**n)
+
+
+def test_rate_limit_headers_pause_until_reset():
+    """A response advertising a drained budget pauses the NEXT call until
+    the advertised reset instant (reference background_retrieval.py:161-167,
+    177-184)."""
+    import asyncio
+
+    class Resp:
+        def __init__(self, remaining, reset_after):
+            self.headers = {
+                "x-ratelimit-remaining-requests": str(remaining),
+                "x-ratelimit-reset-after": str(reset_after),
+            }
+
+    now = {"t": 1000.0}
+    sleeps: list[float] = []
+
+    async def fake_sleep(s: float) -> None:
+        sleeps.append(s)
+        now["t"] += s  # sleeping advances the clock to the reset instant
+
+    async def drained(row: dict):
+        return Resp(remaining=0, reset_after=7.5)
+
+    cfg = RetryConfig(rate_limit=RateLimitConfig())
+    state = RateLimitState(cfg.rate_limit, clock=lambda: now["t"])
+
+    asyncio.run(_call_with_retry(drained, {}, cfg, sleep=fake_sleep, rate_limit=state))
+    assert state.remaining == 0 and state.reset_at == 1007.5
+    assert sleeps == []  # first call never waits
+
+    asyncio.run(_call_with_retry(drained, {}, cfg, sleep=fake_sleep, rate_limit=state))
+    assert sleeps == [7.5]  # second call waited out the advertised window
+
+
+def test_rate_limit_state_shared_in_batch_run(spark, input_df):
+    """End-to-end through mapInPandas: per-partition budget state engages
+    and every row still completes."""
+    async def ok(row: dict) -> str:
+        return f"echo:{row['prompt']}"
+
+    out = batch_run(
+        input_df.repartition(1),
+        ok,
+        max_concurrency=4,
+        retry=RetryConfig(rate_limit=RateLimitConfig(initial_remaining=3)),
+    ).collect()
+    assert len(out) == 20
+    assert all(r.status == "ok" for r in out)
+
+
 # --- checkpoint / resume (D7, S11) ---
 
 
@@ -254,6 +376,45 @@ def test_retrieve_with_checkpoint_resume(spark, tmp_path):
     stat = {r.status for r in out2.collect()}
     assert stat == {"already_processed"}
     assert len(os.listdir(calls_log)) == first_calls  # fn not re-invoked
+
+
+def test_retrieve_with_checkpoint_audit_trail(spark, tmp_path):
+    """attempt/complete/error events land in the log table with the
+    reference's event types and payload fields
+    (reference background_retrieval.py:146-159,185-201,249-267)."""
+    import json
+
+    path = str(tmp_path / "ckpt3")
+    log_dir = str(tmp_path / "audit_log")
+    df = spark.createDataFrame(
+        [(str(i), f"user-{i}") for i in range(6)],
+        "response_id string, custom_id string",
+    )
+
+    async def flaky(row: dict) -> str:
+        if int(row["response_id"]) % 3 == 0:
+            raise ValueError("boom")
+        return f"resp-{row['response_id']}"
+
+    t = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    retrieve_with_checkpoint(spark, df, flaky, path, t, audit_log_dir=log_dir)
+
+    log = spark.read.parquet(log_dir)
+    by_type = {
+        r.event_type: r.n
+        for r in log.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "background_retrieval_attempt": 6,
+        "background_retrieval_complete": 4,
+        "background_retrieval_error": 2,
+    }
+    err = log.filter(F.col("event_type") == "background_retrieval_error").first()
+    payload = json.loads(err.payload)
+    assert payload["status"] == "failed" and "ValueError" in payload["error"]
+    assert err.custom_id.startswith("user-")
+    ok = log.filter(F.col("event_type") == "background_retrieval_complete").first()
+    assert json.loads(ok.payload)["status"] == "completed"
 
 
 def test_dedup_keep_last_deterministic(spark):
