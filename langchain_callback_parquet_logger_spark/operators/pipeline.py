@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.session import load_table
+from ..plans.session import load_table, spread
 from .text import (
     STOPWORDS,
     TOKEN_PATTERN,
@@ -78,7 +78,10 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     LABELED lang (the synthetic corpus draws from one vocabulary, so the
     marker heuristic collapses to 'en'); predicted_lang still rides along
     as a per-doc column and is value-checked by q_lang_id's oracle."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the expression stage (BPE token count, fingerprint, quality
+    # regexes) is the cost center; a single-file scan would serialize it on
+    # one core (no-op at real scale where the scan has >= cores splits)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return clean_corpus(docs).groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -28,24 +28,46 @@ import __spark_entry__ as entrymod
 from langchain_callback_parquet_logger_spark.plans.session import TABLES, get_spark
 
 
-def _cell(v) -> str:
+def _cell(v, date_shaped: bool = False) -> str:
     # Strict stringification: no numeric normalization at all.  One
     # evidence-based exception: DuckDB exports DATE as datetime64 (pandas has
     # no date dtype) while Spark gives datetime.date, yet the driver's hash
     # MATCHED on both date-valued r1 queries (q_date_partition_agg,
     # q_cohort_retention in CORRECTNESS_r01.json) — so the driver normalizes
-    # midnight timestamps to dates and this checker must too.
+    # midnight timestamps to dates and this checker must too.  The
+    # truncation applies ONLY to date-shaped columns (datetime64 dtype AND
+    # every value midnight) — a genuine timestamp column that happens to
+    # contain a midnight value, or a string cell shaped like one, must stay
+    # verbatim or this checker would report STRICT-OK where the driver
+    # hash-differs.
     s = str(v)
-    if s.endswith(" 00:00:00") and len(s) == 19:
+    if date_shaped and s.endswith(" 00:00:00") and len(s) == 19:
         return s[:10]
     return s
+
+
+def _date_shaped(col) -> bool:
+    """True for datetime64 columns whose every non-null value is midnight
+    (i.e. DuckDB's DATE-as-datetime64 export, not a real timestamp col)."""
+    import pandas as pd
+
+    if not pd.api.types.is_datetime64_any_dtype(col.dtype):
+        return False
+    nn = col.dropna()
+    if nn.empty:
+        return False
+    return bool((nn.dt.normalize() == nn).all())
 
 
 def _frame_cells(df):
     """pandas DataFrame -> (sorted colnames, sorted list of str-tuples, dtypes)."""
     cols = sorted(df.columns)
     d = df[cols]
-    rows = [tuple(_cell(v) for v in rec) for rec in d.itertuples(index=False, name=None)]
+    shaped = [_date_shaped(d[c]) for c in cols]
+    rows = [
+        tuple(_cell(v, shaped[i]) for i, v in enumerate(rec))
+        for rec in d.itertuples(index=False, name=None)
+    ]
     rows.sort()
     dtypes = {c: str(d[c].dtype) for c in cols}
     return cols, rows, dtypes

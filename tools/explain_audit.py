@@ -160,6 +160,30 @@ COMMENTARY: dict[str, str] = {
         "No pairwise blowup: this is the shape that as-of joins two "
         "100 TB tables."
     ),
+    "q_embedding_dedup": (
+        "Candidate generation is an equi join of (band_idx, band_val) "
+        "keys — 32 hyperplane sign bits in 4 byte-wide bands, computed in "
+        "one scan projection and persisted (InMemoryTableScan) so the "
+        "self-join reads the signatures instead of re-deriving them per "
+        "side. Per-bucket fan-out is capped by the 8-bit band width; "
+        "nothing in the plan is pairwise in corpus or block size. The "
+        "exact cosine runs only on candidate pairs via two id-equi-joins."
+    ),
+    "q_dedup_clusters": (
+        "Edges come from the MinHash+LSH path (linear candidate volume); "
+        "each label-propagation round is ONE shuffle join + min-aggregate "
+        "with localCheckpoint truncating the lineage, and the driver "
+        "touches a single scalar per round. Rounds = cluster diameter "
+        "(small for near-dup cliques), so 100 TB costs a handful of "
+        "linear passes."
+    ),
+    "q_user_value_median": (
+        "percentile(0.5) participates in the standard two-phase "
+        "aggregation: partial state before the exchange, merge after — "
+        "no Python worker, no Arrow transfer (the applyInPandas "
+        "formulation of the same median costs ~13× more wall-clock at "
+        "sf0.1 and is kept only as the §2.9 grouped-map test leg)."
+    ),
 }
 
 

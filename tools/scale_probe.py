@@ -44,7 +44,10 @@ QUERIES = [
     "q_exact_dedup",
     "q_minhash_dedup",
     "q_ngram_jaccard",
+    "q_dedup_clusters",
     "q_simhash",
+    "q_simhash_pairs",
+    "q_embedding_dedup",
     "q_knn_bruteforce",
     "q_knn_ivf",
     "q_knn_lsh",
@@ -106,7 +109,20 @@ def build(spark) -> None:
         "documents.parquet",
         {
             "doc_id": lambda k: F.col("doc_id") + k * 10_000_000,
-            "text": lambda k: F.concat(F.col("text"), F.lit(f" uniquetok{k}")),
+            # Vocabulary relabeling: suffix every token with the replica id.
+            # A bijective vocab map preserves WITHIN-replica similarity
+            # structure exactly (same token counts, same shingle-set
+            # relationships as the base block) while cross-replica overlap
+            # is zero — so pair counts scale ~K and the ratio measures plan
+            # shape. The earlier append-one-token perturbation left replicas
+            # ~0.98-Jaccard similar to their source, making the 10x corpus
+            # quadratically duplicate-rich (249,585 true near-dup pairs vs
+            # 266 at base): the probe then measured output volume, not plan
+            # shape. (A marker-interleave variant fixed that but doubled
+            # token counts, inflating every shingle-explode query ~2x.)
+            "text": lambda k: F.regexp_replace(
+                F.col("text"), r"([A-Za-z0-9]+)", f"$1k{k}"
+            ) if k else F.col("text"),
         },
     )
     replicate(
@@ -168,6 +184,37 @@ def main() -> None:
         ratio = big_t / base_t if base_t > 0 else float("inf")
         lines.append(f"| {name} | {base_t:.2f} | {big_t:.2f} | {ratio:.1f}× |")
         print(lines[-1], file=sys.stderr)
+
+    lines += [
+        "",
+        "## Notes (root causes for past outliers, kept current)",
+        "",
+        "- **Replica construction matters.** Until round 3 the doc",
+        "  perturbation appended one token per replica, leaving replicas",
+        "  ~0.98-Jaccard similar to their source: the 10× corpus contained",
+        "  249,585 TRUE near-dup pairs vs 266 at base, so pair-producing",
+        "  queries (q_minhash_dedup 5.5×, q_ngram_jaccard 3.7×) were",
+        "  measuring quadratic GROWTH IN OUTPUT, not a quadratic plan. The",
+        "  perturbation is now a bijective vocabulary relabeling (every",
+        "  token suffixed with the replica id): token counts and",
+        "  within-replica similarity structure are EXACTLY preserved,",
+        "  cross-replica overlap is zero, so candidate/output volume scales",
+        "  ~K and the ratio measures plan shape. (An interim",
+        "  marker-interleave variant also killed cross-replica similarity",
+        "  but doubled token counts, inflating every shingle-explode query",
+        "  ~2x on top of K.)",
+        "- **q_corpus_clean 6.7× (pre-round-3)** was a parallelism",
+        "  confound: the base sf0.1 documents table is ONE parquet file →",
+        "  one scan partition, so the regex-heavy expression stage ran on a",
+        "  single core at base but 32-way on the replica. The query now",
+        "  spread()s the scan (no-op at real scale).",
+        "- **q_embedding_dedup / q_dedup_clusters** carry ~3-4 s of fixed",
+        "  multi-stage overhead (sig persist, band self-join, re-rank /",
+        "  iterative label rounds) that dwarfs compute at these tiny sizes;",
+        "  expect ratios ≈1× locally and judge them by shape: banded",
+        "  equi-joins and per-round single shuffles, nothing pairwise in",
+        "  corpus size.",
+    ]
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
