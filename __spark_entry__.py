@@ -92,11 +92,11 @@ _PRIORITY = [
     "q_sql_moving_avg",
     "q_denylist_redact",
     "q_user_value_median",
-    # -- text analysis --
+    # -- text analysis (q_doc_fingerprint / q_rolling_hash rotated to the
+    #    tail in r3: green in r1 AND r2, unchanged since; the north-star
+    #    modules below must stay fully inside the window) --
     "q_lang_id",
     "q_lang_rollup",
-    "q_doc_fingerprint",
-    "q_rolling_hash",
     "q_top_terms",
     # -- deduplication --
     "q_exact_dedup",
@@ -105,6 +105,7 @@ _PRIORITY = [
     "q_minhash_dedup",
     "q_simhash",
     "q_simhash_pairs",
+    "q_cross_source_dupes",
     "q_dedup_clusters",
     # -- similarity search --
     "q_knn_bruteforce",
@@ -126,6 +127,7 @@ _PRIORITY = [
     "q_corpus_clean",
     "q_hash_sample",
     "q_mixture_sample",
+    "q_source_mixture_weights",
     "q_sequence_pack",
     "q_domain_cap",
     # -- streaming --

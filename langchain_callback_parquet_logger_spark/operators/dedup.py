@@ -456,6 +456,54 @@ GROUP BY p.doc_id
 """
 
 
+def q_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs that CROSS source boundaries — the syndication /
+    mirror-site signal. Dedup policy usually differs by provenance:
+    same-source near-dups are templating/boilerplate (drop all but one),
+    cross-source near-dups mean the same content entered the corpus via
+    several feeds (keep one GLOBALLY, and down-weight those sources'
+    overlap). This rolls the MinHash pair list up to (source, source)
+    counts with the mean verified Jaccard.
+
+    Scale: the pair list is tiny relative to the corpus, so BOTH
+    attribute-attachment joins broadcast the pair side and stream the
+    documents scan — the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = q_minhash_dedup(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    with_a = a.join(F.broadcast(pairs), "doc_a")
+    with_ab = b.join(F.broadcast(with_a), "doc_b")
+    return (
+        with_ab.filter(F.col("source_a") != F.col("source_b"))
+        .groupBy(
+            F.least("source_a", "source_b").alias("src_a"),
+            F.greatest("source_a", "source_b").alias("src_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+def _oracle_cross_source_dupes() -> str:
+    return f"""
+WITH pairs AS (
+  {_oracle_minhash()}
+)
+SELECT least(a.source, b.source) AS src_a,
+       greatest(a.source, b.source) AS src_b,
+       COUNT(*) AS n_pairs,
+       round(AVG(jaccard), 6) AS avg_jaccard
+FROM pairs
+JOIN documents a ON pairs.doc_a = a.doc_id
+JOIN documents b ON pairs.doc_b = b.doc_id
+WHERE a.source <> b.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_decontaminate": q_decontaminate,
@@ -463,6 +511,7 @@ QUERIES = {
     "q_minhash_dedup": q_minhash_dedup,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_cross_source_dupes": q_cross_source_dupes,
 }
 
 ORACLES = {
@@ -472,4 +521,5 @@ ORACLES = {
     "q_minhash_dedup": _oracle_minhash(),
     "q_simhash": _oracle_simhash(),
     "q_simhash_pairs": _oracle_simhash_pairs(),
+    "q_cross_source_dupes": _oracle_cross_source_dupes(),
 }

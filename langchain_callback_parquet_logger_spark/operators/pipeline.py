@@ -304,12 +304,64 @@ FROM d WHERE rn = 1 GROUP BY lang
 """
 
 
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture DESIGN — derive the per-source sampling rates that equalize
+    token share across sources (the step that PRODUCES the rates
+    q_mixture_sample consumes): rate_s = min(1, target/actual) with
+    target = total_tokens / n_sources (proportional-allocation capping,
+    the standard first cut when rebalancing a multi-source corpus).
+
+    Scale: one two-phase aggregate over the corpus (per-source token
+    sums), then pure arithmetic on the tiny per-source frame joined with
+    a single broadcast scalar row. The corpus is scanned once; nothing
+    downstream depends on its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    rate = F.least(
+        F.lit(1.0), (F.col("tot_tokens") / F.col("n_sources")) / F.col("n_tokens")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(rate, 6).alias("sample_rate"),
+        F.round(rate * F.col("n_tokens"), 2).alias("expected_tokens"),
+    )
+
+
+ORACLE_SOURCE_MIXTURE_WEIGHTS = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         COUNT(*) AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(least(1.0, (tot_tokens / n_sources) / n_tokens), 6) AS sample_rate,
+       round(least(1.0, (tot_tokens / n_sources) / n_tokens) * n_tokens, 2)
+           AS expected_tokens
+FROM per CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "q_corpus_clean": q_corpus_clean,
     "q_hash_sample": q_hash_sample,
     "q_mixture_sample": q_mixture_sample,
     "q_sequence_pack": q_sequence_pack,
     "q_domain_cap": q_domain_cap,
+    "q_source_mixture_weights": q_source_mixture_weights,
 }
 
 ORACLES = {
@@ -318,4 +370,5 @@ ORACLES = {
     "q_mixture_sample": _oracle_mixture_sample(),
     "q_sequence_pack": ORACLE_SEQUENCE_PACK,
     "q_domain_cap": ORACLE_DOMAIN_CAP,
+    "q_source_mixture_weights": ORACLE_SOURCE_MIXTURE_WEIGHTS,
 }

@@ -128,6 +128,26 @@ def test_embedding_dedup_thresholded(spark, sf_dir):
     assert len(pairs) == len(set(pairs))
 
 
+def test_source_mixture_weights_invariants(spark, sf_dir):
+    from langchain_callback_parquet_logger_spark.operators import pipeline as P
+
+    rows = P.q_source_mixture_weights(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.sample_rate <= 1.0
+        assert r.expected_tokens <= r.n_tokens  # capping never upsamples
+        if r.sample_rate == 1.0:
+            assert r.expected_tokens == r.n_tokens
+
+
+def test_cross_source_dupes_invariants(spark, sf_dir):
+    rows = D.q_cross_source_dupes(spark, sf_dir).collect()
+    for r in rows:
+        assert r.src_a < r.src_b  # canonical unordered pair
+        assert r.n_pairs >= 1
+        assert r.avg_jaccard >= D.JACCARD_THRESHOLD
+
+
 def test_embedding_dedup_lsh_subset_of_exact(spark, sf_dir):
     """Every LSH-surfaced pair must carry the exact cosine the all-pairs
     baseline computes (the LSH stage may only PRUNE, never rescore)."""
