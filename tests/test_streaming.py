@@ -89,6 +89,43 @@ def test_stream_progress_counters(spark, tmp_path):
     assert prog["micro_batches"] >= 1
 
 
+def test_progress_listener_lands_in_log_table(spark, tmp_path):
+    """D9 — the ProgressLogger listener captures micro-batch progress and
+    flush_to_log writes it into the 7-column log table (event_type=
+    'stream_progress', payload = engine progress fields)."""
+    import time
+
+    from langchain_callback_parquet_logger_spark.streaming.ingest import (
+        ProgressLogger,
+    )
+
+    plog = ProgressLogger().attach(spark)
+    try:
+        _write_source_batch(tmp_path, 0, 9)
+        events = read_event_stream(spark, str(tmp_path / "incoming"))
+        q = stream_to_log(
+            events,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            event_types=ALL_TYPES,
+        )
+        q.awaitTermination(120)
+        # listener callbacks arrive on a background thread — poll briefly
+        deadline = time.time() + 30
+        while not plog.rows and time.time() < deadline:
+            time.sleep(0.5)
+        assert plog.rows, "no progress events captured within 30s"
+        n = plog.flush_to_log(spark, str(tmp_path / "progress_log"))
+        assert n >= 1
+        back = spark.read.parquet(str(tmp_path / "progress_log"))
+        rows = back.collect()
+        assert all(r.event_type == "stream_progress" for r in rows)
+        payloads = [json.loads(r.payload) for r in rows]
+        assert sum(p["num_input_rows"] for p in payloads) == 9
+    finally:
+        plog.detach(spark)
+
+
 def test_event_type_filter_applies_in_stream(spark, tmp_path):
     _write_source_batch(tmp_path, 0, 9)
     events = read_event_stream(spark, str(tmp_path / "incoming"))
