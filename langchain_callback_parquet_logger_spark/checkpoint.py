@@ -142,13 +142,15 @@ def audit_events(
         F.struct(rid, when.alias("attempt_time")),
     )
     # results carry only (id, result, status, error); custom_id rides back
-    # in via a broadcast equi-join on the id (J3 — never positional)
+    # in via an equi-join on the id (J3 — never positional). No broadcast
+    # hint: both sides are the pending-row cardinality, so AQE picks the
+    # strategy (broadcast at test sizes, shuffle join at scale).
     keyed_ids = (
         pending.select(id_col, custom_id_col)
         if custom_id_col in pending.columns
         else pending.select(id_col)
     )
-    res = results.join(F.broadcast(keyed_ids), id_col, "left")
+    res = results.join(keyed_ids, id_col, "left")
     completes = envelope(
         res.filter(F.col("status") == "ok"),
         "background_retrieval_complete",
