@@ -465,15 +465,17 @@ def q_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap). This rolls the MinHash pair list up to (source, source)
     counts with the mean verified Jaccard.
 
-    Scale: the pair list is tiny relative to the corpus, so BOTH
-    attribute-attachment joins broadcast the pair side and stream the
-    documents scan — the corpus never shuffles."""
+    Scale: two id-equi-joins attach provenance to the pair list. No
+    broadcast hint — the pair list is usually far smaller than the corpus
+    (AQE broadcasts it at runtime), but on duplicate-RICH corpora it can
+    run to billions of pairs, and a hard hint would OOM exactly when the
+    query matters most; the doc side is a 2-column scan either way."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     pairs = q_minhash_dedup(spark, sf_dir)
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
-    with_a = a.join(F.broadcast(pairs), "doc_a")
-    with_ab = b.join(F.broadcast(with_a), "doc_b")
+    with_a = a.join(pairs, "doc_a")
+    with_ab = b.join(with_a, "doc_b")
     return (
         with_ab.filter(F.col("source_a") != F.col("source_b"))
         .groupBy(
