@@ -176,6 +176,23 @@ def _splice_json_sections(envelope: Column, data_col: Column, raw_col: Column) -
     return F.concat(head, data_part, raw_part, F.lit("}"))
 
 
+# Raw event-file schema shared by the batch and streaming sources.
+# Explicit — the engine never infers schemas (SURVEY.md §1.1).
+RAW_EVENT_DDL = (
+    "timestamp timestamp, run_id string, parent_run_id string, "
+    "event_type string, tags array<string>, metadata map<string,string>, "
+    "data string, raw string"
+)
+
+# CSV cannot carry arrays/maps: tags and metadata travel as JSON strings
+# and are parsed right after the scan (still schema-declared, not inferred).
+RAW_EVENT_DDL_FLAT = (
+    "timestamp timestamp, run_id string, parent_run_id string, "
+    "event_type string, tags string, metadata string, "
+    "data string, raw string"
+)
+
+
 def read_log_dataset(spark: SparkSession, path: str) -> DataFrame:
     """S10 — scan a (possibly date-partitioned) log directory.
 

@@ -10,8 +10,9 @@ never infers (reference design choice, logger.py:21)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..streaming.ingest import RAW_EVENT_DDL
+from ..ingest import RAW_EVENT_DDL, RAW_EVENT_DDL_FLAT
 
 _FORMATS = ("json", "csv", "parquet")
 
@@ -25,16 +26,27 @@ def read_events(
 ) -> DataFrame:
     """Read raw callback events from an ingest directory with the explicit
     raw-event schema. ``streaming=True`` returns an unbounded readStream
-    over the same files (tail-the-directory mode)."""
+    over the same files (tail-the-directory mode).
+
+    CSV has no nested types, so ``tags``/``metadata`` travel as JSON
+    strings in a flat schema and are from_json-parsed right after the scan
+    — the returned frame has the SAME shape for every format."""
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
     reader = spark.readStream if streaming else spark.read
-    reader = reader.schema(RAW_EVENT_DDL).format(fmt)
+    reader = reader.schema(RAW_EVENT_DDL_FLAT if fmt == "csv" else RAW_EVENT_DDL).format(fmt)
     if fmt == "csv":
         options.setdefault("header", "true")
+        # RFC-4180 doubled-quote escaping (Spark's default escape is '\')
+        options.setdefault("escape", '"')
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.load(path)
+    df = reader.load(path)
+    if fmt == "csv":
+        df = df.withColumn(
+            "tags", F.from_json("tags", "array<string>")
+        ).withColumn("metadata", F.from_json("metadata", "map<string,string>"))
+    return df
 
 
 def read_log(spark: SparkSession, path: str) -> DataFrame:

@@ -27,16 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..ingest import normalize_events
+from ..ingest import RAW_EVENT_DDL, normalize_events
 from ..sinks import ParquetSink
-
-# Raw event-file schema for the streaming source. Explicit — streaming
-# sources require a schema and the engine never infers (SURVEY.md §1.1).
-RAW_EVENT_DDL = (
-    "timestamp timestamp, run_id string, parent_run_id string, "
-    "event_type string, tags array<string>, metadata map<string,string>, "
-    "data string, raw string"
-)
 
 
 def read_event_stream(

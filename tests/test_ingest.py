@@ -212,3 +212,40 @@ def test_read_events_roundtrip_formats(spark, tmp_path):
     pdf = read_events(spark, str(pdir), fmt="parquet")
     assert pdf.count() == 3
     assert pdf.schema == jdf.schema
+
+    # CSV: nested cols ride as JSON strings, parsed after the scan — the
+    # frame comes back with the SAME shape and values as json/parquet.
+    cdir = tmp_path / "csv_events"
+    cdir.mkdir()
+    header = "timestamp,run_id,parent_run_id,event_type,tags,metadata,data,raw"
+    csv_lines = [header] + [
+        ",".join(
+            [
+                r["timestamp"],
+                r["run_id"],
+                r["parent_run_id"],
+                r["event_type"],
+                '"' + _json.dumps(r["tags"]).replace('"', '""') + '"',
+                '"' + _json.dumps(r["metadata"]).replace('"', '""') + '"',
+                '"' + r["data"].replace('"', '""') + '"',
+                '"' + r["raw"].replace('"', '""') + '"',
+            ]
+        )
+        for r in rows
+    ]
+    (cdir / "part-0.csv").write_text("\n".join(csv_lines))
+    cdf = read_events(spark, str(cdir), fmt="csv")
+    assert cdf.count() == 3
+    assert dict(cdf.dtypes)["tags"] == "array<string>"
+    assert dict(cdf.dtypes)["metadata"] == "map<string,string>"
+    j = {r.run_id: r for r in jdf.collect()}
+    c = {r.run_id: r for r in cdf.collect()}
+    for rid in j:
+        assert list(j[rid].tags) == list(c[rid].tags)
+        assert dict(j[rid].metadata) == dict(c[rid].metadata)
+
+    # every format feeds the same normalize pipeline
+    from langchain_callback_parquet_logger_spark import normalize_events
+
+    norm = normalize_events(cdf).collect()
+    assert all(r.custom_id == "42" for r in norm)
