@@ -97,10 +97,18 @@ def main() -> None:
     runs: dict[str, list[float]] = {n: [] for n in names}
     counts: dict[str, int] = {}
 
+    errors: dict[str, str] = {}
+
     def one(name: str) -> None:
+        # Per-query guard: one broken query must not void the whole bench
+        # record (the driver keeps only this process's output).
         t0 = time.perf_counter()
-        counts[name] = qs[name](spark, sf_dir).count()
-        runs[name].append(time.perf_counter() - t0)
+        try:
+            counts[name] = qs[name](spark, sf_dir).count()
+            runs[name].append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"
+            print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
 
     # Reps are taken as FULL PASSES over the query list, not back-to-back:
     # this host's hypervisor stalls come in multi-ten-second bursts, so two
@@ -113,11 +121,18 @@ def main() -> None:
     # Stall guard: if a query's reps are slow AND mutually inconsistent,
     # every rep likely stalled — take one extra.
     for name in names:
-        if reps > 1 and min(runs[name]) > 3.0 and max(runs[name]) / min(runs[name]) > 3.0:
+        if (
+            reps > 1
+            and runs[name]
+            and min(runs[name]) > 3.0
+            and max(runs[name]) / min(runs[name]) > 3.0
+        ):
             one(name)
 
     timings: dict[str, float] = {}
     for name in names:
+        if not runs[name]:  # every rep errored — recorded in `errors`
+            continue
         best = min(runs[name])
         timings[name] = round(best, 3)
         print(
@@ -136,12 +151,20 @@ def main() -> None:
         "n_timed": len(timings),
         "total_all_sec": round(sum(timings.values()), 3),
     }
+    if errors:
+        summary["n_errors"] = len(errors)
 
     # Full per-query record (all queries, reps, row counts) — too large for
     # the driver's stdout tail capture, so it lives in a repo-root artifact.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCHFULL.json"), "w") as f:
         json.dump(
-            {"sf": sf_val, "reps": reps, "queries": timings, "rows": counts},
+            {
+                "sf": sf_val,
+                "reps": reps,
+                "queries": timings,
+                "rows": counts,
+                "errors": errors,
+            },
             f,
             indent=1,
             sort_keys=True,
