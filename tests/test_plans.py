@@ -100,6 +100,29 @@ def test_pricing_summary_filter_pushdown(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
 
 
+def test_embedding_dedup_plan_is_banded_not_pairwise(spark, sf_dir):
+    """The LSH dedup must stay candidate-gated: signature frames cached
+    (no per-join recompute of the 32 hyperplane folds), no cartesian
+    product anywhere, and no Python stage."""
+    df = similarity.q_embedding_dedup(spark, sf_dir)
+    plan = _initial_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_user_value_median_is_jvm_side(spark, sf_dir):
+    """The graded median must run in Spark's aggregation machinery — a
+    regression back to the applyInPandas path shows up as a pandas node."""
+    from langchain_callback_parquet_logger_spark.operators import batch_queries
+
+    df = batch_queries.q_user_value_median(spark, sf_dir)
+    plan = _initial_plan(df)
+    assert "percentile" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """Several operators lean on AQE skew-join splitting as their
     100 TB skew story (dedup posting lists, as-of keys) — prove the
