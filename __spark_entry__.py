@@ -68,74 +68,72 @@ _MODULES = [
 GRADING_WINDOW = 50
 
 # The driver grades the FIRST GRADING_WINDOW registry entries (insertion
-# order).  Order the registry explicitly so that one round's grading window
-# covers the whole differentiating surface: parity core (SURVEY §2
-# contract), then every dedup / similarity / temporal / multimodal /
-# pipeline / graph / streaming query (the training-data north star).
-# Queries already green in CORRECTNESS_r01.json and not changed since
-# rotate to the tail — their record exists from round 1.
+# order).  Order the registry explicitly so that, across rounds, EVERY
+# query earns a driver-graded CORRECTNESS record.  Round-4 rotation: the
+# 37 queries graded only by the local full-surface gate in rounds 1-3
+# (they sat behind the window) move to the FRONT for driver
+# re-certification, followed by the 13 queries whose plans changed this
+# round (broadcast-hint removal, simhash band blocking, two-phase
+# sequence packing, source-keyed domain cap, fixed-point corpus_clean
+# average, tracked caching) — a prior green does not certify changed
+# code.  The remaining 37 (green in r2 AND r3, unchanged since) rotate to
+# the tail; the local gate still covers them every round.
 _PRIORITY = [
-    # -- parity core (SURVEY §2.1-2.5): scan, filter, extract, rollup, joins --
-    "q_scan_project",
-    "q_filter_event_type",
-    "q_json_extract",
-    "q_variant_extract",
-    "q_custom_id_extract",
-    "q_date_partition_agg",
-    "q_token_rollup",
-    "q_anti_join_checkpoint",
-    "q_batch_map",
-    # -- round-1 hash-fails (dtype-stabilized oracles) + changed queries --
-    "q_sessionize",
-    "q_salted_rollup",
-    "q_priority_class",
-    "q_sql_moving_avg",
-    "q_denylist_redact",
-    "q_user_value_median",
-    # -- text analysis (q_doc_fingerprint / q_rolling_hash rotated to the
-    #    tail in r3: green in r1 AND r2, unchanged since; the north-star
-    #    modules below must stay fully inside the window) --
-    "q_lang_id",
-    "q_lang_rollup",
-    "q_top_terms",
-    # -- deduplication --
-    "q_exact_dedup",
-    "q_decontaminate",
-    "q_ngram_jaccard",
-    "q_minhash_dedup",
-    "q_simhash",
-    "q_simhash_pairs",
-    "q_cross_source_dupes",
-    "q_dedup_clusters",
-    # -- similarity search --
-    "q_knn_bruteforce",
-    "q_knn_ivf",
-    "q_knn_lsh",
-    "q_knn_per_label",
-    "q_kmeans_ivf",
-    "q_embedding_dedup",
-    "q_embedding_quantize",
-    # -- temporal joins --
-    "q_asof_join",
-    "q_range_join_banded",
-    # -- multimodal --
-    "q_multimodal_meta",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_multimodal_framesample",
-    # -- training-data pipeline --
-    "q_corpus_clean",
-    "q_hash_sample",
+    # -- previously tail-only: aggregates / joins / set-ops --
+    "q_status_summary",
+    "q_dedup_keep_last",
+    "q_hierarchy_join",
+    "q_union_dedup",
+    "q_results_zip",
+    "q_topk",  # changed r4: customer broadcast hint removed (AQE decides)
+    "q_pricing_summary",
+    "q_revenue_by_nation",  # changed r4: customer broadcast hint removed
+    "q_priority_rollup",
+    "q_percentiles",
+    "q_event_pivot",
+    "q_cube",
+    "q_grouping_sets",
+    "q_running_total",
+    "q_lead_lag",
+    "q_ntile",
+    "q_set_ops",
+    # -- previously tail-only: analytic suite --
+    "q_funnel",  # changed r4: per-user broadcast hints removed
+    "q_cohort_retention",
+    "q_anomaly_zscore",
+    "q_value_histogram",
+    "q_event_runs",
+    "q_hll_users",  # rows-only (sketch estimates are engine-specific)
+    # -- previously tail-only: SQL subquery surface --
+    "q_sql_exists_semi",
+    "q_sql_in_agg",
+    "q_sql_scalar_having",
+    "q_sql_correlated_scalar",
+    "q_sql_not_exists_anti",
+    # -- previously tail-only: checkpoint / UDF-UDAF-UDTF / text --
+    "q_checkpoint_resume",
+    "q_user_value_p90",
+    "q_udtf_trigrams",
+    "q_tfidf_top_terms",
+    "q_repetition_ratio",
+    "q_text_stats",
+    "q_quality_score",
+    "q_doc_fingerprint",
+    "q_rolling_hash",
+    # -- changed or plan-affected this round: re-certify --
+    "q_ngram_jaccard",  # size-dim broadcast hints removed
+    "q_minhash_dedup",  # tracked caching
+    "q_simhash",  # spread gate
+    "q_simhash_pairs",  # REBUILT: band-prefix blocking (result set changed)
+    "q_embedding_dedup",  # tracked caching
+    "q_corpus_clean",  # fixed-point avg_quality (order-insensitive)
+    "q_sequence_pack",  # REBUILT: two-phase prefix sum
+    "q_domain_cap",  # re-keyed on source (schema changed)
+    "q_exact_dedup",  # spread gate
+    "q_decontaminate",  # spread gate
+    "q_dedup_clusters",  # consumes minhash pairs
+    "q_cross_source_dupes",  # consumes minhash pairs
     "q_mixture_sample",
-    "q_source_mixture_weights",
-    "q_sequence_pack",
-    "q_domain_cap",
-    # -- streaming --
-    "q_stream_hourly_counts",
-    "q_stream_dedup",
-    "q_stream_join",
-    "q_stream_session_window",
-    "q_stream_sessionize",
 ]
 
 

@@ -3,24 +3,40 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query executes fully (df.count()) BEST-OF-2: this host exhibits
-multi-ten-second scheduling stalls (virtualized CPU steal) that randomly
-inflate a single run by 10-100×; the min of two runs reports the engine's
-actual cost instead of the hypervisor's mood. The session is warmed once
-so JVM startup isn't billed to the first query. Set SPARK_GRAFT_BENCH_REPS
-to change the rep count (1 = single-shot).
+Methodology (round 4): one UNTIMED warmup pass (JVM/JIT, parquet footer
+caches, shuffle-service init), then MEDIAN-OF-3 timed passes per query.
+This host exhibits multi-ten-second scheduling stalls (virtualized CPU
+steal); the median of three spread-out reps is robust to one stalled rep
+without the best-of-N bias toward lucky cache states. Reps are taken as
+full passes over the query list (not back-to-back) so a stall burst hits
+at most one rep of each query. A trivial reference scan (`__ref_scan__`:
+count of the events table) is timed at the start of every pass — its
+round-over-round movement is the NOISE FLOOR, letting uniform
+environment drift be factored out of per-query comparisons.
+
+Tracked operator caches (LSH signatures, shingle sets) are released after
+every query run, so each rep measures the full cold-cache cost instead of
+hitting the previous rep's persisted blocks.
+
+Set SPARK_GRAFT_BENCH_REPS to change the timed-rep count (1 = single-shot)
+and SPARK_GRAFT_BENCH_WARMUP=0 to skip the warmup pass.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from langchain_callback_parquet_logger_spark.plans.session import get_spark
+from langchain_callback_parquet_logger_spark.plans.session import (
+    get_spark,
+    load_table,
+    release_caches,
+)
 
 import __spark_entry__ as entrymod
 
@@ -79,6 +95,8 @@ HEADLINE = [
     "q_stream_sessionize",
 ]
 
+REF_QUERY = "__ref_scan__"  # noise-floor probe: trivial full scan count
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,55 +111,66 @@ def main() -> None:
     # Warm up the JVM + parquet footer caches with a trivial job.
     spark.range(1).count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    do_warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     runs: dict[str, list[float]] = {n: [] for n in names}
+    ref_runs: list[float] = []
     counts: dict[str, int] = {}
 
     errors: dict[str, str] = {}
 
-    def one(name: str) -> None:
+    def one(name: str, timed: bool = True) -> None:
         # Per-query guard: one broken query must not void the whole bench
         # record (the driver keeps only this process's output).
         t0 = time.perf_counter()
         try:
             counts[name] = qs[name](spark, sf_dir).count()
-            runs[name].append(time.perf_counter() - t0)
+            if timed:
+                runs[name].append(time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"
             print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+        finally:
+            # each rep measures cold-cache cost, and cached blocks never
+            # accumulate across the multi-pass run
+            release_caches()
 
-    # Reps are taken as FULL PASSES over the query list, not back-to-back:
-    # this host's hypervisor stalls come in multi-ten-second bursts, so two
-    # immediate reps of one query land in the same burst and best-of-N
-    # never sees a clean run. Spreading the reps minutes apart decorrelates
-    # them at zero extra cost.
-    for _ in range(reps):
+    def ref(timed: bool = True) -> None:
+        t0 = time.perf_counter()
+        load_table(spark, sf_dir, "events").count()
+        if timed:
+            ref_runs.append(time.perf_counter() - t0)
+
+    # Reps are FULL PASSES over the query list, not back-to-back: this
+    # host's hypervisor stalls come in multi-ten-second bursts, so two
+    # immediate reps of one query land in the same burst. Spreading the
+    # reps minutes apart decorrelates them at zero extra cost.
+    warmup_sec = 0.0
+    if do_warmup:
+        t0 = time.perf_counter()
+        ref(timed=False)
         for name in names:
-            one(name)
-    # Stall guard: if a query's reps are slow AND mutually inconsistent,
-    # every rep likely stalled — take one extra.
-    for name in names:
-        if (
-            reps > 1
-            and runs[name]
-            and min(runs[name]) > 3.0
-            and max(runs[name]) / min(runs[name]) > 3.0
-        ):
+            one(name, timed=False)
+        warmup_sec = round(time.perf_counter() - t0, 3)
+    for _ in range(reps):
+        ref()
+        for name in names:
             one(name)
 
     timings: dict[str, float] = {}
     for name in names:
         if not runs[name]:  # every rep errored — recorded in `errors`
             continue
-        best = min(runs[name])
-        timings[name] = round(best, 3)
+        med = statistics.median(runs[name])
+        timings[name] = round(med, 3)
         print(
-            f"# {name}: {counts[name]} rows in {best:.3f}s (best of {len(runs[name])})",
+            f"# {name}: {counts[name]} rows in {med:.3f}s (median of {len(runs[name])})",
             file=sys.stderr,
         )
 
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     headline = {n: timings[n] for n in HEADLINE if n in timings}
+    ref_median = round(statistics.median(ref_runs), 3) if ref_runs else None
     summary = {
         "metric": "headline_queries_total_time",
         "value": round(sum(headline.values()), 3),
@@ -150,6 +179,8 @@ def main() -> None:
         "sf": sf_val,
         "n_timed": len(timings),
         "total_all_sec": round(sum(timings.values()), 3),
+        "stat": f"median_of_{reps}" + ("_after_warmup" if do_warmup else ""),
+        "ref_scan_sec": ref_median,
     }
     if errors:
         summary["n_errors"] = len(errors)
@@ -161,7 +192,16 @@ def main() -> None:
             {
                 "sf": sf_val,
                 "reps": reps,
+                "stat": "median",
+                "warmup": do_warmup,
+                "warmup_pass_sec": warmup_sec,
+                # Noise floor: a trivial scan timed once per pass. Compare
+                # this across rounds first — if it moved, the same factor
+                # applies to every query (environment drift, not plans).
+                "ref_scan_sec": ref_runs,
+                "ref_scan_median_sec": ref_median,
                 "queries": timings,
+                "runs": {n: [round(t, 3) for t in ts] for n, ts in runs.items()},
                 "rows": counts,
                 "errors": errors,
             },

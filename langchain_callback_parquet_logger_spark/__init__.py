@@ -29,7 +29,13 @@ from .ingest import (
     read_log_dataset,
     with_tags,
 )
-from .plans.session import get_spark, load_table, load_tables
+from .plans.session import (
+    cache_tracked,
+    get_spark,
+    load_table,
+    load_tables,
+    release_caches,
+)
 from .logger import SparkParquetLogger
 from .batchmap import ColumnConfig, RetryConfig, attach_results, batch_process, batch_run
 from .checkpoint import (
@@ -52,6 +58,7 @@ from .operators.temporal import asof_join
 from .sinks import (
     CompositeSink,
     ParquetSink,
+    S3ObjectSink,
     compact_logs,
     create_sink,
     render_output_path,
@@ -77,6 +84,7 @@ __all__ = [
     "filter_event_types",
     "normalize_events",
     "ParquetSink",
+    "S3ObjectSink",
     "CompositeSink",
     "create_sink",
     "render_output_path",
@@ -111,5 +119,7 @@ __all__ = [
     "get_spark",
     "load_table",
     "load_tables",
+    "cache_tracked",
+    "release_caches",
     "__version__",
 ]

@@ -311,9 +311,13 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Funnel: view → click → purchase, strictly ordered per user. Each stage
 # is "earliest qualifying event after the previous stage's time" — a
 # conditional min aggregate, NOT a pattern-match UDF. Scale: three hash
-# aggregates on user_id that reuse one partitioning; the per-stage time
-# tables are one-row-per-user and broadcast back onto the events scan, so
-# the event table streams three times but never shuffles its raw rows.
+# aggregates on user_id that reuse one partitioning. The per-stage time
+# tables (s1/s2) are one-row-per-USER frames — their cardinality grows
+# with the corpus, so they must NOT carry a hard broadcast hint (at 100×
+# event scale a forced broadcast of tens of millions of users OOMs the
+# driver). AQE picks broadcast at small SF and sort-merge/shuffled-hash
+# at scale; all three joins/aggs share the user_id partitioning so the
+# shuffle is reused.
 # ---------------------------------------------------------------------------
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
@@ -323,13 +327,13 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t1")
     )
     s2 = (
-        events.join(F.broadcast(s1), "user_id")
+        events.join(s1, "user_id")
         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
-        events.join(F.broadcast(s2), "user_id")
+        events.join(s2, "user_id")
         .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))

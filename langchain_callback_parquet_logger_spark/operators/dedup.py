@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.session import load_table, spread
+from ..plans.session import cache_tracked, load_table, spread
 
 SHINGLE_SIZE = 3
 NUM_HASHES = 16
@@ -136,9 +136,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lets CollapseProject re-inline the whole HOF array build per joined
     # row (O(pairs × doc_len) — measured 50× slower); this shape evaluates
     # it once per doc.
-    post = docs.select(
-        "doc_id", "lang", F.explode(shingles(F.col("text"))).alias("s")
-    ).persist()
+    post = cache_tracked(
+        docs.select("doc_id", "lang", F.explode(shingles(F.col("text"))).alias("s"))
+    )
     # Shingles are distinct per doc, so the per-doc posting count IS the
     # shingle-set size — derived from the persisted postings rather than a
     # second pass over the text.
@@ -160,9 +160,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     j = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    # `sa`/`sb` are one-row-per-DOCUMENT dims — corpus-cardinality frames
+    # must not carry a hard broadcast hint (a forced broadcast of a
+    # billion-doc size table OOMs at scale). AQE still broadcasts them at
+    # small SF where they fit; at scale these become shuffled hash joins
+    # on the already-shuffled pair keys.
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -233,11 +238,13 @@ def lsh_bands(sig: DataFrame, num_bands: int = NUM_BANDS, num_hashes: int = NUM_
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     # Both reused sub-plans are tiny relative to the corpus (one row / a few
-    # band rows per doc) and feed multiple joins below; persisting them stops
+    # band rows per doc) and feed multiple joins below; caching them stops
     # the band self-join + verify joins from recomputing the shingle/signature
-    # pipeline once per use (broadcast sides don't hit ReuseExchange).
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh")).persist()
-    bands = lsh_bands(minhash_signatures(docs)).persist()
+    # pipeline once per use (broadcast sides don't hit ReuseExchange). The
+    # blocks are registered for release_caches() — harnesses release after
+    # each query's action.
+    sh = cache_tracked(docs.select("doc_id", shingles(F.col("text")).alias("sh")))
+    bands = cache_tracked(lsh_bands(minhash_signatures(docs)))
 
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     candidates = (
@@ -365,44 +372,85 @@ SELECT doc_id, {fp} AS simhash FROM votes
 """
 
 
+# hamming ≤ HAMMING_THRESHOLD means at most HAMMING_THRESHOLD of the
+# SIMHASH_BITS bits differ; splitting the fingerprint into
+# HAMMING_THRESHOLD + 1 bands guarantees (pigeonhole) that every
+# qualifying pair agrees EXACTLY on at least one band — so an equi-join
+# on (band_id, band_bits) is a complete candidate generator, and the
+# bit_count verify makes the result set exactly {pairs : hamming ≤ t}.
+SIMHASH_NUM_BANDS = HAMMING_THRESHOLD + 1  # 4 bands × 8 bits over 32 bits
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_NUM_BANDS
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by hamming distance, lang-blocked. At scale the block
-    key would be simhash band prefixes; lang blocking keeps the oracle
-    tractable while exercising the same plan shape."""
+    """Near-dup pairs by hamming distance, blocked on simhash band
+    prefixes. Candidate generation is an equi-join on (band_id, band_bits)
+    — hash-join-shaped, linear in docs + true candidates, never all-pairs
+    (the previous lang-blocked shape was O(n²/|langs|) compare volume; a
+    ~5-value key cannot block a 100 TB corpus). Pigeonhole over
+    HAMMING_THRESHOLD+1 bands makes candidate recall exact, so the output
+    is ALL pairs with hamming ≤ threshold — no blocking-key false
+    negatives."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # One fingerprint row per doc, used on both sides of the self-join —
-    # persisted so the token-hash aggregation runs once, not twice.
-    fp = simhash(docs).join(docs.select("doc_id", "lang"), "doc_id").persist()
-    a, b = fp.alias("a"), fp.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # One fingerprint row per doc feeds both sides of the band self-join —
+    # cached (and registered for release_caches()) so the token-hash
+    # aggregation runs once, not twice.
+    fp = cache_tracked(simhash(docs))
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            for b in range(SIMHASH_NUM_BANDS)
+        ]
     )
+    bands = fp.select(
+        "doc_id", "simhash", F.posexplode(band_arr).alias("band_id", "band_bits")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # simhash is functionally dependent on doc_id, so the distinct over
+    # (doc_a, doc_b, simhash_a, simhash_b) dedups pairs that matched on
+    # several bands without a second join back to fp.
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
         )
+        .distinct()
+        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
     )
 
 
 def _oracle_simhash_pairs() -> str:
+    # Mirrors the banded plan (not the O(n²) all-pairs form) so the oracle
+    # stays tractable; the result set is identical by the pigeonhole
+    # argument above.
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     return f"""
 WITH fp AS ({_oracle_simhash()}),
-fpl AS (
-  SELECT fp.doc_id, fp.simhash, d.lang
-  FROM fp JOIN documents d ON fp.doc_id = d.doc_id
+bands AS (
+  SELECT doc_id, simhash, band_id, (simhash >> (band_id * {SIMHASH_BAND_BITS})) & {mask} AS band_bits
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {SIMHASH_NUM_BANDS})) AS band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM fpl a JOIN fpl b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_THRESHOLD}
 """
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.session import load_table, spread
+from ..plans.session import cache_tracked, load_table, spread
 from .text import (
     STOPWORDS,
     TOKEN_PATTERN,
@@ -82,10 +82,19 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regexes) is the cost center; a single-file scan would serialize it on
     # one core (no-op at real scale where the scan has >= cores splits)
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # avg_quality is computed in FIXED POINT: per-doc quality quantized to
+    # 9 dp as a bigint, integer-summed (exactly associative — immune to
+    # partial-aggregate combine order over shuffled partitions, which for a
+    # float sum can flip the 6-dp rounding on a boundary value under strict
+    # hash grading), then divided once. The oracle mirrors the same
+    # quantization, so both engines compute the identical value in any
+    # execution order. int64 headroom: 1e9 × quality(≤1) × docs — safe to
+    # ~9e9 docs per group; beyond that, widen to decimal.
+    qi = F.round(F.col("quality") * 1e9).cast("bigint")
     return clean_corpus(docs).groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.sum(qi) / (F.count("*") * F.lit(1e9)), 6).alias("avg_quality"),
     )
 
 
@@ -189,6 +198,7 @@ GROUP BY d.lang
 
 
 PACK_BUDGET = 2048  # tokens per training sequence window
+PACK_SHARD_SPAN = 1024  # doc_ids per prefix-sum shard
 
 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,19 +208,55 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     the budget (bin = cumulative-tokens-before ÷ budget; docs are never
     split, so a bin can overshoot by at most one doc — the deterministic,
     engine-portable variant of greedy first-fit, whose bin choice would
-    depend on scan order). Scale: one window shuffle per language
-    partition (integer cumsum, no float), then a two-phase rollup keyed
-    by (lang, bin)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", token_count_bpe(F.col("text")).alias("n_tokens")
+    depend on scan order).
+
+    Scale: the running total is a TWO-PHASE PREFIX SUM, not a global
+    per-lang window. A ``partitionBy(lang)`` cumsum funnels the whole
+    corpus through ≤|langs| sort tasks — a ~5-way bottleneck no cluster
+    size can fix. Instead doc_ids are cut into contiguous shards
+    (``doc_id div PACK_SHARD_SPAN``): phase 1 computes a local cumsum
+    within each (lang, shard) — thousands of parallel window partitions —
+    plus per-shard token totals; phase 2 turns the TINY per-shard totals
+    table into per-shard starting offsets with an exclusive cumsum (rows =
+    shards, not docs); adding the offset to the local cumsum reproduces
+    the global prefix sum exactly (integer arithmetic, byte-identical bin
+    assignment to the single-window formulation the oracle uses). The
+    offsets join is a small-side equi-join AQE broadcasts."""
+    toks = cache_tracked(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            token_count_bpe(F.col("text")).alias("n_tokens"),
+            F.expr(f"doc_id div {PACK_SHARD_SPAN}").alias("shard"),
+        )
     )
-    w = (
-        W.partitionBy("lang")
+    w_local = (
+        W.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    packed = docs.select(
+    local = toks.withColumn("cum_in_shard", F.sum("n_tokens").over(w_local))
+    # Per-(lang, shard) totals → exclusive running offset of all PRIOR
+    # shards in the same lang. This window runs over one row per shard —
+    # a frame ~PACK_SHARD_SPAN× smaller than the corpus.
+    w_shard = (
+        W.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        toks.groupBy("lang", "shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .select(
+            "lang",
+            "shard",
+            F.coalesce(F.sum("shard_tokens").over(w_shard), F.lit(0)).alias(
+                "offset"
+            ),
+        )
+    )
+    cum_before = F.col("offset") + F.col("cum_in_shard") - F.col("n_tokens")
+    packed = local.join(offsets, ["lang", "shard"]).select(
         "lang",
         "n_tokens",
         F.floor(cum_before / F.lit(PACK_BUDGET)).alias("bin"),
@@ -241,30 +287,33 @@ FROM packed GROUP BY lang, bin
 
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap — the data-mixing primitive: keep at most
-    DOMAIN_CAP docs per language, chosen by hash rank (deterministic,
-    uniform) rather than arrival order. One window shuffle on the domain
-    key; at 100 TB the same plan runs with domains as the partition
-    column and AQE splitting any mega-domain."""
+    DOMAIN_CAP docs per domain, chosen by hash rank (deterministic,
+    uniform) rather than arrival order. Keyed on ``source`` — the
+    high-cardinality provenance key (real corpora have thousands to
+    millions of domains), NOT the ~5-value ``lang`` column: window
+    parallelism equals key cardinality, so a low-cardinality key would
+    serialize the sort regardless of cluster size. One window shuffle on
+    the domain key; AQE splits any mega-domain."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
-    w = W.partitionBy("lang").orderBy(h, "doc_id")
+    w = W.partitionBy("source").orderBy(h, "doc_id")
     return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= DOMAIN_CAP)
-        .groupBy("lang")
+        .groupBy("source")
         .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_sum"))
     )
 
 
 ORACLE_DOMAIN_CAP = f"""
 WITH ranked AS (
-  SELECT doc_id, lang,
-         ROW_NUMBER() OVER (PARTITION BY lang
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
-FROM ranked WHERE rk <= {DOMAIN_CAP} GROUP BY lang
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rk <= {DOMAIN_CAP} GROUP BY source
 """
 
 
@@ -299,7 +348,8 @@ d AS (
   SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM g
 )
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       round(AVG(quality), 6) AS avg_quality
+       round(SUM(CAST(round(quality * 1e9) AS BIGINT)) / (COUNT(*) * 1e9), 6)
+           AS avg_quality
 FROM d WHERE rn = 1 GROUP BY lang
 """
 

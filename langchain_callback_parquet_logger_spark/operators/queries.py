@@ -333,14 +333,16 @@ JOIN (SELECT event_id, value * 2 AS derived FROM events) d
 # ---------------------------------------------------------------------------
 # Top-K — ORDER BY ... LIMIT over a dimension join.
 # Reference: head() in examples (examples/batch_run_example.py:167) → limit.
-# Scale: customer side is broadcast (small dim); Spark computes the top-k
-# with per-partition TakeOrdered then a single final merge — no global sort.
+# Scale: customer cardinality grows with SF (no hard broadcast hint — AQE
+# broadcasts while it fits, shuffles on the join key beyond that); Spark
+# computes the top-k with per-partition TakeOrdered then a single final
+# merge — no global sort.
 # ---------------------------------------------------------------------------
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -402,8 +404,10 @@ GROUP BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 # Multi-join star query (TPC-H Q5 shape) — fact table joined through two
 # levels of dimensions. Scale: lineitem⋈orders shuffles on orderkey (the two
-# big tables); customer and nation are broadcast so the dimension hops add
-# NO shuffle. At 100 TB the fact-fact join would be bucketed on orderkey to
+# big tables). nation is 25 rows at EVERY scale factor — a true bounded dim,
+# safe to hard-broadcast. customer grows with SF, so it carries no hint:
+# AQE broadcasts it while small and switches to a shuffled join beyond the
+# threshold. At 100 TB the fact-fact join would be bucketed on orderkey to
 # remove even that exchange.
 # ---------------------------------------------------------------------------
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,7 +418,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(

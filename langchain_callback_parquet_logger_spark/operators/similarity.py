@@ -409,23 +409,26 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is quadratic in corpus or block size. Replaces the label-blocked
     all-pairs baseline (:func:`embedding_dedup_blocked`, kept for recall
     validation in tests)."""
-    from ..plans.session import spread
+    from ..plans.session import cache_tracked, spread
 
-    emb = (
+    emb = cache_tracked(
         spread(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
         .withColumn("nrm", norm(F.col("emb")))
-        .persist()
     )
-    # The 32 hyperplane dot products are expensive Catalyst folds; persisting
+    # The 32 hyperplane dot products are expensive Catalyst folds; caching
     # the tiny (vec_id, band) frame stops CollapseProject from re-inlining
     # them into both sides of the self-join (per-candidate recompute).
-    bands = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*_band_cols(F.col("emb"), DEDUP_PLANES, DEDUP_LSH_BANDS))
-        ).alias("band_idx", "band_val"),
-    ).persist()
+    # Both caches are registered for release_caches() — harnesses release
+    # after the consuming action (see plans/session.py).
+    bands = cache_tracked(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*_band_cols(F.col("emb"), DEDUP_PLANES, DEDUP_LSH_BANDS))
+            ).alias("band_idx", "band_val"),
+        )
+    )
     cand = (
         bands.alias("x")
         .join(

@@ -1,3 +1,19 @@
-from .session import get_spark, table_path, load_table, load_tables
+from .session import (
+    cache_tracked,
+    get_spark,
+    load_table,
+    load_tables,
+    release_caches,
+    spread,
+    table_path,
+)
 
-__all__ = ["get_spark", "table_path", "load_table", "load_tables"]
+__all__ = [
+    "cache_tracked",
+    "get_spark",
+    "load_table",
+    "load_tables",
+    "release_caches",
+    "spread",
+    "table_path",
+]

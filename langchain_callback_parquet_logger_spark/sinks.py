@@ -71,9 +71,14 @@ class ParquetSink:
     # continue → log and keep going (storage.py:94-98)
     on_failure: Literal["error", "continue"] = "error"
     # whole-write retry budget (reference storage.py:81-101 retries
-    # put_object; here the unit is the Spark write job, whose
-    # FileOutputCommitter stages to _temporary — a failed attempt commits
-    # nothing, so a retry cannot double-append)
+    # put_object; here the unit is the Spark write job). Idempotence
+    # caveat: "a failed attempt commits nothing" holds for JOB-level
+    # failures under FileOutputCommitter algorithm v1 (tasks stage to
+    # _temporary; the job commit is the only publish point). Under
+    # committer v2 (task commits move files directly) or a driver-side
+    # error raised AFTER the job committed, a retry in mode='append' can
+    # duplicate rows — on such setups set retry_attempts=1 or force
+    # mapreduce.fileoutputcommitter.algorithm.version=1 (Spark's default).
     retry_attempts: int = 3
     retry_backoff: float = 0.0  # seconds; 2**attempt multiplier when > 0
 
@@ -117,6 +122,111 @@ class ParquetSink:
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(conf)
         return bool(fs.exists(p))
+
+
+@dataclass
+class S3ObjectSink:
+    """S6 — driver-side object upload via boto3, for environments where the
+    cluster writes locally (or hadoop-aws is unavailable) and a finished
+    artifact — a compacted log file, a checkpoint, a small export — is
+    shipped to S3 afterwards. Behavioral parity with the reference's
+    S3Storage (storage.py:48-110): key = ``prefix + filepath``, per-object
+    retry budget with ``2**attempt`` backoff, ``on_failure`` error|continue
+    policy, head_object existence probe.
+
+    This is NOT the bulk-data path — distributed parquet writes go through
+    :class:`ParquetSink` with an ``s3a://`` base_dir so every task uploads
+    its own files in parallel. A driver-side put_object is the right tool
+    only for single finished objects, which is exactly the reference's use
+    case (one buffered batch per flush).
+    """
+
+    bucket: str
+    prefix: str = "langchain-logs/"
+    on_failure: Literal["error", "continue"] = "error"
+    retry_attempts: int = 3
+    endpoint_url: str | None = None  # minio/moto endpoint for tests
+    client: object | None = None  # injectable for tests; lazy boto3 otherwise
+    _sleep: object = None  # injectable time.sleep for tests
+
+    def __post_init__(self) -> None:
+        if self.prefix and not self.prefix.endswith("/"):
+            self.prefix += "/"  # reference config.py:43-46
+
+    def _client(self):
+        if self.client is None:
+            try:
+                import boto3
+            except ImportError as e:  # pragma: no cover - boto3 is baked in
+                raise ImportError(
+                    "boto3 is required for S3ObjectSink"
+                ) from e
+            kwargs = {"endpoint_url": self.endpoint_url} if self.endpoint_url else {}
+            self.client = boto3.client("s3", **kwargs)
+        return self.client
+
+    def key_for(self, filepath: str) -> str:
+        return f"{self.prefix}{filepath}"
+
+    def put_bytes(self, body: bytes, filepath: str) -> None:
+        """Upload one object with the reference's retry loop
+        (storage.py:81-101)."""
+        import time as _time
+
+        sleep = self._sleep or _time.sleep
+        attempts = max(1, self.retry_attempts)
+        for attempt in range(attempts):
+            try:
+                self._client().put_object(
+                    Bucket=self.bucket, Key=self.key_for(filepath), Body=body
+                )
+                return
+            except Exception as e:  # noqa: BLE001 — policy applied below
+                if attempt == attempts - 1:
+                    msg = (
+                        f"Failed to upload to S3 after {attempts} attempts: {e}"
+                    )
+                    if self.on_failure == "error":
+                        raise RuntimeError(msg) from e
+                    logger.error("S3 upload failed (continuing): %s", msg)
+                    return
+                sleep(2**attempt)
+
+    def put_file(self, local_path: str, filepath: str | None = None) -> None:
+        import os
+
+        with open(local_path, "rb") as f:
+            body = f.read()
+        self.put_bytes(body, filepath or os.path.basename(local_path))
+
+    def put_dir(self, local_dir: str, dest_prefix: str = "") -> list[str]:
+        """Ship a Spark-written output directory (part files + nested
+        ``date=.../`` partition dirs) preserving relative layout; returns
+        the uploaded keys. Hidden bookkeeping files (_SUCCESS, .crc) are
+        skipped."""
+        import os
+
+        keys: list[str] = []
+        for root, _dirs, files in os.walk(local_dir):
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, local_dir)
+                dest = f"{dest_prefix}{rel}" if dest_prefix else rel
+                self.put_file(full, dest)
+                keys.append(self.key_for(dest))
+        return keys
+
+    def exists(self, filepath: str) -> bool:
+        """head_object probe (reference storage.py:103-110)."""
+        try:
+            self._client().head_object(
+                Bucket=self.bucket, Key=self.key_for(filepath)
+            )
+            return True
+        except Exception:  # noqa: BLE001 — mirror reference's bare-except
+            return False
 
 
 @dataclass

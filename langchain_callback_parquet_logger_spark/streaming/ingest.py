@@ -305,9 +305,14 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory base, so the parent is streamed with a name glob)."""
     import os
 
-    from ..plans.session import normalize_ts
+    from ..plans.session import normalize_ts, pin_oracle_confs
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC + nanosAsLong, same as load_table: a q_stream_* query may be the
+    # FIRST read in an externally-created session, and normalize_ts's
+    # timestamp_ntz→timestamp cast plus downstream window()/to_date render
+    # in the session zone — a non-UTC zone would shift every event time
+    # versus the oracle.
+    pin_oracle_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     # Streaming sources need a user-supplied schema; parquet is
     # self-describing, so take it from a batch footer read — this keeps the

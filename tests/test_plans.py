@@ -123,6 +123,90 @@ def test_user_value_median_is_jvm_side(spark, sf_dir):
     assert "HashAggregate" in plan or "SortAggregate" in plan, plan
 
 
+def _analyzed_plan(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_funnel_joins_are_aqe_decided(spark, sf_dir):
+    """The per-stage time tables (s1/s2) are one-row-per-USER frames whose
+    cardinality grows with the corpus — they must carry NO hard broadcast
+    hint (a forced broadcast OOMs at 100× user scale). AQE/statistics pick
+    the strategy instead."""
+    from langchain_callback_parquet_logger_spark.operators import analytic
+
+    df = analytic.q_funnel(spark, sf_dir)
+    assert "ResolvedHint" not in _analyzed_plan(df)
+    # (the final 1-row×1-row count crossJoins are bounded by construction;
+    # the stage joins themselves are equi-joins on user_id, so no
+    # corpus-cardinality cartesian can appear)
+
+
+def test_ngram_jaccard_size_dims_carry_no_hint(spark, sf_dir):
+    """sa/sb are one-row-per-DOCUMENT dims; corpus-cardinality frames must
+    never be hint-broadcast. (q_decontaminate keeps its hint by design —
+    benchmark sets are bounded by construction.)"""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    df = dedup.q_ngram_jaccard(spark, sf_dir)
+    try:
+        assert "ResolvedHint" not in _analyzed_plan(df)
+    finally:
+        release_caches()
+
+
+def test_simhash_pairs_plan_is_band_blocked(spark, sf_dir):
+    """Candidate generation must be an equi-join on (band_id, band_bits) —
+    never an all-pairs join on a ~5-value key. The pigeonhole over
+    HAMMING_THRESHOLD+1 bands keeps the result set exactly
+    {pairs : hamming ≤ t}, so this is pure plan shape, no recall loss."""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    df = dedup.q_simhash_pairs(spark, sf_dir)
+    try:
+        plan = _initial_plan(df)
+        assert "band_bits" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "lang" not in plan, plan  # no lang-blocked join remnant
+        assert "InMemoryTableScan" in plan, plan  # fingerprint frame cached
+    finally:
+        release_caches()
+
+
+def test_sequence_pack_window_is_sharded(spark, sf_dir):
+    """The per-doc cumsum must window on (lang, shard) — a plain
+    partitionBy(lang) funnels the whole corpus through ≤|langs| sort
+    tasks. The shard offset rollup may window on lang alone: it runs over
+    one row per shard, not per doc."""
+    from langchain_callback_parquet_logger_spark.operators import pipeline
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    df = pipeline.q_sequence_pack(spark, sf_dir)
+    try:
+        plan = _initial_plan(df)
+        specs = [
+            ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+        ]
+        assert specs, plan
+        assert any(
+            "lang" in s and "shard" in s and "doc_id" in s for s in specs
+        ), "\n".join(specs)
+    finally:
+        release_caches()
+
+
+def test_release_caches_empties_cache_manager(spark, sf_dir):
+    """Tracked operator caches must be fully releasable: after an action +
+    release_caches(), Spark's CacheManager holds nothing (the VERDICT-r3
+    leak: persisted LSH frames accumulated across invocations)."""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    spark.catalog.clearCache()
+    release_caches()  # drop any registrations left by other tests
+    dedup.q_minhash_dedup(spark, sf_dir).count()
+    assert release_caches() >= 2
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """Several operators lean on AQE skew-join splitting as their
     100 TB skew story (dedup posting lists, as-of keys) — prove the

@@ -19,7 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as entrymod
-from langchain_callback_parquet_logger_spark.plans.session import TABLES, get_spark
+from langchain_callback_parquet_logger_spark.plans.session import (
+    TABLES,
+    get_spark,
+    release_caches,
+)
 
 
 def _norm(v):
@@ -81,6 +85,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            release_caches()  # tracked operator caches must not accumulate
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (rows-only check, no oracle)")
             continue

@@ -120,7 +120,11 @@ COMMENTARY: dict[str, str] = {
     "q_corpus_clean": (
         "Stages quality→lang-ID→fingerprint fuse into ONE scan projection "
         "(no exchanges until the dedup window): composing operators "
-        "declaratively instead of materializing between pipeline steps."
+        "declaratively instead of materializing between pipeline steps. "
+        "avg_quality aggregates in FIXED POINT (9-dp bigint per doc, "
+        "integer sum) so the result is identical under any partial-"
+        "aggregate combine order — float-sum order sensitivity cannot "
+        "flip the 6-dp rounding against the oracle."
     ),
     "q_sql_exists_semi": (
         "The EXISTS subquery is gone from the physical plan: Catalyst "
@@ -133,16 +137,45 @@ COMMENTARY: dict[str, str] = {
         "aggregate. No per-field re-parsing, no Python."
     ),
     "q_domain_cap": (
-        "One window exchange on the domain key, hash-rank row_number, "
-        "then the rollup reuses the same partitioning — the per-domain "
-        "cap costs exactly one shuffle."
+        "One window exchange on the DOMAIN key (source — the "
+        "high-cardinality provenance column, not the ~5-value lang): "
+        "window parallelism equals key cardinality, so the sort spreads "
+        "across the cluster. Hash-rank row_number, then the rollup reuses "
+        "the same partitioning — the per-domain cap costs exactly one "
+        "shuffle."
     ),
     "q_funnel": (
-        "Each funnel stage is a conditional-min hash aggregate whose "
-        "one-row-per-user output broadcasts back onto the events scan — "
-        "the raw event table is never shuffled, and the three stages "
-        "reuse the same user_id aggregation shape. Pattern-matching "
-        "funnels without a pattern-match engine."
+        "Each funnel stage is a conditional-min hash aggregate on "
+        "user_id; the per-stage time tables are one-row-per-user frames "
+        "with NO broadcast hint (their cardinality grows with the corpus "
+        "— a forced broadcast OOMs at 100× user scale). AQE broadcasts "
+        "them while they fit and switches to shuffled joins beyond that; "
+        "all three stages reuse the same user_id partitioning."
+    ),
+    "q_simhash_pairs": (
+        "Candidate generation is an equi-join on (band_id, band_bits): "
+        "the 32-bit fingerprint splits into HAMMING_THRESHOLD+1 = 4 "
+        "bands, and pigeonhole guarantees every pair within hamming ≤ 3 "
+        "matches exactly on ≥1 band — so the banded join is a COMPLETE "
+        "candidate generator and bit_count verifies. Hash-join-shaped, "
+        "linear in docs + true candidates; replaces the r3 lang-blocked "
+        "all-pairs shape whose compare volume was O(n²/5)."
+    ),
+    "q_sequence_pack": (
+        "The running token total is a TWO-PHASE PREFIX SUM: local cumsum "
+        "windows on (lang, shard) — parallelism scales with corpus size, "
+        "not |langs| — then an exclusive cumsum over the tiny per-shard "
+        "totals table produces offsets that add back in. Bin assignment "
+        "is byte-identical to the global-window formulation the oracle "
+        "runs; no ≤5-partition window sort anywhere in the plan."
+    ),
+    "q_ngram_jaccard": (
+        "Posting-list self-join on (lang, shingle) — hash-join-shaped "
+        "candidate enumeration; the per-doc size dims attach afterwards "
+        "via hint-free joins (they are corpus-cardinality frames: AQE "
+        "broadcasts them at small SF, shuffles at scale). This is the "
+        "exact quadratic-within-blocks baseline that validates MinHash; "
+        "production dedup at 100 TB uses q_minhash_dedup."
     ),
     "q_tfidf_top_terms": (
         "tf and df are independent two-phase hash aggregates off one "

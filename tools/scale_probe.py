@@ -18,7 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from langchain_callback_parquet_logger_spark.plans.session import get_spark, load_table
+from langchain_callback_parquet_logger_spark.plans.session import (
+    get_spark,
+    load_table,
+    release_caches,
+)
 
 import __spark_entry__ as entrymod
 
@@ -157,6 +161,7 @@ def best_of(fn, reps=2):
         t0 = time.perf_counter()
         fn()
         runs.append(time.perf_counter() - t0)
+        release_caches()  # every rep pays the full cold-cache cost
     return min(runs)
 
 
