@@ -213,6 +213,15 @@ def main() -> None:
         "  one scan partition, so the regex-heavy expression stage ran on a",
         "  single core at base but 32-way on the replica. The query now",
         "  spread()s the scan (no-op at real scale).",
+        "- **Round-4 methodology**: release_caches() runs between reps, so",
+        "  every rep pays full cold-cache cost — ratios are now honest for",
+        "  queries that persist sub-frames (minhash/embedding dedup were",
+        "  previously warm on rep 2 via CacheManager plan-dedup).",
+        "- **q_sequence_pack ~3.3×** is the two-phase prefix sum's extra",
+        "  shuffle (per-shard offsets join) — the price of unbounded window",
+        "  parallelism. The r3 single-window version looked better at 10×",
+        "  on 32 cores only because ≤5 sort partitions of this size still",
+        "  fit; at cluster scale it serializes, the sharded shape doesn't.",
         "- **q_embedding_dedup / q_dedup_clusters** carry ~3-4 s of fixed",
         "  multi-stage overhead (sig persist, band self-join, re-rank /",
         "  iterative label rounds) that dwarfs compute at these tiny sizes;",
