@@ -554,6 +554,50 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic diversity sampling — the "keep one per meaning-bucket"
+# downsampler used to flatten over-represented content before training:
+# documents are bucketed by the top bits of their SimHash fingerprint
+# (similar texts share high bits because each bit is a majority vote over
+# token hashes), and each bucket keeps its lowest doc_id as the
+# representative. Output = bucket → representative + population, i.e. the
+# coverage histogram a mixture designer reads to see how skewed the corpus
+# is semantically.
+#
+# Scale: linear fingerprint scan + ONE hash-aggregate on the bucket key —
+# no pairwise anything; at 100 TB this is the cheap first pass that runs
+# before the expensive pairwise dedup operators.
+# ---------------------------------------------------------------------------
+
+DIVERSITY_BUCKET_BITS = 8  # 2^8 semantic buckets from the simhash top bits
+
+
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bucket = F.shiftright(
+        F.col("simhash"), SIMHASH_BITS - DIVERSITY_BUCKET_BITS
+    )
+    return (
+        simhash(docs)
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("doc_id").alias("representative_doc_id"),
+            F.count("*").alias("bucket_size"),
+        )
+    )
+
+
+def _oracle_diversity_sample() -> str:
+    return f"""
+WITH fp AS ({_oracle_simhash()})
+SELECT simhash >> {SIMHASH_BITS - DIVERSITY_BUCKET_BITS} AS bucket,
+       MIN(doc_id) AS representative_doc_id,
+       COUNT(*) AS bucket_size
+FROM fp GROUP BY bucket
+"""
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_decontaminate": q_decontaminate,
@@ -562,6 +606,7 @@ QUERIES = {
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_cross_source_dupes": q_cross_source_dupes,
+    "q_diversity_sample": q_diversity_sample,
 }
 
 ORACLES = {
@@ -572,4 +617,5 @@ ORACLES = {
     "q_simhash": _oracle_simhash(),
     "q_simhash_pairs": _oracle_simhash_pairs(),
     "q_cross_source_dupes": _oracle_cross_source_dupes(),
+    "q_diversity_sample": _oracle_diversity_sample(),
 }

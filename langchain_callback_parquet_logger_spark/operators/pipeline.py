@@ -405,6 +405,47 @@ FROM per CROSS JOIN tot
 """
 
 
+LENGTH_BUCKET = 64  # tokens per histogram bucket
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language in LENGTH_BUCKET-token bins —
+    the profile that sizes PACK_BUDGET for q_sequence_pack and predicts
+    padding waste for a given training sequence length. Scale: one scan
+    computing the BPE token count (codegen regex, no Python) + one
+    two-phase hash aggregate on the (lang, bin) key; output is bounded by
+    langs × bins regardless of corpus size."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_tok = token_count_bpe(F.col("text"))
+    return (
+        docs.select(
+            "lang", F.floor(n_tok / F.lit(LENGTH_BUCKET)).alias("length_bin"),
+            n_tok.alias("n_tokens"),
+        )
+        .groupBy("lang", "length_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+ORACLE_LENGTH_HISTOGRAM = f"""
+WITH toks AS (
+  SELECT lang, len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+  FROM documents
+)
+SELECT lang, CAST(floor(n_tokens / {LENGTH_BUCKET}) AS BIGINT) AS length_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM toks GROUP BY lang, length_bin
+"""
+
+
 QUERIES = {
     "q_corpus_clean": q_corpus_clean,
     "q_hash_sample": q_hash_sample,
@@ -412,6 +453,7 @@ QUERIES = {
     "q_sequence_pack": q_sequence_pack,
     "q_domain_cap": q_domain_cap,
     "q_source_mixture_weights": q_source_mixture_weights,
+    "q_length_histogram": q_length_histogram,
 }
 
 ORACLES = {
@@ -421,4 +463,5 @@ ORACLES = {
     "q_sequence_pack": ORACLE_SEQUENCE_PACK,
     "q_domain_cap": ORACLE_DOMAIN_CAP,
     "q_source_mixture_weights": ORACLE_SOURCE_MIXTURE_WEIGHTS,
+    "q_length_histogram": ORACLE_LENGTH_HISTOGRAM,
 }

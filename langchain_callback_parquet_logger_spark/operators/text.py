@@ -609,6 +609,55 @@ FROM t GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining — the frequency-counting step a word-piece /
+# BPE tokenizer trainer iterates: count adjacent-pair occurrences across
+# the corpus, take the top-K as merge candidates. One training iteration
+# == one run of this query on the re-segmented corpus, so its scale shape
+# IS tokenizer-training scale shape: linear pair explode (whole-stage
+# codegen, no Python), two-phase hash aggregate on the pair key, then
+# TakeOrderedAndProject for the top-K (per-partition heaps + driver merge
+# — NEVER a single-partition global-sort window). Deterministic total
+# order (count desc, pair asc) pins the cutoff for the oracle.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 30
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    pairs = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2))
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+ORACLE_BPE_MERGE_CANDIDATES = f"""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+p AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS pair
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i) g
+)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -621,6 +670,7 @@ QUERIES = {
     "q_lang_rollup": q_lang_rollup,
     "q_rolling_hash": q_rolling_hash,
     "q_top_terms": q_top_terms,
+    "q_bpe_merge_candidates": q_bpe_merge_candidates,
 }
 
 ORACLES = {
@@ -635,4 +685,5 @@ ORACLES = {
     "q_lang_rollup": ORACLE_LANG_ROLLUP,
     "q_rolling_hash": ORACLE_ROLLING_HASH,
     "q_top_terms": ORACLE_TOP_TERMS,
+    "q_bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
 }

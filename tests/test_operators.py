@@ -83,6 +83,53 @@ def test_simhash_pairs_hamming_bound(spark, sf_dir):
         assert 0 <= r.hamming <= D.HAMMING_THRESHOLD
 
 
+def test_simhash_pairs_band_recall_is_exact(spark, sf_dir):
+    """Pigeonhole completeness: the banded candidate join must return the
+    SAME pair set as brute-force all-pairs hamming ≤ t (no blocking-key
+    false negatives)."""
+    from pyspark.sql import functions as F
+
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in D.q_simhash_pairs(spark, sf_dir).collect()
+    }
+    fp = D.simhash(D.load_table(spark, sf_dir, "documents"))
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("h"),
+        )
+        .filter(F.col("h") <= D.HAMMING_THRESHOLD)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_diversity_sample_partitions_corpus(spark, sf_dir):
+    """Buckets must partition the corpus: sizes sum to the doc count, each
+    representative is its bucket's minimum doc_id."""
+    rows = D.q_diversity_sample(spark, sf_dir).collect()
+    n_docs = D.load_table(spark, sf_dir, "documents").count()
+    assert sum(r.bucket_size for r in rows) == n_docs
+    assert len({r.bucket for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r.bucket < 2**D.DIVERSITY_BUCKET_BITS
+
+
+def test_bpe_merge_candidates_ranked_and_bounded(spark, sf_dir):
+    rows = X.q_bpe_merge_candidates(spark, sf_dir).collect()
+    assert 0 < len(rows) <= X.BPE_TOP_K
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r.pair.split(" ")) == 2
+
+
 # --- similarity -------------------------------------------------------------
 
 

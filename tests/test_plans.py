@@ -81,7 +81,9 @@ def test_rollup_aggregates_in_two_phases(spark, sf_dir):
         dedup.q_exact_dedup,
         dedup.q_simhash,
         dedup.q_minhash_dedup,
+        dedup.q_diversity_sample,
         similarity.q_knn_bruteforce,
+        text.q_bpe_merge_candidates,
     ],
     ids=lambda f: f.__name__,
 )
@@ -192,6 +194,15 @@ def test_sequence_pack_window_is_sharded(spark, sf_dir):
         ), "\n".join(specs)
     finally:
         release_caches()
+
+
+def test_bpe_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """Top-K merge candidates must be per-partition heaps + driver merge
+    (TakeOrderedAndProject) — a global Sort of the pair-count table would
+    serialize the tokenizer-training iteration at scale."""
+    plan = _initial_plan(text.q_bpe_merge_candidates(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan  # two-phase aggregate
 
 
 def test_release_caches_empties_cache_manager(spark, sf_dir):

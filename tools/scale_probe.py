@@ -59,6 +59,9 @@ QUERIES = [
     "q_embedding_quantize",
     "q_decontaminate",
     "q_corpus_clean",
+    "q_bpe_merge_candidates",
+    "q_diversity_sample",
+    "q_length_histogram",
     "q_mixture_sample",
     "q_denylist_redact",
     "q_tfidf_top_terms",
