@@ -272,7 +272,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
-def _oracle_minhash() -> str:
+def _minhash_bands_cte() -> str:
+    """Shared WITH-clause body: documents → shingle sets → minhash
+    signatures → LSH band keys (sh/ex/sig/bands CTEs), reused by every
+    oracle that consumes the banded index."""
     rows_per_band = NUM_HASHES // NUM_BANDS
     min_exprs = []
     for j, (a, b) in enumerate(HASH_FAMILY):
@@ -285,8 +288,7 @@ def _oracle_minhash() -> str:
         )
         band_rows.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig")
     bands_sql = " UNION ALL ".join(band_rows)
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
 ),
 ex AS (
@@ -298,7 +300,12 @@ sig AS (
 ),
 bands AS (
   {bands_sql}
-),
+)"""
+
+
+def _oracle_minhash() -> str:
+    return f"""
+WITH {_minhash_bands_cte()},
 cand AS (
   SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
   FROM bands b1 JOIN bands b2
@@ -555,6 +562,89 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup — the production shape for a growing corpus: dedup a
+# NEW ingest batch against the EXISTING corpus by joining the batch's LSH
+# band keys against the corpus' band-key index, verifying only the
+# candidates. Corpus-internal pairs are NEVER recomputed; cost is linear
+# in the batch plus its true collisions, however big the corpus. (Here
+# both sides derive from one scan — doc_id % 10 == 0 plays the "new
+# batch"; in production the corpus side IS the stored signature index,
+# e.g. the lsh_bands output persisted by a prior run / checkpoint.)
+#
+# Output: one row per new doc that collides with the corpus at
+# JACCARD_THRESHOLD — the drop/keep list an ingest job applies.
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_BATCH_MOD = 10  # doc_id % 10 == 0 → "new batch" (~10%)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # One signature/band pipeline over the union, split afterwards —
+    # signatures are per-doc, so this equals computing each side
+    # separately while scanning the corpus once. Cached: the band frame
+    # feeds both join sides, the shingle frame both verify legs.
+    sh = cache_tracked(docs.select("doc_id", shingles(F.col("text")).alias("sh")))
+    bands = cache_tracked(lsh_bands(minhash_signatures(docs)))
+    is_new = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    nb, cb = bands.filter(is_new).alias("n"), bands.filter(~is_new).alias("c")
+    cand = (
+        nb.join(
+            cb,
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("new_doc_id"), F.col("sh").alias("sh_n")),
+            "new_doc_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("corpus_doc_id"), F.col("sh").alias("sh_c")),
+            "corpus_doc_id",
+        )
+        .select(
+            "new_doc_id",
+            F.round(jaccard(F.col("sh_n"), F.col("sh_c")), 6).alias("j"),
+        )
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+    )
+    return verified.groupBy("new_doc_id").agg(
+        F.count("*").alias("n_corpus_dups"),
+        F.max("j").alias("best_jaccard"),
+    )
+
+
+def _oracle_incremental_dedup() -> str:
+    return f"""
+WITH {_minhash_bands_cte()},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+  FROM bands n JOIN bands c
+    ON n.band_id = c.band_id AND n.band_key = c.band_key
+  WHERE n.doc_id % {INCREMENTAL_BATCH_MOD} = 0
+    AND c.doc_id % {INCREMENTAL_BATCH_MOD} <> 0
+),
+verified AS (
+  SELECT cand.new_doc_id,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh)), 6) AS j
+  FROM cand JOIN sh a ON cand.new_doc_id = a.doc_id
+            JOIN sh b ON cand.corpus_doc_id = b.doc_id
+)
+SELECT new_doc_id, COUNT(*) AS n_corpus_dups, MAX(j) AS best_jaccard
+FROM verified WHERE j >= {JACCARD_THRESHOLD}
+GROUP BY new_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Semantic diversity sampling — the "keep one per meaning-bucket"
 # downsampler used to flatten over-represented content before training:
 # documents are bucketed by the top bits of their SimHash fingerprint
@@ -607,6 +697,7 @@ QUERIES = {
     "q_simhash_pairs": q_simhash_pairs,
     "q_cross_source_dupes": q_cross_source_dupes,
     "q_diversity_sample": q_diversity_sample,
+    "q_incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES = {
@@ -618,4 +709,5 @@ ORACLES = {
     "q_simhash_pairs": _oracle_simhash_pairs(),
     "q_cross_source_dupes": _oracle_cross_source_dupes(),
     "q_diversity_sample": _oracle_diversity_sample(),
+    "q_incremental_dedup": _oracle_incremental_dedup(),
 }

@@ -110,6 +110,21 @@ def test_simhash_pairs_band_recall_is_exact(spark, sf_dir):
     assert banded == brute
 
 
+def test_incremental_dedup_matches_corpus_only(spark, sf_dir):
+    """Every flagged doc is from the new batch, every verified match is at
+    or above the Jaccard threshold, and dup counts are positive."""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        rows = D.q_incremental_dedup(spark, sf_dir).collect()
+    finally:
+        release_caches()
+    for r in rows:
+        assert r.new_doc_id % D.INCREMENTAL_BATCH_MOD == 0
+        assert r.n_corpus_dups >= 1
+        assert r.best_jaccard >= D.JACCARD_THRESHOLD
+
+
 def test_diversity_sample_partitions_corpus(spark, sf_dir):
     """Buckets must partition the corpus: sizes sum to the doc count, each
     representative is its bucket's minimum doc_id."""
