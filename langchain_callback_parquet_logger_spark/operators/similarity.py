@@ -756,6 +756,132 @@ SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization — the memory-compression layer under every serious
+# ANN index (IVF-PQ): split each vector into PQ_SUBSPACES contiguous
+# subvectors, snap each to its nearest codeword from a per-subspace
+# codebook, and measure the reconstruction error that compression costs.
+# A 64-dim float32 vector (256 B) becomes 4 uint4 codes (2 B) — the
+# 128× compression that lets a 100 TB embedding corpus fit an in-memory
+# index.
+#
+# Scale: ONE scan projection computes all 64 subvector-to-codeword
+# distances per vector as codegen'd higher-order folds (no Python, no
+# join — the codebook is PQ_SUBSPACES×PQ_CODEWORDS×PQ_SUBDIM literals in
+# the plan), then a two-phase aggregate on label. The codebook here is
+# md5-derived (deterministic, shared bit-exactly with the oracle); in
+# production it comes from per-subspace k-means (q_kmeans_ivf shows that
+# loop) — the assignment/error plan is identical either way. The per-label
+# mean error aggregates in FIXED POINT (1e9-quantized bigint) so the
+# result is combine-order-proof under strict hash grading.
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = EMB_DIM // PQ_SUBSPACES
+PQ_CODEWORDS = 16
+
+
+def _pq_coef(s: int, c: int, d: int) -> float:
+    h = int(_hashlib.md5(f"pq-{s}-{c}-{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001) / 1000.0 - 1.0
+
+
+PQ_CODEBOOK = [
+    [[_pq_coef(s, c, d) for d in range(PQ_SUBDIM)] for c in range(PQ_CODEWORDS)]
+    for s in range(PQ_SUBSPACES)
+]
+
+
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    sub_errs = []
+    codes = []
+    for s in range(PQ_SUBSPACES):
+        sub = F.slice(F.col("emb"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(v) for v in PQ_CODEBOOK[s][c]]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(PQ_CODEWORDS)
+        ]
+        sub_errs.append(F.least(*dists))
+        # argmin codeword; ties break to the smallest index (struct
+        # ordering compares dist first, then c) — mirrored by the oracle's
+        # first-occurrence list_position.
+        codes.append(
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
+                        for c in range(PQ_CODEWORDS)
+                    ]
+                )
+            )["c"]
+        )
+    err = sub_errs[0]
+    for e in sub_errs[1:]:
+        err = err + e  # left-assoc chain, same fold order as the oracle SQL
+    code_str = F.concat_ws(",", *[c.cast("string") for c in codes])
+    per_vec = emb.select(
+        "label",
+        F.round(err * 1e9).cast("bigint").alias("qerr"),
+        code_str.alias("code"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("qerr") / (F.count("*") * F.lit(1e9)), 6).alias(
+            "avg_recon_err"
+        ),
+        F.countDistinct("code").alias("n_distinct_codes"),
+    )
+
+
+def _oracle_pq_quantize() -> str:
+    def dist_sql(s: int, c: int) -> str:
+        terms = []
+        for d in range(PQ_SUBDIM):
+            i = s * PQ_SUBDIM + d + 1
+            v = repr(PQ_CODEBOOK[s][c][d])
+            terms.append(f"(emb[{i}] - {v}) * (emb[{i}] - {v})")
+        return "(" + " + ".join(terms) + ")"
+
+    lists = ",\n       ".join(
+        "[" + ", ".join(dist_sql(s, c) for c in range(PQ_CODEWORDS)) + f"] AS l{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    err = " + ".join(f"list_min(l{s})" for s in range(PQ_SUBSPACES))
+    code = " || ',' || ".join(
+        f"CAST(list_position(l{s}, list_min(l{s})) - 1 AS VARCHAR)"
+        for s in range(PQ_SUBSPACES)
+    )
+    return f"""
+WITH e AS (
+  SELECT label, embedding AS emb FROM embeddings
+),
+d AS (
+  SELECT label,
+       {lists}
+  FROM e
+),
+v AS (
+  SELECT label, ({err}) AS err, ({code}) AS code FROM d
+)
+SELECT label, COUNT(*) AS n_vecs,
+       round(SUM(CAST(round(err * 1e9) AS BIGINT)) / (COUNT(*) * 1e9), 6)
+           AS avg_recon_err,
+       COUNT(DISTINCT code) AS n_distinct_codes
+FROM v GROUP BY label
+"""
+
+
 QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_ivf": q_knn_ivf,
@@ -764,6 +890,7 @@ QUERIES = {
     "q_knn_lsh": q_knn_lsh,
     "q_embedding_quantize": q_embedding_quantize,
     "q_kmeans_ivf": q_kmeans_ivf,
+    "q_pq_quantize": q_pq_quantize,
 }
 
 ORACLES = {
@@ -774,4 +901,5 @@ ORACLES = {
     "q_knn_lsh": _oracle_knn_lsh(),
     "q_embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "q_kmeans_ivf": _oracle_kmeans_ivf(),
+    "q_pq_quantize": _oracle_pq_quantize(),
 }

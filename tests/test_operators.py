@@ -110,6 +110,21 @@ def test_simhash_pairs_band_recall_is_exact(spark, sf_dir):
     assert banded == brute
 
 
+def test_pq_quantize_error_bounded_and_codes_valid(spark, sf_dir):
+    """Reconstruction error is nonnegative and finite; code space is
+    bounded by PQ_CODEWORDS^PQ_SUBSPACES; every label is covered."""
+    rows = S.q_pq_quantize(spark, sf_dir).collect()
+    n_labels = (
+        load_table(spark, sf_dir, "embeddings").select("label").distinct().count()
+    )
+    assert len(rows) == n_labels
+    for r in rows:
+        assert r.avg_recon_err >= 0
+        assert 1 <= r.n_distinct_codes <= min(
+            r.n_vecs, S.PQ_CODEWORDS**S.PQ_SUBSPACES
+        )
+
+
 def test_incremental_dedup_matches_corpus_only(spark, sf_dir):
     """Every flagged doc is from the new batch, every verified match is at
     or above the Jaccard threshold, and dup counts are positive."""

@@ -83,6 +83,7 @@ def test_rollup_aggregates_in_two_phases(spark, sf_dir):
         dedup.q_minhash_dedup,
         dedup.q_diversity_sample,
         similarity.q_knn_bruteforce,
+        similarity.q_pq_quantize,
         text.q_bpe_merge_candidates,
     ],
     ids=lambda f: f.__name__,
