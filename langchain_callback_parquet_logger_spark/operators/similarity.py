@@ -845,12 +845,19 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_pq_quantize() -> str:
+    # The embedding list AND the codeword literals are cast to DOUBLE
+    # explicitly: a bare decimal literal parses as DECIMAL in DuckDB and
+    # FLOAT-DECIMAL arithmetic stays in float32, diverging from Spark's
+    # double math by ~1e-7 per vector (caught by the sf0.1 gate — enough
+    # labels there for the 6-dp rounding to flip).
     def dist_sql(s: int, c: int) -> str:
         terms = []
         for d in range(PQ_SUBDIM):
             i = s * PQ_SUBDIM + d + 1
             v = repr(PQ_CODEBOOK[s][c][d])
-            terms.append(f"(emb[{i}] - {v}) * (emb[{i}] - {v})")
+            terms.append(
+                f"(emb[{i}] - ({v})::DOUBLE) * (emb[{i}] - ({v})::DOUBLE)"
+            )
         return "(" + " + ".join(terms) + ")"
 
     lists = ",\n       ".join(
@@ -864,7 +871,7 @@ def _oracle_pq_quantize() -> str:
     )
     return f"""
 WITH e AS (
-  SELECT label, embedding AS emb FROM embeddings
+  SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
 ),
 d AS (
   SELECT label,
