@@ -210,6 +210,36 @@ COMMENTARY: dict[str, str] = {
         "(small for near-dup cliques), so 100 TB costs a handful of "
         "linear passes."
     ),
+    "q_bpe_merge_candidates": (
+        "One BPE-trainer iteration: linear adjacent-pair explode (codegen "
+        "HOFs, no Python), two-phase hash aggregate on the pair key, then "
+        "TakeOrderedAndProject for the top-K — per-partition heaps and a "
+        "driver merge, never a global sort of the pair-count table."
+    ),
+    "q_incremental_dedup": (
+        "New-batch-vs-corpus dedup: the batch's MinHash band keys "
+        "equi-join the corpus' band-key index (both sides filters over "
+        "one cached band frame here; in production the corpus side is the "
+        "stored signature index), exact Jaccard verifies only the "
+        "collisions. Corpus-internal pairs never recompute — cost is "
+        "linear in the batch plus its true collisions, however large the "
+        "corpus."
+    ),
+    "q_pq_quantize": (
+        "Product quantization in ONE scan projection: 64 subvector-to-"
+        "codeword distance folds per vector as codegen'd HOFs (codebook "
+        "literals live in the plan — no join, no Python), argmin via "
+        "array_min over (dist, idx) structs, then a two-phase aggregate "
+        "on label. The mean reconstruction error aggregates in fixed "
+        "point (1e9-quantized bigint), so combine order cannot flip the "
+        "6-dp rounding."
+    ),
+    "q_diversity_sample": (
+        "Linear simhash fingerprint scan + ONE hash aggregate on the "
+        "8-bit prefix bucket — the cheap semantic-coverage pass that runs "
+        "before any pairwise dedup; nothing in the plan grows faster than "
+        "the corpus."
+    ),
     "q_user_value_median": (
         "percentile(0.5) participates in the standard two-phase "
         "aggregation: partial state before the exchange, merge after — "

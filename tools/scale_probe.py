@@ -62,6 +62,8 @@ QUERIES = [
     "q_bpe_merge_candidates",
     "q_diversity_sample",
     "q_length_histogram",
+    "q_incremental_dedup",
+    "q_pq_quantize",
     "q_mixture_sample",
     "q_denylist_redact",
     "q_tfidf_top_terms",
