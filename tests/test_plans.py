@@ -206,6 +206,70 @@ def test_bpe_topk_is_take_ordered_not_global_sort(spark, sf_dir):
     assert "partial_count" in plan, plan  # two-phase aggregate
 
 
+def test_incremental_dedup_plan_is_band_join_with_cached_index(spark, sf_dir):
+    """The batch-vs-corpus join must be an equi-join on (band_id,
+    band_key) over the cached band frame — no cartesian, no Python, no
+    recompute of the signature pipeline per side."""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    df = dedup.q_incremental_dedup(spark, sf_dir)
+    try:
+        plan = _initial_plan(df)
+        assert "band_key" in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "EvalPython" not in plan, plan
+    finally:
+        release_caches()
+
+
+def test_sequence_pack_two_phase_equals_single_window(spark, sf_dir):
+    """The sharded prefix sum must reproduce the global per-lang cumsum
+    bin assignment byte-identically (the oracle runs the single-window
+    form; this pins the equivalence independently of DuckDB)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.operators import pipeline
+    from langchain_callback_parquet_logger_spark.operators.text import token_count_bpe
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        load_table,
+        release_caches,
+    )
+
+    try:
+        two_phase = {
+            (r.lang, r.bin): (r.n_docs, r.total_tokens)
+            for r in pipeline.q_sequence_pack(spark, sf_dir).collect()
+        }
+    finally:
+        release_caches()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count_bpe(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    single = {
+        (r.lang, r.bin): (r.n_docs, r.total_tokens)
+        for r in docs.select(
+            "lang",
+            "n_tokens",
+            F.floor(cum_before / F.lit(pipeline.PACK_BUDGET)).alias("bin"),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .collect()
+    }
+    assert two_phase == single
+
+
 def test_release_caches_empties_cache_manager(spark, sf_dir):
     """Tracked operator caches must be fully releasable: after an action +
     release_caches(), Spark's CacheManager holds nothing (the VERDICT-r3
