@@ -234,3 +234,27 @@ def test_materialized_rollup_incremental_merge(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert again == got
+
+
+def test_non_utc_session_cannot_shift_event_times(spark, sf_dir):
+    """ADVICE-r3 regression: a driver session with a non-UTC timezone that
+    runs a q_stream_* query FIRST (before any load_table, which also pins
+    UTC) must produce the same windows as a UTC session — both the batch
+    and streaming entry points re-apply pin_oracle_confs."""
+    from langchain_callback_parquet_logger_spark.streaming.ingest import (
+        q_stream_hourly_counts,
+    )
+
+    def rows():
+        return sorted(
+            (str(r.hour_start), r.event_type, r.n)
+            for r in q_stream_hourly_counts(spark, sf_dir).collect()
+        )
+
+    baseline = rows()  # UTC (pinned by the entry point itself)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        shifted_session = rows()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert shifted_session == baseline
