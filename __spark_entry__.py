@@ -128,18 +128,19 @@ _PRIORITY = [
     "q_corpus_clean",  # fixed-point avg_quality (order-insensitive)
     "q_sequence_pack",  # REBUILT: two-phase prefix sum
     "q_domain_cap",  # re-keyed on source (schema changed)
-    "q_dedup_clusters",  # consumes minhash pairs
     # -- NEW in round 4: first driver certification --
     "q_bpe_merge_candidates",  # BPE-trainer pair counting, top-K merge list
     "q_diversity_sample",  # one representative per simhash-prefix bucket
     "q_length_histogram",  # token-length bins (sizes PACK_BUDGET)
     "q_incremental_dedup",  # new-batch-vs-corpus LSH index join
     "q_pq_quantize",  # product-quantization codes + reconstruction error
+    "q_ensemble_dedup",  # fused text-Jaccard + embedding-cosine verdicts
 ]
 # Rotated out to make room (driver-green in r1-r3, r4 results unchanged —
 # q_exact_dedup/q_simhash/q_decontaminate saw only the spread() gate,
-# q_cross_source_dupes only upstream caching, q_mixture_sample no change;
-# the local full gate still covers them every round).
+# q_cross_source_dupes/q_dedup_clusters only upstream caching,
+# q_mixture_sample no change; the local full gate still covers them every
+# round).
 
 
 def entry(spark: SparkSession) -> DataFrame:

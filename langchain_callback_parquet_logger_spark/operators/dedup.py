@@ -688,6 +688,65 @@ FROM fp GROUP BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Ensemble dedup — fuse the two independent near-dup signals (word-shingle
+# MinHash Jaccard and embedding cosine) into one per-pair verdict. The
+# agreement matrix is the policy input real pipelines act on: text-only
+# hits are boilerplate/templating (same words, different meaning-context),
+# embedding-only hits are paraphrases (same meaning, different words),
+# both-signal hits are true duplicates to drop globally.
+#
+# Scale: a FULL OUTER equi-join of two pair lists, each already linear in
+# corpus + true near-dups (both come from banded LSH candidate plans) and
+# far smaller than the corpus — AQE picks the join strategy; no stage
+# touches raw text or vectors again. doc_id and vec_id are the same
+# entity id in the testdata (row i of documents embeds to row i of
+# embeddings), mirroring a production corpus where the embedding table is
+# derived from the document table.
+# ---------------------------------------------------------------------------
+
+
+def q_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import q_embedding_dedup
+
+    tp = q_minhash_dedup(spark, sf_dir).withColumnRenamed(
+        "jaccard", "text_jaccard"
+    )
+    ep = q_embedding_dedup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.col("sim").alias("cosine_sim"),
+    )
+    joined = tp.join(ep, ["doc_a", "doc_b"], "full_outer")
+    n_signals = F.when(F.col("text_jaccard").isNotNull(), 1).otherwise(0) + F.when(
+        F.col("cosine_sim").isNotNull(), 1
+    ).otherwise(0)
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "text_jaccard",
+        "cosine_sim",
+        n_signals.alias("n_signals"),
+    )
+
+
+def _oracle_ensemble_dedup() -> str:
+    from .similarity import _oracle_embedding_dedup
+
+    return f"""
+WITH tp AS ({_oracle_minhash()}),
+ep AS ({_oracle_embedding_dedup()})
+SELECT COALESCE(tp.doc_a, ep.vec_a) AS doc_a,
+       COALESCE(tp.doc_b, ep.vec_b) AS doc_b,
+       tp.jaccard AS text_jaccard,
+       ep.sim AS cosine_sim,
+       (CASE WHEN tp.jaccard IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN ep.sim IS NULL THEN 0 ELSE 1 END) AS n_signals
+FROM tp FULL OUTER JOIN ep
+  ON tp.doc_a = ep.vec_a AND tp.doc_b = ep.vec_b
+"""
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_decontaminate": q_decontaminate,
@@ -698,6 +757,7 @@ QUERIES = {
     "q_cross_source_dupes": q_cross_source_dupes,
     "q_diversity_sample": q_diversity_sample,
     "q_incremental_dedup": q_incremental_dedup,
+    "q_ensemble_dedup": q_ensemble_dedup,
 }
 
 ORACLES = {
@@ -710,4 +770,5 @@ ORACLES = {
     "q_cross_source_dupes": _oracle_cross_source_dupes(),
     "q_diversity_sample": _oracle_diversity_sample(),
     "q_incremental_dedup": _oracle_incremental_dedup(),
+    "q_ensemble_dedup": _oracle_ensemble_dedup(),
 }

@@ -125,6 +125,24 @@ def test_pq_quantize_error_bounded_and_codes_valid(spark, sf_dir):
         )
 
 
+def test_ensemble_dedup_signal_consistency(spark, sf_dir):
+    """Every row carries at least one signal; n_signals counts the
+    non-null signals; both signal sets are faithfully represented."""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        rows = D.q_ensemble_dedup(spark, sf_dir).collect()
+        text_pairs = {
+            (r.doc_a, r.doc_b) for r in D.q_minhash_dedup(spark, sf_dir).collect()
+        }
+    finally:
+        release_caches()
+    for r in rows:
+        got = (r.text_jaccard is not None) + (r.cosine_sim is not None)
+        assert got == r.n_signals >= 1
+        assert ((r.doc_a, r.doc_b) in text_pairs) == (r.text_jaccard is not None)
+
+
 def test_incremental_dedup_matches_corpus_only(spark, sf_dir):
     """Every flagged doc is from the new batch, every verified match is at
     or above the Jaccard threshold, and dup counts are positive."""
