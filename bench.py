@@ -73,12 +73,16 @@ HEADLINE = [
     "q_simhash_pairs",
     "q_decontaminate",
     "q_dedup_clusters",
+    "q_incremental_dedup",
+    "q_ensemble_dedup",
+    "q_diversity_sample",
     # similarity search
     "q_knn_bruteforce",
     "q_knn_lsh",
     "q_kmeans_ivf",
     "q_embedding_dedup",
     "q_embedding_quantize",
+    "q_pq_quantize",
     # temporal joins
     "q_asof_join",
     "q_range_join_banded",
@@ -89,6 +93,8 @@ HEADLINE = [
     "q_corpus_clean",
     "q_sequence_pack",
     "q_mixture_sample",
+    "q_bpe_merge_candidates",
+    "q_length_histogram",
     # streaming
     "q_stream_hourly_counts",
     "q_stream_join",

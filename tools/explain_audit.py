@@ -234,6 +234,13 @@ COMMENTARY: dict[str, str] = {
         "point (1e9-quantized bigint), so combine order cannot flip the "
         "6-dp rounding."
     ),
+    "q_ensemble_dedup": (
+        "Signal fusion: FULL OUTER equi-join of the MinHash pair list and "
+        "the embedding-LSH pair list — both banded-candidate outputs "
+        "already linear in corpus + true near-dups, far smaller than the "
+        "corpus, so the fusion is one AQE-planned join over pair frames; "
+        "raw text and vectors are never touched again."
+    ),
     "q_diversity_sample": (
         "Linear simhash fingerprint scan + ONE hash aggregate on the "
         "8-bit prefix bucket — the cheap semantic-coverage pass that runs "

@@ -64,6 +64,7 @@ QUERIES = [
     "q_length_histogram",
     "q_incremental_dedup",
     "q_pq_quantize",
+    "q_ensemble_dedup",
     "q_mixture_sample",
     "q_denylist_redact",
     "q_tfidf_top_terms",
