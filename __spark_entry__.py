@@ -122,7 +122,6 @@ _PRIORITY = [
     "q_rolling_hash",
     # -- changed or plan-affected this round: re-certify --
     "q_ngram_jaccard",  # size-dim broadcast hints removed
-    "q_minhash_dedup",  # tracked caching
     "q_simhash_pairs",  # REBUILT: band-prefix blocking (result set changed)
     "q_embedding_dedup",  # tracked caching
     "q_corpus_clean",  # fixed-point avg_quality (order-insensitive)
@@ -135,10 +134,13 @@ _PRIORITY = [
     "q_incremental_dedup",  # new-batch-vs-corpus LSH index join
     "q_pq_quantize",  # product-quantization codes + reconstruction error
     "q_ensemble_dedup",  # fused text-Jaccard + embedding-cosine verdicts
+    "q_stream_incremental_dedup",  # stream-static ingest dedup (foreachBatch)
 ]
 # Rotated out to make room (driver-green in r1-r3, r4 results unchanged —
 # q_exact_dedup/q_simhash/q_decontaminate saw only the spread() gate,
-# q_cross_source_dupes/q_dedup_clusters only upstream caching,
+# q_cross_source_dupes/q_dedup_clusters/q_minhash_dedup only upstream or
+# internal caching (and the minhash pipeline is value-re-verified inside
+# the in-window q_ensemble_dedup/q_incremental_dedup/q_cross_source_dupes),
 # q_mixture_sample no change; the local full gate still covers them every
 # round).
 

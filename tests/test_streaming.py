@@ -258,3 +258,28 @@ def test_non_utc_session_cannot_shift_event_times(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert shifted_session == baseline
+
+
+def test_stream_incremental_dedup_equals_batch_operator(spark, sf_dir):
+    """The stream-static form must produce exactly the batch operator's
+    verdicts once the availableNow drain replays the table."""
+    from langchain_callback_parquet_logger_spark.operators.dedup import (
+        q_incremental_dedup,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+    from langchain_callback_parquet_logger_spark.streaming.ingest import (
+        q_stream_incremental_dedup,
+    )
+
+    try:
+        streamed = {
+            (r.new_doc_id, r.n_corpus_dups, r.best_jaccard)
+            for r in q_stream_incremental_dedup(spark, sf_dir).collect()
+        }
+        batch = {
+            (r.new_doc_id, r.n_corpus_dups, r.best_jaccard)
+            for r in q_incremental_dedup(spark, sf_dir).collect()
+        }
+    finally:
+        release_caches()
+    assert streamed == batch
