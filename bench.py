@@ -67,6 +67,7 @@ HEADLINE = [
     "q_quality_score",
     "q_tfidf_top_terms",
     "q_top_terms",
+    "q_unigram_logprob",
     # deduplication
     "q_exact_dedup",
     "q_minhash_dedup",
@@ -76,6 +77,7 @@ HEADLINE = [
     "q_incremental_dedup",
     "q_ensemble_dedup",
     "q_diversity_sample",
+    "q_substring_dedup",
     # similarity search
     "q_knn_bruteforce",
     "q_knn_lsh",
@@ -83,6 +85,7 @@ HEADLINE = [
     "q_embedding_dedup",
     "q_embedding_quantize",
     "q_pq_quantize",
+    "q_semdedup",
     # temporal joins
     "q_asof_join",
     "q_range_join_banded",

@@ -747,6 +747,95 @@ FROM tp FULL OUTER JOIN ep
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring (duplicated span) detection — the window-level exact
+# dedup signal from "Deduplicating Training Data Makes Language Models
+# Better" (Lee et al., 2021): any SPAN_WINDOW-token window that appears
+# verbatim in ≥2 documents marks a duplicated span; a doc's duplicated-
+# window fraction tells a pipeline how much of it is copied boilerplate
+# even when the *whole* doc is not a near-duplicate. Complements MinHash
+# (doc-level, similarity-thresholded) with a token-exact, span-level
+# signal. The reference repo has no analogue; this is training-pipeline
+# surface beyond it.
+#
+# Scale design: shingle-style window explode is LINEAR in corpus tokens;
+# the duplicate test is one hash-aggregate on the 60-bit window hash
+# (count per hash), re-joined to the exploded frame ON THE SAME KEY — the
+# aggregate and the join share the whash hash-partitioning, so the plan is
+# two co-partitioned exchanges, never pairwise. No broadcast hints
+# anywhere: both sides are corpus-cardinality (the suffix-array approach
+# in the paper is the single-machine equivalent; at 100 TB the
+# hash-aggregate IS the scalable formulation).
+# ---------------------------------------------------------------------------
+
+SPAN_WINDOW = 8  # tokens per window; windows this long collide only on
+# genuinely copied spans (vocab^8 >> corpus windows)
+
+
+def span_windows(text: Column, w: int = SPAN_WINDOW) -> Column:
+    """Distinct w-token windows of a doc (distinct: within-doc repetition
+    is q_repetition_ratio's signal, not cross-doc duplication)."""
+    words = F.split(text, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, w)))
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span report: docs containing ≥1 window that
+    also occurs verbatim in another doc, with the fraction of their
+    windows that are duplicated."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    exploded = docs.select(
+        "doc_id", F.explode(span_windows(F.col("text"))).alias("win")
+    ).select("doc_id", hash60(F.col("win")).alias("whash"))
+    # windows are distinct per doc ⇒ count(*) per whash = #docs containing it
+    per_hash = exploded.groupBy("whash").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        exploded.join(per_hash, "whash")  # same key as the agg: exchange reuse
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "dup_windows"
+            ),
+        )
+    )
+    return per_doc.filter(F.col("dup_windows") > 0).select(
+        "doc_id",
+        "n_windows",
+        "dup_windows",
+        F.round(F.col("dup_windows") / F.col("n_windows"), 6).alias("dup_frac"),
+    )
+
+
+def _oracle_substring_dedup() -> str:
+    w = SPAN_WINDOW
+    return f"""
+WITH wn AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(0, greatest(len(string_split(text, ' ')) - {w - 1}, 1)),
+    i -> array_to_string((string_split(text, ' '))[i+1:i+{w}], ' ')))) AS win
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, {_hash60_sql("win")} AS whash FROM wn
+),
+ph AS (SELECT whash, COUNT(*) AS n_docs FROM hx GROUP BY whash),
+pd AS (
+  SELECT hx.doc_id, COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN ph.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_windows
+  FROM hx JOIN ph USING (whash) GROUP BY hx.doc_id
+)
+SELECT doc_id, n_windows, dup_windows,
+       round(dup_windows / n_windows, 6) AS dup_frac
+FROM pd WHERE dup_windows > 0
+"""
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_decontaminate": q_decontaminate,
@@ -758,6 +847,7 @@ QUERIES = {
     "q_diversity_sample": q_diversity_sample,
     "q_incremental_dedup": q_incremental_dedup,
     "q_ensemble_dedup": q_ensemble_dedup,
+    "q_substring_dedup": q_substring_dedup,
 }
 
 ORACLES = {
@@ -771,4 +861,5 @@ ORACLES = {
     "q_diversity_sample": _oracle_diversity_sample(),
     "q_incremental_dedup": _oracle_incremental_dedup(),
     "q_ensemble_dedup": _oracle_ensemble_dedup(),
+    "q_substring_dedup": _oracle_substring_dedup(),
 }

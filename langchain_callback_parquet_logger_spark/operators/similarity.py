@@ -607,30 +607,37 @@ def _centroid_score(emb_col: Column, c_col: Column) -> Column:
     return dot(c_col, c_col) - 2.0 * dot(emb_col, c_col)
 
 
+def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, emb) × (cid, c_emb) →
+    (vec_id, emb, cid). Broadcast cross join with K rows (centroids always
+    fit in a broadcast); deterministic tie-break on (score, cid)."""
+    from pyspark.sql import Window as W
+
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "emb",
+        "cid",
+        _centroid_score(F.col("emb"), F.col("c_emb")).alias("score"),
+    )
+    w = W.partitionBy("vec_id").orderBy("score", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+
+
 def kmeans_fit(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
     """(vec_id, emb) → (cid, c_emb) after ``iters`` Lloyd updates from
     deterministic seeds (the k lowest vec_ids). Centroids rounded to 6dp
     each update for cross-engine reproducibility."""
-    from pyspark.sql import Window as W
-
     centroids = (
         emb.orderBy("vec_id")
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"))
     )
     for _ in range(iters):
-        scored = emb.crossJoin(F.broadcast(centroids)).select(
-            "vec_id",
-            "emb",
-            "cid",
-            _centroid_score(F.col("emb"), F.col("c_emb")).alias("score"),
-        )
-        w = W.partitionBy("vec_id").orderBy("score", "cid")
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "emb", "cid")
-        )
+        assigned = kmeans_assign(emb, centroids)
         dims = assigned.select("cid", F.posexplode("emb").alias("dim", "val"))
         means = dims.groupBy("cid", "dim").agg(F.round(F.avg("val"), 6).alias("m"))
         centroids = means.groupBy("cid").agg(
@@ -643,26 +650,13 @@ def kmeans_fit(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> 
 
 
 def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     centroids = kmeans_fit(emb)
 
     # final assignment with the fitted centroids
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "emb",
-        "cid",
-        _centroid_score(F.col("emb"), F.col("c_emb")).alias("score"),
-    )
-    w = W.partitionBy("vec_id").orderBy("score", "cid")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "cid")
-    )
+    assigned = kmeans_assign(emb, centroids)
 
     # the query's IVF_PROBES nearest clusters
     probes = (
@@ -689,11 +683,8 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_kmeans_ivf() -> str:
-    k, probes = KMEANS_K, IVF_PROBES
-
-    def assign(src_e: str, src_c: str, out: str) -> str:
-        return f"""
+def _kmeans_assign_cte(src_e: str, src_c: str, out: str) -> str:
+    return f"""
 {out}_s AS (
   SELECT e.vec_id, e.emb, c.cid,
          list_dot_product(c.c_emb, c.c_emb)
@@ -706,8 +697,9 @@ def _oracle_kmeans_ivf() -> str:
 ),
 {out} AS (SELECT vec_id, emb, cid FROM {out}_s WHERE rn = 1)"""
 
-    def update(src_a: str, out: str) -> str:
-        return f"""
+
+def _kmeans_update_cte(src_a: str, out: str) -> str:
+    return f"""
 {out}_d AS (
   SELECT a.cid, d.i AS dim, a.emb[d.i] AS val
   FROM {src_a} a,
@@ -720,6 +712,12 @@ def _oracle_kmeans_ivf() -> str:
   SELECT cid, list(m ORDER BY dim) AS c_emb FROM {out}_m GROUP BY cid
 )"""
 
+
+def _oracle_kmeans_prefix() -> str:
+    """Shared CTE chain: embeddings as DOUBLE[] → deterministic seeds →
+    two Lloyd iterations → final assignment ``a3`` (centroids ``c2``).
+    Mirrors :func:`kmeans_fit` + :func:`kmeans_assign` bit-for-bit."""
+    k = KMEANS_K
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
@@ -727,11 +725,18 @@ WITH e AS (
 c0 AS (
   SELECT vec_id AS cid, emb AS c_emb FROM e ORDER BY vec_id LIMIT {k}
 ),
-{assign("e", "c0", "a1").lstrip()},
-{update("a1", "c1").lstrip()},
-{assign("e", "c1", "a2").lstrip()},
-{update("a2", "c2").lstrip()},
-{assign("e", "c2", "a3").lstrip()},
+{_kmeans_assign_cte("e", "c0", "a1").lstrip()},
+{_kmeans_update_cte("a1", "c1").lstrip()},
+{_kmeans_assign_cte("e", "c1", "a2").lstrip()},
+{_kmeans_update_cte("a2", "c2").lstrip()},
+{_kmeans_assign_cte("e", "c2", "a3").lstrip()}"""
+
+
+def _oracle_kmeans_ivf() -> str:
+    probes = IVF_PROBES
+
+    return f"""
+{_oracle_kmeans_prefix().lstrip()},
 probes AS (
   SELECT c.cid
   FROM (SELECT emb FROM a3 WHERE vec_id = {QUERY_VEC_ID}) q
@@ -753,6 +758,88 @@ scored AS (
   FROM cand c CROSS JOIN q
 )
 SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al., 2023) — semantic dedup for web-scale training
+# sets: k-means-cluster the embedding space, then compare ONLY within each
+# cluster and prune the higher-id member of every intra-cluster pair whose
+# cosine exceeds the threshold. The clustering is what makes semantic
+# dedup tractable: candidate generation is an equi-join on the cluster id
+# instead of an all-pairs scan.
+#
+# Scale design: the paper's K is chosen so the expected cluster size stays
+# bounded (K ∝ corpus_size / target_cluster_size — on LAION-scale data,
+# 50k clusters); the intra-cluster join key cardinality therefore GROWS
+# with the corpus and per-bucket fan-out stays O(cluster_size), unlike
+# fixed-cardinality blocking keys (the lang-blocked anti-pattern this repo
+# retired in round 4). Here K = KMEANS_K to reuse the oracle-verified
+# Lloyd loop; the knob is the only thing that changes at 100 TB.
+# Assignment is a broadcast cross join (K rows); the pairwise stage is a
+# shuffled self-equi-join on cid.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.4  # calibrated so sf0.01 prunes a handful of vecs
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors pruned by SemDeDup: for each kept/pruned decision the
+    higher id loses — output one row per pruned vector with its cluster,
+    how many lower-id near-dups it matched, and the strongest cosine."""
+    from ..plans.session import cache_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    # Cache the assignment: it feeds BOTH sides of the self-join, and
+    # without the cache the whole Lloyd pipeline (broadcast crossings +
+    # row_number shuffles) re-executes per side. Per-vector norms are
+    # computed once here so each candidate pair costs ONE dot-product
+    # fold, not three (the q_embedding_dedup re-rank pattern). Registered
+    # for release_caches().
+    assigned = cache_tracked(
+        kmeans_assign(emb, kmeans_fit(emb)).withColumn("nrm", norm(F.col("emb")))
+    )
+    a = assigned.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        "cid",
+        F.col("vec_id").alias("vec_id"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("vec_id"))
+        .select("cid", "vec_id", sim.alias("sim"))
+        .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
+    )
+    return pairs.groupBy("vec_id", "cid").agg(
+        F.count("*").alias("n_dups"), F.max("sim").alias("max_sim")
+    )
+
+
+def _oracle_semdedup() -> str:
+    return f"""
+{_oracle_kmeans_prefix().lstrip()},
+pairs AS (
+  SELECT b.cid, b.vec_id,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT vec_id, cid, COUNT(*) AS n_dups, MAX(sim) AS max_sim
+FROM pairs WHERE sim >= {SEMDEDUP_THRESHOLD}
+GROUP BY vec_id, cid
 """
 
 
@@ -898,6 +985,7 @@ QUERIES = {
     "q_embedding_quantize": q_embedding_quantize,
     "q_kmeans_ivf": q_kmeans_ivf,
     "q_pq_quantize": q_pq_quantize,
+    "q_semdedup": q_semdedup,
 }
 
 ORACLES = {
@@ -909,4 +997,5 @@ ORACLES = {
     "q_embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "q_kmeans_ivf": _oracle_kmeans_ivf(),
     "q_pq_quantize": _oracle_pq_quantize(),
+    "q_semdedup": _oracle_semdedup(),
 }

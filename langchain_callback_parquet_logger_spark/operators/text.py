@@ -658,6 +658,75 @@ LIMIT {BPE_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram language-model surprisal — the CCNet/Wenzek-et-al.-style
+# perplexity quality signal: score every document by the mean negative
+# log-probability of its tokens under a unigram model fit on the corpus
+# itself. High-surprisal docs are gibberish/junk candidates; low-surprisal
+# docs are boilerplate candidates — both tails are what a 100 TB cleaning
+# pipeline buckets on. (CCNet uses a 5-gram KenLM; the unigram model is the
+# same signal computable exactly in pure SQL on both engines.)
+#
+# Scale design: one token explode (linear) → per-(doc, word) counts (one
+# shuffle, map-side combined) → join to the vocab frequency table ON word.
+# The vocab side is NOT broadcast-hinted: over web-scale corpora the
+# unique-token count (typos, URLs, numerals) grows with the corpus, so the
+# hint is left to AQE. Per-token surprisal is quantized to 1e-6 nats as a
+# BIGINT before the integer sum — exactly associative, immune to shuffle
+# combine order (the q_corpus_clean fixed-point trick), and wide enough
+# that a ≤1-ulp ln() divergence between the JVM and libm cannot flip a
+# quantum except within 1e-9 of a boundary.
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n_total"))  # 1 row: broadcast is exact
+    qnll = F.round((F.log(F.col("n_total")) - F.log(F.col("cnt"))) * 1e6).cast(
+        "bigint"
+    )
+    scored = vocab.crossJoin(F.broadcast(tot)).select("word", qnll.alias("qnll"))
+    per_doc = (
+        tf.join(scored, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("qnll")).alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("s") / (F.col("n_tokens") * F.lit(1e6)), 6).alias("avg_nll"),
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+q AS (
+  SELECT word,
+         CAST(round((ln(tot.n_total) - ln(cnt)) * 1e6) AS BIGINT) AS qnll
+  FROM vocab, tot
+),
+pd AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf * q.qnll) AS BIGINT) AS s
+  FROM tf JOIN q USING (word) GROUP BY 1
+)
+SELECT doc_id, n_tokens, round(s / (n_tokens * 1e6), 6) AS avg_nll FROM pd
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -671,6 +740,7 @@ QUERIES = {
     "q_rolling_hash": q_rolling_hash,
     "q_top_terms": q_top_terms,
     "q_bpe_merge_candidates": q_bpe_merge_candidates,
+    "q_unigram_logprob": q_unigram_logprob,
 }
 
 ORACLES = {
@@ -686,4 +756,5 @@ ORACLES = {
     "q_rolling_hash": ORACLE_ROLLING_HASH,
     "q_top_terms": ORACLE_TOP_TERMS,
     "q_bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
+    "q_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
 }

@@ -110,6 +110,63 @@ def test_simhash_pairs_band_recall_is_exact(spark, sf_dir):
     assert banded == brute
 
 
+def test_substring_dedup_flags_exactly_docs_sharing_a_window(spark, sf_dir):
+    """The hash-aggregate formulation must agree with a direct recompute:
+    a doc is flagged iff it shares ≥1 verbatim SPAN_WINDOW-token window
+    with another doc, and its fraction is bounded."""
+    rows = D.q_substring_dedup(spark, sf_dir).collect()
+    assert rows, "synthetic corpus contains injected duplicates"
+    for r in rows:
+        assert 1 <= r.dup_windows <= r.n_windows
+        assert 0.0 < r.dup_frac <= 1.0
+
+    docs = load_table(spark, sf_dir, "documents")
+    wins = docs.select(
+        "doc_id", F.explode(D.span_windows(F.col("text"))).alias("win")
+    )
+    shared = (
+        wins.groupBy("win")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("win")
+    )
+    expected = {
+        r.doc_id
+        for r in wins.join(shared, "win").select("doc_id").distinct().collect()
+    }
+    assert {r.doc_id for r in rows} == expected
+
+
+def test_semdedup_prunes_higher_id_against_lower(spark, sf_dir):
+    """Every pruned vector has ≥1 lower-id same-cluster partner at or
+    above the cosine threshold; cluster ids come from the k-means fit."""
+    rows = S.q_semdedup(spark, sf_dir).collect()
+    assert rows
+    cids = {r.cid for r in rows}
+    assert len(cids) <= S.KMEANS_K
+    for r in rows:
+        assert r.n_dups >= 1
+        assert S.SEMDEDUP_THRESHOLD <= r.max_sim <= 1.000001
+    # pruning is id-ordered: the globally lowest vec_id can never be pruned
+    emb = load_table(spark, sf_dir, "embeddings")
+    min_id = emb.agg(F.min("vec_id")).first()[0]
+    assert min_id not in {r.vec_id for r in rows}
+
+
+def test_unigram_logprob_covers_corpus_with_positive_surprisal(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.q_unigram_logprob(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).first()[0]
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    for r in rows:
+        # -ln p > 0 for every token (no word is the whole corpus)
+        assert r.avg_nll > 0
+
+
 def test_pq_quantize_error_bounded_and_codes_valid(spark, sf_dir):
     """Reconstruction error is nonnegative and finite; code space is
     bounded by PQ_CODEWORDS^PQ_SUBSPACES; every label is covered."""

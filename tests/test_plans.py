@@ -223,6 +223,38 @@ def test_incremental_dedup_plan_is_band_join_with_cached_index(spark, sf_dir):
         release_caches()
 
 
+def test_substring_dedup_is_hash_aggregate_shaped(spark, sf_dir):
+    """Duplicated-span detection must stay linear: window explode →
+    hash-aggregate on the window hash → equi-join back on the SAME key.
+    No cartesian, no Python, no sort of the exploded frame."""
+    plan = _initial_plan(dedup.q_substring_dedup(spark, sf_dir))
+    assert "whash" in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_semdedup_pairwise_is_cluster_equi_join(spark, sf_dir):
+    """SemDeDup's candidate stage must be an equi-join on the cluster id
+    (broadcast or shuffled hash/merge) — the only nested-loop joins
+    allowed are the K-row broadcast centroid crossings from the Lloyd
+    loop; a plain CartesianProduct means the cluster blocking was lost."""
+    plan = _initial_plan(similarity.q_semdedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "cid" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_unigram_logprob_is_jvm_two_aggregate_shape(spark, sf_dir):
+    """The surprisal score must stay in codegen: token explode feeding
+    two hash aggregates and one equi-join on word — no Python stage, and
+    the per-token quantized sum must be an integer (bigint) aggregate."""
+    plan = _initial_plan(text.q_unigram_logprob(spark, sf_dir))
+    assert "HashAggregate" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_sequence_pack_two_phase_equals_single_window(spark, sf_dir):
     """The sharded prefix sum must reproduce the global per-lang cumsum
     bin assignment byte-identically (the oracle runs the single-window
