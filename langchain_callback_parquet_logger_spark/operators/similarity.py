@@ -610,21 +610,28 @@ def _centroid_score(emb_col: Column, c_col: Column) -> Column:
 def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (vec_id, emb) × (cid, c_emb) →
     (vec_id, emb, cid). Broadcast cross join with K rows (centroids always
-    fit in a broadcast); deterministic tie-break on (score, cid)."""
-    from pyspark.sql import Window as W
+    fit in a broadcast); argmin via ``min(struct(score, cid))`` —
+    lexicographic struct ordering = lowest score, ties to the lowest cid,
+    identical to the oracle's ROW_NUMBER OVER (ORDER BY score, cid).
 
+    The aggregate form matters at scale: the scored frame is NARROW
+    (vec_id, cid, score — no vector payload), so the per-vector argmin is
+    a map-side-combined hash aggregate that shuffles ONE narrow row per
+    vector regardless of K. A window over the K-fanned frame would drag
+    the d-dim embedding through a K×n-row sort shuffle — at K=50k
+    (SemDeDup-scale cluster counts) that is the difference between a
+    gigabyte and a petabyte of shuffle."""
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
-        "emb",
         "cid",
         _centroid_score(F.col("emb"), F.col("c_emb")).alias("score"),
     )
-    w = W.partitionBy("vec_id").orderBy("score", "cid")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "cid")
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("score", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"))
     )
+    return emb.join(best, "vec_id").select("vec_id", "emb", "cid")
 
 
 def kmeans_fit(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
@@ -713,11 +720,13 @@ def _kmeans_update_cte(src_a: str, out: str) -> str:
 )"""
 
 
-def _oracle_kmeans_prefix() -> str:
+def _oracle_kmeans_prefix(k_expr: str | None = None) -> str:
     """Shared CTE chain: embeddings as DOUBLE[] → deterministic seeds →
     two Lloyd iterations → final assignment ``a3`` (centroids ``c2``).
-    Mirrors :func:`kmeans_fit` + :func:`kmeans_assign` bit-for-bit."""
-    k = KMEANS_K
+    Mirrors :func:`kmeans_fit` + :func:`kmeans_assign` bit-for-bit.
+    ``k_expr`` is the seed-count LIMIT expression — a literal by default,
+    a scalar subquery for data-adaptive K (q_semdedup)."""
+    k = k_expr or str(KMEANS_K)
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
@@ -769,18 +778,23 @@ SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
 # dedup tractable: candidate generation is an equi-join on the cluster id
 # instead of an all-pairs scan.
 #
-# Scale design: the paper's K is chosen so the expected cluster size stays
-# bounded (K ∝ corpus_size / target_cluster_size — on LAION-scale data,
-# 50k clusters); the intra-cluster join key cardinality therefore GROWS
-# with the corpus and per-bucket fan-out stays O(cluster_size), unlike
-# fixed-cardinality blocking keys (the lang-blocked anti-pattern this repo
-# retired in round 4). Here K = KMEANS_K to reuse the oracle-verified
-# Lloyd loop; the knob is the only thing that changes at 100 TB.
-# Assignment is a broadcast cross join (K rows); the pairwise stage is a
-# shuffled self-equi-join on cid.
+# Scale design: K is DATA-ADAPTIVE — K = n / SEMDEDUP_TARGET_CLUSTER
+# (floored at KMEANS_K), exactly the paper's knob (50k clusters on
+# LAION-scale data). The intra-cluster join-key cardinality therefore
+# GROWS with the corpus and per-bucket fan-out stays O(target cluster
+# size), unlike fixed-cardinality blocking keys (the lang-blocked
+# anti-pattern this repo retired in round 4): the pairwise stage is
+# n·target_cluster_size — LINEAR in the corpus. The remaining n·K term is
+# the centroid assignment itself: map-only dot products, no shuffle
+# growth (kmeans_assign keeps the argmin narrow), embarrassingly parallel
+# — the term you buy GPUs/ANN-assignment for in production, and the one
+# that parallelizes perfectly on a 1000-executor cluster. Sizing K costs
+# one scalar count() on the driver (same legitimacy as
+# connected_components' convergence probe).
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_THRESHOLD = 0.4  # calibrated so sf0.01 prunes a handful of vecs
+SEMDEDUP_TARGET_CLUSTER = 125  # expected vectors per cluster; K = n / this
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,6 +806,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
+    k = max(KMEANS_K, emb.count() // SEMDEDUP_TARGET_CLUSTER)
     # Cache the assignment: it feeds BOTH sides of the self-join, and
     # without the cache the whole Lloyd pipeline (broadcast crossings +
     # row_number shuffles) re-executes per side. Per-vector norms are
@@ -799,7 +814,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold, not three (the q_embedding_dedup re-rank pattern). Registered
     # for release_caches().
     assigned = cache_tracked(
-        kmeans_assign(emb, kmeans_fit(emb)).withColumn("nrm", norm(F.col("emb")))
+        kmeans_assign(emb, kmeans_fit(emb, k=k)).withColumn(
+            "nrm", norm(F.col("emb"))
+        )
     )
     a = assigned.select(
         "cid",
@@ -828,8 +845,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_semdedup() -> str:
+    k_expr = (
+        f"(SELECT greatest({KMEANS_K}, count(*) // {SEMDEDUP_TARGET_CLUSTER})"
+        " FROM e)"
+    )
     return f"""
-{_oracle_kmeans_prefix().lstrip()},
+{_oracle_kmeans_prefix(k_expr).lstrip()},
 pairs AS (
   SELECT b.cid, b.vec_id,
          round(list_dot_product(a.emb, b.emb)

@@ -142,8 +142,10 @@ def test_semdedup_prunes_higher_id_against_lower(spark, sf_dir):
     above the cosine threshold; cluster ids come from the k-means fit."""
     rows = S.q_semdedup(spark, sf_dir).collect()
     assert rows
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(S.KMEANS_K, emb.count() // S.SEMDEDUP_TARGET_CLUSTER)
     cids = {r.cid for r in rows}
-    assert len(cids) <= S.KMEANS_K
+    assert len(cids) <= k
     for r in rows:
         assert r.n_dups >= 1
         assert S.SEMDEDUP_THRESHOLD <= r.max_sim <= 1.000001

@@ -80,6 +80,9 @@ QUERIES = [
     "q_user_value_median",
     "q_user_value_p90",
     "q_stream_hourly_counts",
+    "q_substring_dedup",
+    "q_semdedup",
+    "q_unigram_logprob",
 ]
 
 
