@@ -247,6 +247,35 @@ COMMENTARY: dict[str, str] = {
         "before any pairwise dedup; nothing in the plan grows faster than "
         "the corpus."
     ),
+    "q_substring_dedup": (
+        "Exact duplicated-span detection stays linear: window explode "
+        "(one row per 8-token window), hash60 projection, then a "
+        "hash-aggregate on whash and an equi-join back ON THE SAME KEY — "
+        "the aggregate and the join share the whash partitioning, so the "
+        "plan is two co-partitioned exchanges and no pairwise stage. The "
+        "per-doc rollup shuffles one row per (doc, window) with map-side "
+        "combine; nothing is quadratic in duplicate density."
+    ),
+    "q_semdedup": (
+        "SemDeDup with data-adaptive K (n / target cluster size): the "
+        "centroid assignment is a K-row broadcast cross join whose argmin "
+        "is min(struct(score, cid)) over a NARROW (vec_id, cid, score) "
+        "frame — one map-side-combined row per vector through the "
+        "exchange regardless of K — and the pairwise stage is an "
+        "equi-join on cid whose per-bucket fan-out is capped by the "
+        "target cluster size, so total pair volume is linear in the "
+        "corpus. No CartesianProduct; the only nested-loop joins are the "
+        "bounded centroid broadcasts."
+    ),
+    "q_unigram_logprob": (
+        "Corpus-fit unigram surprisal: token explode feeds two hash "
+        "aggregates (per-(doc, word) tf with map-side combine; global "
+        "vocab counts) and one equi-join on word — the vocab side "
+        "carries no broadcast hint because web-scale unique-token counts "
+        "grow with the corpus (AQE decides). Per-token nll is quantized "
+        "to 1e-6 nats as bigint so the doc sum is exactly associative "
+        "under any combine order."
+    ),
     "q_user_value_median": (
         "percentile(0.5) participates in the standard two-phase "
         "aggregation: partial state before the exchange, merge after — "
