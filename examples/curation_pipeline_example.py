@@ -13,8 +13,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from langchain_callback_parquet_logger_spark import get_spark, load_table
 from langchain_callback_parquet_logger_spark.operators.graph import q_dedup_clusters
 from langchain_callback_parquet_logger_spark.operators.pipeline import clean_corpus
+from langchain_callback_parquet_logger_spark.operators.dedup import (
+    q_substring_dedup,
+)
 from langchain_callback_parquet_logger_spark.operators.similarity import (
     q_knn_bruteforce,
+    q_semdedup,
+)
+from langchain_callback_parquet_logger_spark.operators.text import (
+    q_unigram_logprob,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -30,6 +37,20 @@ def main() -> None:
 
     clusters = q_dedup_clusters(spark, SF_DIR)
     print(f"near-dup clusters: {clusters.count()}")
+
+    # span-level signal: docs with verbatim 8-token windows shared across
+    # the corpus (copied boilerplate even when the doc is not a near-dup)
+    spans = q_substring_dedup(spark, SF_DIR)
+    print(f"docs with duplicated spans: {spans.count()}")
+
+    # semantic dedup: intra-cluster cosine prune over the embedding space
+    pruned = q_semdedup(spark, SF_DIR)
+    print(f"vectors pruned by SemDeDup: {pruned.count()}")
+
+    # unigram-surprisal quality tails: gibberish (high) / boilerplate (low)
+    nll = q_unigram_logprob(spark, SF_DIR)
+    nll.orderBy("avg_nll").limit(3).show()
+    nll.orderBy(nll.avg_nll.desc()).limit(3).show()
 
     knn = q_knn_bruteforce(spark, SF_DIR)
     knn.show(5, truncate=False)

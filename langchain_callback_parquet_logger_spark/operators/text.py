@@ -679,18 +679,27 @@ LIMIT {BPE_TOP_K}
 # ---------------------------------------------------------------------------
 
 
+def unigram_model(tok: DataFrame) -> DataFrame:
+    """(.., word) → (word, qnll): per-token surprisal −ln(cnt/N) under the
+    corpus unigram model, quantized to 1e-6 nats as bigint. The quantized
+    value is the cross-engine contract (JVM ``Math.log`` and libm ``log``
+    may differ in the last ulp; the 1e-6 quantum absorbs it —
+    tests/test_operators.py pins agreement against Python's libm)."""
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n_total"))  # 1 row: broadcast is exact
+    qnll = F.round((F.log(F.col("n_total")) - F.log(F.col("cnt"))) * 1e6).cast(
+        "bigint"
+    )
+    return vocab.crossJoin(F.broadcast(tot)).select("word", qnll.alias("qnll"))
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.session import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
-    tot = vocab.agg(F.sum("cnt").alias("n_total"))  # 1 row: broadcast is exact
-    qnll = F.round((F.log(F.col("n_total")) - F.log(F.col("cnt"))) * 1e6).cast(
-        "bigint"
-    )
-    scored = vocab.crossJoin(F.broadcast(tot)).select("word", qnll.alias("qnll"))
+    scored = unigram_model(tok)
     per_doc = (
         tf.join(scored, "word")
         .groupBy("doc_id")

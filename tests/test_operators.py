@@ -169,6 +169,26 @@ def test_unigram_logprob_covers_corpus_with_positive_surprisal(spark, sf_dir):
         assert r.avg_nll > 0
 
 
+def test_unigram_quantized_nll_matches_python_libm(spark, sf_dir):
+    """The 1e-6-nat quantization is the cross-engine contract: Spark's
+    JVM Math.log and libm log (what DuckDB and Python use) may differ in
+    the final ulp, and the quantum must absorb it for EVERY vocab entry —
+    a single flipped quantum breaks the strict hash grade."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    spark_q = {r.word: r.qnll for r in X.unigram_model(tok).collect()}
+    counts = {
+        r.word: r.cnt
+        for r in tok.groupBy("word").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_total = sum(counts.values())
+    for w, cnt in counts.items():
+        py_q = round((math.log(n_total) - math.log(cnt)) * 1e6)
+        assert spark_q[w] == py_q, (w, cnt, spark_q[w], py_q)
+
+
 def test_pq_quantize_error_bounded_and_codes_valid(spark, sf_dir):
     """Reconstruction error is nonnegative and finite; code space is
     bounded by PQ_CODEWORDS^PQ_SUBSPACES; every label is covered."""
