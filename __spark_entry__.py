@@ -150,6 +150,17 @@ _PRIORITY = [
 # q_mixture_sample no change; the local full gate still covers them every
 # round).
 
+# Queries added AFTER the round-4 window filled (it holds 47 never-graded
+# entries plus the 3 whose r4 rebuild changed their result set — none can
+# cede a slot).  These are certified by the local full-surface gate
+# (ORACLE_FULL/ORACLE_SF01/DTYPES_FULL artifacts) this round and MUST
+# rotate into _PRIORITY next round.  tests/test_survey_registry.py allows
+# exactly this set to be window-absent without a prior driver record.
+_PENDING_CERTIFICATION = {
+    "q_training_order",
+    "q_ccnet_buckets",
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (token-usage rollup, SURVEY.md §2.10) on sf0.001."""

@@ -98,6 +98,8 @@ HEADLINE = [
     "q_mixture_sample",
     "q_bpe_merge_candidates",
     "q_length_histogram",
+    "q_training_order",
+    "q_ccnet_buckets",
     # streaming
     "q_stream_hourly_counts",
     "q_stream_join",

@@ -446,6 +446,64 @@ FROM toks GROUP BY lang, length_bin
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-order sharding — the LAST stage of a curation pipeline: emit
+# the corpus in a globally pseudo-random, reproducible order, split into
+# balanced shards. Shuffling by rand() is wrong at 100 TB (non-reproducible
+# across retries/engines, unjoinable); hashing the doc id gives an order
+# that is (a) deterministic, (b) stable under repartitioning, (c) free —
+# the shard is `hash % N` and the within-shard sort key is the hash
+# itself, so the physical write is partitionBy(shard) +
+# sortWithinPartitions(order_key): one shuffle, no global sort. The
+# graded query is the shard-balance audit a pipeline runs before
+# publishing: per-shard doc/token counts and the key range (proving
+# shards tile the hash space).
+# ---------------------------------------------------------------------------
+
+NUM_SHARDS = 16
+
+
+def training_order_key(doc_id: Column) -> Column:
+    """60-bit order key: md5('order:' || doc_id) — the salt decouples the
+    training order from every other hash-derived decision (sampling,
+    splits) made on the same ids."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("order:"), doc_id.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        training_order_key(F.col("doc_id")).alias("okey"),
+        token_count_ws(F.col("text")).alias("n_tok"),
+    ).withColumn("shard", F.col("okey") % NUM_SHARDS)
+    return keyed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("okey").alias("first_key"),
+        F.max("okey").alias("last_key"),
+    )
+
+
+ORACLE_TRAINING_ORDER = f"""
+WITH keyed AS (
+  SELECT ('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             AS okey,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT okey % {NUM_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(okey) AS first_key,
+       MAX(okey) AS last_key
+FROM keyed GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_corpus_clean": q_corpus_clean,
     "q_hash_sample": q_hash_sample,
@@ -454,6 +512,7 @@ QUERIES = {
     "q_domain_cap": q_domain_cap,
     "q_source_mixture_weights": q_source_mixture_weights,
     "q_length_histogram": q_length_histogram,
+    "q_training_order": q_training_order,
 }
 
 ORACLES = {
@@ -464,4 +523,5 @@ ORACLES = {
     "q_domain_cap": ORACLE_DOMAIN_CAP,
     "q_source_mixture_weights": ORACLE_SOURCE_MIXTURE_WEIGHTS,
     "q_length_histogram": ORACLE_LENGTH_HISTOGRAM,
+    "q_training_order": ORACLE_TRAINING_ORDER,
 }

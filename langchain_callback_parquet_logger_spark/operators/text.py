@@ -736,6 +736,100 @@ SELECT doc_id, n_tokens, round(s / (n_tokens * 1e6), 6) AS avg_nll FROM pd
 """
 
 
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail buckets — the published pipeline's actual output:
+# split each language's documents into perplexity terciles (head = most
+# fluent / lowest surprisal, tail = noisiest) so downstream mixing can
+# up-weight the head. The cuts are computed as per-lang percentile
+# AGGREGATES (no global sort — NTILE-style ranking would funnel each
+# language through one sort task, the low-cardinality-window anti-pattern)
+# and joined back via a broadcast of the cut table, which is BOUNDED: one
+# row per language, and languages do not grow with the corpus — this is
+# the legitimate-broadcast case. At 100 TB swap percentile() for
+# approx_percentile() on a sample, exactly what CCNet does.
+# ---------------------------------------------------------------------------
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "lang", F.explode(words_col(F.col("text"))).alias("word")
+    )
+    tf = tok.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("tf"))
+    scored = unigram_model(tok.select("word"))
+    per_doc = (
+        tf.join(scored, "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("qnll")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("s") / (F.col("n_tokens") * F.lit(1e6)), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
+    cut = F.percentile("avg_nll", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)))
+    cuts = per_doc.groupBy("lang").agg(
+        F.round(F.element_at(cut, 1), 6).alias("c1"),
+        F.round(F.element_at(cut, 2), 6).alias("c2"),
+    )
+    bucketed = per_doc.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        F.when(F.col("avg_nll") <= F.col("c1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.round(F.col("avg_nll") * 1e6).cast("bigint").alias("qn"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("qn") / (F.count("*") * F.lit(1e6)), 6).alias("mean_nll"),
+    )
+
+
+ORACLE_CCNET_BUCKETS = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, lang, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+q AS (
+  SELECT word,
+         CAST(round((ln(tot.n_total) - ln(cnt)) * 1e6) AS BIGINT) AS qnll
+  FROM vocab, tot
+),
+pd AS (
+  SELECT tf.doc_id, tf.lang,
+         round(SUM(tf.tf * q.qnll) / (SUM(tf.tf) * 1e6), 6) AS avg_nll
+  FROM tf JOIN q USING (word) GROUP BY 1, 2
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(avg_nll, 1.0/3), 6) AS c1,
+         round(quantile_cont(avg_nll, 2.0/3), 6) AS c2
+  FROM pd GROUP BY lang
+),
+b AS (
+  SELECT pd.lang,
+         CASE WHEN pd.avg_nll <= cuts.c1 THEN 'head'
+              WHEN pd.avg_nll <= cuts.c2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         CAST(round(pd.avg_nll * 1e6) AS BIGINT) AS qn
+  FROM pd JOIN cuts USING (lang)
+)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+       round(CAST(SUM(qn) AS BIGINT) / (COUNT(*) * 1e6), 6) AS mean_nll
+FROM b GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -750,6 +844,7 @@ QUERIES = {
     "q_top_terms": q_top_terms,
     "q_bpe_merge_candidates": q_bpe_merge_candidates,
     "q_unigram_logprob": q_unigram_logprob,
+    "q_ccnet_buckets": q_ccnet_buckets,
 }
 
 ORACLES = {
@@ -766,4 +861,5 @@ ORACLES = {
     "q_top_terms": ORACLE_TOP_TERMS,
     "q_bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "q_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "q_ccnet_buckets": ORACLE_CCNET_BUCKETS,
 }

@@ -189,6 +189,27 @@ def test_unigram_quantized_nll_matches_python_libm(spark, sf_dir):
         assert spark_q[w] == py_q, (w, cnt, spark_q[w], py_q)
 
 
+def test_ccnet_buckets_partition_each_lang_in_order(spark, sf_dir):
+    """Per language: the three buckets partition the docs and their mean
+    surprisal is monotone head ≤ middle ≤ tail (threshold construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rows = X.q_ccnet_buckets(spark, sf_dir).collect()
+    assert {r.bucket for r in rows} <= {"head", "middle", "tail"}
+    got = {}
+    for r in rows:
+        got[r.lang] = got.get(r.lang, 0) + r.n_docs
+    assert got == per_lang
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r.mean_nll
+    for lang, b in by_lang.items():
+        seq = [b[k] for k in ("head", "middle", "tail") if k in b]
+        assert seq == sorted(seq), (lang, b)
+
+
 def test_pq_quantize_error_bounded_and_codes_valid(spark, sf_dir):
     """Reconstruction error is nonnegative and finite; code space is
     bounded by PQ_CODEWORDS^PQ_SUBSPACES; every label is covered."""

@@ -55,6 +55,33 @@ def test_hash_sample_deterministic_and_near_rate(spark, sf_dir):
     assert 0.03 <= rate <= 0.25  # ~10% with small-sample slack
 
 
+def test_training_order_shards_tile_and_conserve(spark, sf_dir):
+    """Shards partition the corpus: ids 0..NUM_SHARDS-1, doc/token totals
+    conserved, key ranges within the 60-bit hash space, and the order key
+    is reproducible (salted md5 — recompute one doc in Python)."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = P.q_training_order(spark, sf_dir).collect()
+    assert {r.shard for r in rows} <= set(range(P.NUM_SHARDS))
+    assert sum(r.n_docs for r in rows) == docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+    ).first()[0]
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    for r in rows:
+        assert 0 <= r.first_key <= r.last_key < (1 << 60)
+        assert r.first_key % P.NUM_SHARDS == r.shard
+        assert r.last_key % P.NUM_SHARDS == r.shard
+
+    some_id = docs.select("doc_id").first()[0]
+    expect = int(hashlib.md5(f"order:{some_id}".encode()).hexdigest()[:15], 16)
+    got = docs.filter(F.col("doc_id") == some_id).select(
+        P.training_order_key(F.col("doc_id"))
+    ).first()[0]
+    assert got == expect
+
+
 def test_domain_cap_enforced(spark, sf_dir):
     rows = P.q_domain_cap(spark, sf_dir).collect()
     assert rows and all(r.n_kept <= P.DOMAIN_CAP for r in rows)

@@ -276,6 +276,22 @@ COMMENTARY: dict[str, str] = {
         "to 1e-6 nats as bigint so the doc sum is exactly associative "
         "under any combine order."
     ),
+    "q_training_order": (
+        "The final publish stage: salted-hash order key + shard = hash "
+        "mod N computed in the scan projection, one map-side-combined "
+        "hash aggregate for the balance audit. The physical write this "
+        "audits is partitionBy(shard) + sortWithinPartitions(order_key) — "
+        "one shuffle, no global sort, reproducible across retries "
+        "(rand() order is neither)."
+    ),
+    "q_ccnet_buckets": (
+        "CCNet terciles without a global sort: per-lang cut points come "
+        "from percentile AGGREGATES (two-phase, no NTILE window funneling "
+        "each language through one sort task) and rejoin as a BOUNDED "
+        "broadcast (one row per language — cardinality does not grow with "
+        "the corpus, the legitimate-broadcast case). Doc scoring reuses "
+        "the unigram join; bucket means aggregate in fixed point."
+    ),
     "q_user_value_median": (
         "percentile(0.5) participates in the standard two-phase "
         "aggregation: partial state before the exchange, merge after — "
