@@ -83,6 +83,8 @@ QUERIES = [
     "q_substring_dedup",
     "q_semdedup",
     "q_unigram_logprob",
+    "q_training_order",
+    "q_ccnet_buckets",
 ]
 
 
