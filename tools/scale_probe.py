@@ -166,7 +166,11 @@ def build(spark) -> None:
     open(os.path.join(BIG, "_OK"), "w").close()
 
 
-def best_of(fn, reps=2):
+def best_of(fn, reps=3):
+    """Min of ``reps`` cold-cache runs. Three, not two: this VM stalls for
+    30-130 s at random (firecracker CPU steal), and a stall spanning both
+    of two back-to-back reps once inflated a probed ratio 3.6×→18.9× —
+    with three spread-out reps the min survives a single stall window."""
     runs = []
     for _ in range(reps):
         t0 = time.perf_counter()
