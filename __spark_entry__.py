@@ -155,10 +155,14 @@ _PRIORITY = [
 # cede a slot).  These are certified by the local full-surface gate
 # (ORACLE_FULL/ORACLE_SF01/DTYPES_FULL artifacts) this round and MUST
 # rotate into _PRIORITY next round.  tests/test_survey_registry.py allows
-# exactly this set to be window-absent without a prior driver record.
+# this set to be window-absent without a prior driver record ONLY until a
+# CORRECTNESS_r{N}.json with N ≥ the recorded round exists — i.e. the
+# exemption expires the moment the next driver grade lands, so the
+# following session cannot ship without rotating these in (value = round
+# the query was added).
 _PENDING_CERTIFICATION = {
-    "q_training_order",
-    "q_ccnet_buckets",
+    "q_training_order": 4,
+    "q_ccnet_buckets": 4,
 }
 
 

@@ -11,6 +11,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from langchain_callback_parquet_logger_spark import get_spark, load_table
+from langchain_callback_parquet_logger_spark.plans.session import release_caches
 from langchain_callback_parquet_logger_spark.operators.graph import q_dedup_clusters
 from langchain_callback_parquet_logger_spark.operators.pipeline import clean_corpus
 from langchain_callback_parquet_logger_spark.operators.dedup import (
@@ -44,8 +45,10 @@ def main() -> None:
     print(f"docs with duplicated spans: {spans.count()}")
 
     # semantic dedup: intra-cluster cosine prune over the embedding space
+    # (q_semdedup caches its cluster assignment; release after the action)
     pruned = q_semdedup(spark, SF_DIR)
     print(f"vectors pruned by SemDeDup: {pruned.count()}")
+    release_caches()
 
     # unigram-surprisal quality tails: gibberish (high) / boilerplate (low)
     nll = q_unigram_logprob(spark, SF_DIR)

@@ -774,13 +774,9 @@ SPAN_WINDOW = 8  # tokens per window; windows this long collide only on
 
 def span_windows(text: Column, w: int = SPAN_WINDOW) -> Column:
     """Distinct w-token windows of a doc (distinct: within-doc repetition
-    is q_repetition_ratio's signal, not cross-doc duplication)."""
-    words = F.split(text, " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, w)))
-    )
+    is q_repetition_ratio's signal, not cross-doc duplication). Same
+    split/sequence/slice contract as :func:`shingles`, wider window."""
+    return shingles(text, w)
 
 
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -466,12 +466,11 @@ NUM_SHARDS = 16
 def training_order_key(doc_id: Column) -> Column:
     """60-bit order key: md5('order:' || doc_id) — the salt decouples the
     training order from every other hash-derived decision (sampling,
-    splits) made on the same ids."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit("order:"), doc_id.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
+    splits) made on the same ids. Hashing contract shared with
+    dedup.hash60 (one portable implementation per engine)."""
+    from .dedup import hash60
+
+    return hash60(F.concat(F.lit("order:"), doc_id.cast("string")))
 
 
 def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,10 +487,13 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TRAINING_ORDER = f"""
+def _oracle_training_order() -> str:
+    from .dedup import _hash60_sql
+
+    okey = _hash60_sql("'order:' || CAST(doc_id AS VARCHAR)")
+    return f"""
 WITH keyed AS (
-  SELECT ('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-             AS okey,
+  SELECT {okey} AS okey,
          len(string_split(text, ' ')) AS n_tok
   FROM documents
 )
@@ -523,5 +525,5 @@ ORACLES = {
     "q_domain_cap": ORACLE_DOMAIN_CAP,
     "q_source_mixture_weights": ORACLE_SOURCE_MIXTURE_WEIGHTS,
     "q_length_histogram": ORACLE_LENGTH_HISTOGRAM,
-    "q_training_order": ORACLE_TRAINING_ORDER,
+    "q_training_order": _oracle_training_order(),
 }

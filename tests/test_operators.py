@@ -140,7 +140,12 @@ def test_substring_dedup_flags_exactly_docs_sharing_a_window(spark, sf_dir):
 def test_semdedup_prunes_higher_id_against_lower(spark, sf_dir):
     """Every pruned vector has ≥1 lower-id same-cluster partner at or
     above the cosine threshold; cluster ids come from the k-means fit."""
-    rows = S.q_semdedup(spark, sf_dir).collect()
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        rows = S.q_semdedup(spark, sf_dir).collect()
+    finally:
+        release_caches()
     assert rows
     emb = load_table(spark, sf_dir, "embeddings")
     k = max(S.KMEANS_K, emb.count() // S.SEMDEDUP_TARGET_CLUSTER)

@@ -239,7 +239,12 @@ def test_semdedup_pairwise_is_cluster_equi_join(spark, sf_dir):
     (broadcast or shuffled hash/merge) — the only nested-loop joins
     allowed are the K-row broadcast centroid crossings from the Lloyd
     loop; a plain CartesianProduct means the cluster blocking was lost."""
-    plan = _initial_plan(similarity.q_semdedup(spark, sf_dir))
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        plan = _initial_plan(similarity.q_semdedup(spark, sf_dir))
+    finally:
+        release_caches()
     assert "CartesianProduct" not in plan, plan
     assert "cid" in plan, plan
     assert "EvalPython" not in plan, plan

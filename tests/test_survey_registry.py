@@ -71,9 +71,31 @@ def test_grading_window_rotation_leaves_no_query_uncertified():
     # Post-window additions declared in _PENDING_CERTIFICATION are covered
     # by the local full-surface gate this round and owe a window slot next
     # round; anything else uncovered is rotation debt and fails.
-    pending = getattr(entrymod, "_PENDING_CERTIFICATION", set())
-    assert pending <= set(names), "pending-certification entry not registered"
-    uncovered -= pending
+    pending = dict(getattr(entrymod, "_PENDING_CERTIFICATION", {}))
+    assert set(pending) <= set(names), "pending-certification entry not registered"
+    # Debt enforcement, both directions:
+    # (a) stale — an entry now window-resident or driver-certified must be
+    #     removed from the set;
+    # (b) expired — the exemption lasts exactly until the next driver grade
+    #     lands: once a CORRECTNESS_r{N}.json with N ≥ the recorded round
+    #     exists, the query must be in the window (rotated in), not exempt.
+    stale = set(pending) & (window | certified)
+    assert not stale, (
+        f"_PENDING_CERTIFICATION entries already window-resident or "
+        f"driver-certified — remove them: {sorted(stale)}"
+    )
+    graded_rounds = {
+        int(m.group(1))
+        for fn in os.listdir(ROOT)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", fn))
+    }
+    latest = max(graded_rounds, default=0)
+    expired = {q for q, rnd in pending.items() if latest >= rnd}
+    assert not expired, (
+        f"pending-certification exemption expired (driver round {latest} has "
+        f"graded): rotate into _PRIORITY now: {sorted(expired)}"
+    )
+    uncovered -= set(pending)
     assert not uncovered, (
         f"queries neither in the grading window nor driver-certified in a "
         f"prior round: {sorted(uncovered)}"
