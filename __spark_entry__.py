@@ -163,6 +163,7 @@ _PRIORITY = [
 _PENDING_CERTIFICATION = {
     "q_training_order": 4,
     "q_ccnet_buckets": 4,
+    "q_leakage_safe_split": 4,
 }
 
 

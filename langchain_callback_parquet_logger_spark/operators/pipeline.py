@@ -506,6 +506,75 @@ FROM keyed GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Leakage-safe train/validation split — the guard every eval pipeline
+# needs: if a doc and its duplicate land in different splits, the
+# validation set is contaminated and the eval is optimistic. Splitting on
+# a hash of the DOC id cannot prevent that (duplicates have different
+# ids); splitting on the duplicate-GROUP canonical id guarantees every
+# copy of a text lands in the same split. Composition of existing
+# primitives: exact-dedup fingerprint → canonical id per group → salted
+# deterministic hash split on the canonical id.
+#
+# Scale: one fingerprint hash-aggregate (min doc_id per group) + one
+# equi-join back ON THE SAME fingerprint key (co-partitioned with the
+# aggregate), then a map-side-combined rollup. Near-dup-safe variants
+# swap the fingerprint for the MinHash cluster id (operators/graph.py) —
+# same shape, fuzzier group key.
+# ---------------------------------------------------------------------------
+
+TRAIN_PCT = 90  # salted-hash bucket < 90 → train, else val
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (split, lang) doc/group counts under a duplicate-group-keyed
+    split. The leakage invariant (no fingerprint spans both splits) holds
+    by construction — pinned by tests/test_pipeline.py."""
+    from .dedup import hash60
+    from .text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "lang", fingerprint(F.col("text")).alias("fp")
+    )
+    canon = keyed.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    bucket = hash60(F.concat(F.lit("split:"), F.col("canonical_id").cast("string")))
+    tagged = keyed.join(canon, "fp").select(
+        "lang",
+        "fp",
+        F.when(bucket % 100 < TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_groups"),
+    )
+
+
+def _oracle_leakage_safe_split() -> str:
+    from .dedup import _hash60_sql
+
+    bucket = _hash60_sql("'split:' || CAST(canonical_id AS VARCHAR)")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM keyed GROUP BY fp),
+tagged AS (
+  SELECT k.lang, k.fp,
+         CASE WHEN {bucket} % 100 < {TRAIN_PCT} THEN 'train' ELSE 'val' END
+             AS split
+  FROM keyed k JOIN canon USING (fp)
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups
+FROM tagged GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_corpus_clean": q_corpus_clean,
     "q_hash_sample": q_hash_sample,
@@ -515,6 +584,7 @@ QUERIES = {
     "q_source_mixture_weights": q_source_mixture_weights,
     "q_length_histogram": q_length_histogram,
     "q_training_order": q_training_order,
+    "q_leakage_safe_split": q_leakage_safe_split,
 }
 
 ORACLES = {
@@ -526,4 +596,5 @@ ORACLES = {
     "q_source_mixture_weights": ORACLE_SOURCE_MIXTURE_WEIGHTS,
     "q_length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "q_training_order": _oracle_training_order(),
+    "q_leakage_safe_split": _oracle_leakage_safe_split(),
 }

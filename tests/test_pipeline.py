@@ -82,6 +82,37 @@ def test_training_order_shards_tile_and_conserve(spark, sf_dir):
     assert got == expect
 
 
+def test_leakage_safe_split_no_fingerprint_spans_splits(spark, sf_dir):
+    """The invariant the operator exists for: recompute the per-doc split
+    tags and assert no duplicate group has members in both splits, and
+    that the rollup conserves docs/groups."""
+    from langchain_callback_parquet_logger_spark.operators.dedup import hash60
+    from langchain_callback_parquet_logger_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    canon = keyed.groupBy("fp").agg(F.min("doc_id").alias("cid"))
+    bucket = hash60(F.concat(F.lit("split:"), F.col("cid").cast("string")))
+    tagged = keyed.join(canon, "fp").select(
+        "fp", F.when(bucket % 100 < P.TRAIN_PCT, "train").otherwise("val").alias("s")
+    )
+    spanning = (
+        tagged.groupBy("fp")
+        .agg(F.countDistinct("s").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spanning == 0
+
+    rows = P.q_leakage_safe_split(spark, sf_dir).collect()
+    assert {r.split for r in rows} <= {"train", "val"}
+    assert sum(r.n_docs for r in rows) == docs.count()
+    n_groups_total = keyed.select("fp").distinct().count()
+    # fingerprint groups are lang-pure in this corpus (fingerprint includes
+    # the text; dupes share lang), so per-(split,lang) groups sum to total
+    assert sum(r.n_groups for r in rows) == n_groups_total
+
+
 def test_domain_cap_enforced(spark, sf_dir):
     rows = P.q_domain_cap(spark, sf_dir).collect()
     assert rows and all(r.n_kept <= P.DOMAIN_CAP for r in rows)

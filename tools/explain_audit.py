@@ -292,6 +292,15 @@ COMMENTARY: dict[str, str] = {
         "the corpus, the legitimate-broadcast case). Doc scoring reuses "
         "the unigram join; bucket means aggregate in fixed point."
     ),
+    "q_leakage_safe_split": (
+        "Eval-contamination guard: the split key is the duplicate-group "
+        "canonical id, so every copy of a text lands in the same split by "
+        "construction. One fingerprint hash-aggregate (min doc_id per "
+        "group) and an equi-join back ON THE SAME fingerprint key — "
+        "co-partitioned with the aggregate, exchange reused — then a "
+        "map-side-combined rollup. Nothing pairwise, nothing keyed on a "
+        "fixed-cardinality column."
+    ),
     "q_user_value_median": (
         "percentile(0.5) participates in the standard two-phase "
         "aggregation: partial state before the exchange, merge after — "

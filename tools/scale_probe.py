@@ -85,6 +85,7 @@ QUERIES = [
     "q_unigram_logprob",
     "q_training_order",
     "q_ccnet_buckets",
+    "q_leakage_safe_split",
 ]
 
 
