@@ -164,6 +164,8 @@ _PENDING_CERTIFICATION = {
     "q_training_order": 4,
     "q_ccnet_buckets": 4,
     "q_leakage_safe_split": 4,
+    "q_dsir_weights": 4,
+    "q_ann_join": 4,
 }
 
 

@@ -86,6 +86,7 @@ HEADLINE = [
     "q_embedding_quantize",
     "q_pq_quantize",
     "q_semdedup",
+    "q_ann_join",
     # temporal joins
     "q_asof_join",
     "q_range_join_banded",
@@ -100,6 +101,7 @@ HEADLINE = [
     "q_length_histogram",
     "q_training_order",
     "q_ccnet_buckets",
+    "q_dsir_weights",
     # streaming
     "q_stream_hourly_counts",
     "q_stream_join",

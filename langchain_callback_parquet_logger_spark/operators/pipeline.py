@@ -575,6 +575,125 @@ FROM tagged GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance weights — Data Selection via Importance Resampling (Xie
+# et al., 2023): score every raw document by how much more likely its
+# hashed n-gram features are under a TARGET distribution (here: the docs
+# of one source, the "known-good domain" proxy) than under the raw-corpus
+# distribution. Pipelines resample proportionally to exp(score) to tilt a
+# web-scale crawl toward a curated domain without training a classifier.
+#
+# Features are unigrams + bigrams hashed into DSIR_BUCKETS buckets — the
+# paper's hashing trick, and the reason this scales: the feature-weight
+# table is bounded by construction at DSIR_BUCKETS rows no matter how big
+# the corpus gets, so broadcasting it is ALWAYS legitimate (contrast the
+# raw-vocab joins in q_unigram_logprob, which must stay AQE-decided).
+# Plan: one feature explode (linear, whole-stage codegen) → one hash
+# aggregate building both bucket counts in a single shuffle (conditional
+# sum, not two aggregates + join) → broadcast-join the 4096-row weight
+# table back onto per-doc bucket counts. Per-bucket log-ratios are
+# quantized to 1e-6 nats as BIGINT before the per-doc integer sum —
+# exactly associative under any shuffle combine order, and immune to
+# ≤1-ulp ln() divergence between the JVM and libm (the q_unigram_logprob
+# fixed-point contract).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed feature dimension (bounded by construction)
+DSIR_TARGET_SOURCE = "src0"  # stand-in "curated target domain"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hash60
+    from .text import words_col
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = words_col(F.col("text"))
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
+    tok = docs.select(
+        "doc_id",
+        (F.col("source") == DSIR_TARGET_SOURCE).alias("is_t"),
+        F.explode(F.concat(ws, bigrams)).alias("f"),
+    ).select("doc_id", "is_t", (hash60(F.col("f")) % DSIR_BUCKETS).alias("b"))
+    vocab = tok.groupBy("b").agg(
+        F.count("*").alias("cnt_r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("cnt_t"),
+    )
+    tot = vocab.agg(F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t"))
+    # add-1 smoothed log-likelihood ratio per bucket, 1e-6-nat fixed point
+    qlr = F.round(
+        (
+            F.log(F.col("cnt_t") + 1)
+            - F.log(F.col("tot_t") + F.lit(DSIR_BUCKETS))
+            - F.log(F.col("cnt_r") + 1)
+            + F.log(F.col("tot_r") + F.lit(DSIR_BUCKETS))
+        )
+        * 1e6
+    ).cast("bigint")
+    weights = vocab.crossJoin(F.broadcast(tot)).select("b", qlr.alias("qlr"))
+    tf = tok.groupBy("doc_id", "b").agg(F.count("*").alias("tf"))
+    per_doc = (
+        tf.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("qlr")).alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_feats",
+        F.round(F.col("s") / (F.col("n_feats") * F.lit(1e6)), 6).alias(
+            "dsir_logratio"
+        ),
+    )
+
+
+def _oracle_dsir_weights() -> str:
+    from .dedup import _hash60_sql
+
+    B = DSIR_BUCKETS
+    return f"""
+WITH d AS (
+  SELECT doc_id, (source = '{DSIR_TARGET_SOURCE}') AS is_t,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, is_t,
+         unnest(ws || list_transform(
+             generate_series(1, greatest(len(ws) - 1, 1)),
+             i -> ws[i] || ' ' || ws[i+1])) AS f
+  FROM d
+),
+tok AS (SELECT doc_id, is_t, ({_hash60_sql('f')} % {B}) AS b FROM feat),
+vocab AS (
+  SELECT b, COUNT(*) AS cnt_r,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+  FROM tok GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(cnt_r) AS BIGINT) AS tot_r,
+         CAST(SUM(cnt_t) AS BIGINT) AS tot_t
+  FROM vocab
+),
+q AS (
+  SELECT b, CAST(round((ln(cnt_t + 1) - ln(tot_t + {B})
+                        - ln(cnt_r + 1) + ln(tot_r + {B})) * 1e6) AS BIGINT)
+            AS qlr
+  FROM vocab, tot
+),
+tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+pd AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_feats,
+         CAST(SUM(tf.tf * q.qlr) AS BIGINT) AS s
+  FROM tf JOIN q USING (b) GROUP BY 1
+)
+SELECT doc_id, n_feats, round(s / (n_feats * 1e6), 6) AS dsir_logratio FROM pd
+"""
+
+
 QUERIES = {
     "q_corpus_clean": q_corpus_clean,
     "q_hash_sample": q_hash_sample,
@@ -585,6 +704,7 @@ QUERIES = {
     "q_length_histogram": q_length_histogram,
     "q_training_order": q_training_order,
     "q_leakage_safe_split": q_leakage_safe_split,
+    "q_dsir_weights": q_dsir_weights,
 }
 
 ORACLES = {
@@ -597,4 +717,5 @@ ORACLES = {
     "q_length_histogram": ORACLE_LENGTH_HISTOGRAM,
     "q_training_order": _oracle_training_order(),
     "q_leakage_safe_split": _oracle_leakage_safe_split(),
+    "q_dsir_weights": _oracle_dsir_weights(),
 }

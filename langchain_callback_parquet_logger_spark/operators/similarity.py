@@ -24,7 +24,7 @@ Tie-breaks are explicit (`sim DESC, vec_id ASC`) so top-k is deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.session import load_table
@@ -997,6 +997,139 @@ FROM v GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN self-join — every vector's top-K approximate nearest neighbours in
+# ONE distributed query: the batch shape behind "link each training doc to
+# its closest peers" (retrieval-augmented pretraining, near-dup graphs,
+# kNN-classifier label propagation). The single-query kNN operators above
+# answer one probe; real pipelines need the N×K table, and computing it
+# per-probe would be N driver round-trips — this is the set-at-once plan.
+#
+# Scale design: candidates come from the SAME 32-bit/4-band hyperplane-LSH
+# family as q_embedding_dedup (8-bit band keys cap every hash bucket's
+# fan-out; nothing is ever all-pairs), generated symmetrically
+# (x.vec_id <> y.vec_id) so each vector sees its full candidate list
+# without a union of two orientations. The exact cosine re-rank touches
+# only candidates, and the top-K cut is a row_number window keyed on
+# vec_id — corpus-cardinality, so window parallelism GROWS with the data
+# (the opposite of the low-cardinality-key anti-pattern). Recall follows
+# the band collision law: P(≥1 band match) ≈ 1-(1-(1-θ/π)^8)^4 — high for
+# true neighbours, low for strangers; K is a cap, not a guarantee, and
+# vectors whose buckets are singletons simply emit fewer rows.
+# ---------------------------------------------------------------------------
+
+ANN_JOIN_K = 3
+
+
+def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import cache_tracked, spread
+
+    emb = cache_tracked(
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+        .withColumn("nrm", norm(F.col("emb")))
+    )
+    # Cache the small (vec_id, band) frame so the 32 hyperplane folds run
+    # once per vector, not once per join side (same CollapseProject hazard
+    # q_embedding_dedup documents).
+    bands = cache_tracked(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*_band_cols(F.col("emb"), DEDUP_PLANES, DEDUP_LSH_BANDS))
+            ).alias("band_idx", "band_val"),
+        )
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_id"),
+            F.col("y.vec_id").alias("nb_id"),
+        )
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"))
+    b = emb.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    scored = (
+        cand.join(a, "vec_id")
+        .join(b, "nb_id")
+        .select("vec_id", "nb_id", F.round(sim, 6).alias("sim"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nb_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_JOIN_K)
+        .select("vec_id", "nb_id", "rank", "sim")
+    )
+
+
+def _oracle_ann_join() -> str:
+    band_bits = DEDUP_LSH_BITS // DEDUP_LSH_BANDS
+
+    def plane_sql(b: int) -> str:
+        lits = ", ".join(repr(c) for c in DEDUP_PLANES[b])
+        return f"list_dot_product(emb, [{lits}]::DOUBLE[])"
+
+    band_exprs = []
+    for k in range(DEDUP_LSH_BANDS):
+        parts = []
+        for j in range(band_bits):
+            b = k * band_bits + j
+            parts.append(
+                f"(CASE WHEN {plane_sql(b)} >= 0 THEN 1 ELSE 0 END)"
+                f" * {1 << (band_bits - 1 - j)}"
+            )
+        band_exprs.append(f"({' + '.join(parts)}) AS band_{k}")
+    band_cols = ", ".join(band_exprs)
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS band_idx, band_{k} AS band_val FROM sigs"
+        for k in range(DEDUP_LSH_BANDS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, {band_cols} FROM e
+),
+bands AS ({unpivot}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nb_id
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+              AND x.vec_id <> y.vec_id
+),
+scored AS (
+  SELECT c.vec_id, c.nb_id,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+  FROM cand c
+  JOIN e a ON a.vec_id = c.vec_id
+  JOIN e b ON b.vec_id = c.nb_id
+),
+ranked AS (
+  SELECT vec_id, nb_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, nb_id ASC) AS rank,
+         sim
+  FROM scored
+)
+SELECT vec_id, nb_id, rank, sim FROM ranked WHERE rank <= {ANN_JOIN_K}
+"""
+
+
 QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_ivf": q_knn_ivf,
@@ -1007,6 +1140,7 @@ QUERIES = {
     "q_kmeans_ivf": q_kmeans_ivf,
     "q_pq_quantize": q_pq_quantize,
     "q_semdedup": q_semdedup,
+    "q_ann_join": q_ann_join,
 }
 
 ORACLES = {
@@ -1019,4 +1153,5 @@ ORACLES = {
     "q_kmeans_ivf": _oracle_kmeans_ivf(),
     "q_pq_quantize": _oracle_pq_quantize(),
     "q_semdedup": _oracle_semdedup(),
+    "q_ann_join": _oracle_ann_join(),
 }

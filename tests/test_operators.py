@@ -317,6 +317,23 @@ def test_knn_per_label_rank_bounds(spark, sf_dir):
         assert len(rks) <= 3
 
 
+def test_ann_join_topk_invariants(spark, sf_dir):
+    """Per-vector rank sequences are gapless 1..n with n <= K, sims are
+    non-increasing within a vector, and no vector lists itself."""
+    rows = S.q_ann_join(spark, sf_dir).collect()
+    assert rows, "band candidates should exist at every test SF"
+    per: dict = {}
+    for r in rows:
+        assert r.nb_id != r.vec_id
+        per.setdefault(r.vec_id, []).append(r)
+    for rs in per.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= S.ANN_JOIN_K
+        sims = [r.sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
 def test_embedding_dedup_thresholded(spark, sf_dir):
     rows = S.q_embedding_dedup(spark, sf_dir).collect()
     assert rows, "LSH dedup should surface candidate pairs at sf0.001+"

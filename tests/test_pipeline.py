@@ -192,6 +192,25 @@ def test_asof_join_matches_naive(spark, left, right):
         assert got[i] == want, (k, t, cands)
 
 
+def test_dsir_weights_separate_target_domain(spark, sf_dir):
+    """One score per doc, n_feats = unigrams + bigrams = 2n-1, and docs
+    from the target source score higher on average than the rest (their
+    own features define the target distribution)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n")
+    ).collect()
+    src = {r.doc_id: r.source for r in docs}
+    nw = {r.doc_id: r.n for r in docs}
+    rows = P.q_dsir_weights(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r.n_feats == 2 * nw[r.doc_id] - 1
+    t = [r.dsir_logratio for r in rows if src[r.doc_id] == P.DSIR_TARGET_SOURCE]
+    o = [r.dsir_logratio for r in rows if src[r.doc_id] != P.DSIR_TARGET_SOURCE]
+    assert t and o
+    assert sum(t) / len(t) > sum(o) / len(o)
+
+
 def test_mixture_sample_rates_and_membership(spark, sf_dir):
     """Each stratum's kept set must equal the md5-bucket rule at its own
     rate: rate-100 keeps everything, absent strata drop to default_pct,

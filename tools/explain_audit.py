@@ -301,6 +301,30 @@ COMMENTARY: dict[str, str] = {
         "map-side-combined rollup. Nothing pairwise, nothing keyed on a "
         "fixed-cardinality column."
     ),
+    "q_ann_join": (
+        "ANN self-join: the candidate generator is an EQUI-join of the "
+        "banded LSH signature frame with itself on (band_idx, band_val) "
+        "— a plain shuffled hash join whose fan-out is capped by the "
+        "8-bit band key, never a cartesian (the vec_id <> vec_id term is "
+        "a post-join filter on an equi-join, not a join strategy). Exact "
+        "cosine re-ranks candidates only, and the top-K cut is a "
+        "row_number window keyed on vec_id — corpus-cardinality, so "
+        "window parallelism grows with the data. The cached signature "
+        "frame stops CollapseProject from re-inlining the 32 hyperplane "
+        "folds into both join sides."
+    ),
+    "q_dsir_weights": (
+        "DSIR importance weights: one feature explode (linear, "
+        "whole-stage codegen) and ONE hash aggregate building both "
+        "bucket counts via conditional sum — not two aggregates joined. "
+        "The feature-weight table is bounded at DSIR_BUCKETS=4096 rows "
+        "BY CONSTRUCTION (the hashing trick), so its broadcast back onto "
+        "per-doc bucket counts is legitimate at any corpus size — "
+        "contrast the raw-vocab joins (q_unigram_logprob) that must stay "
+        "AQE-decided. Per-bucket log-ratios are 1e-6-nat fixed-point "
+        "BIGINTs, so the per-doc sum is associative under any shuffle "
+        "combine order."
+    ),
     "q_user_value_median": (
         "percentile(0.5) participates in the standard two-phase "
         "aggregation: partial state before the exchange, merge after — "

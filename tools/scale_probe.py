@@ -86,6 +86,8 @@ QUERIES = [
     "q_training_order",
     "q_ccnet_buckets",
     "q_leakage_safe_split",
+    "q_dsir_weights",
+    "q_ann_join",
 ]
 
 
