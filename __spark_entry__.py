@@ -166,6 +166,7 @@ _PENDING_CERTIFICATION = {
     "q_leakage_safe_split": 4,
     "q_dsir_weights": 4,
     "q_ann_join": 4,
+    "q_pmi_collocations": 4,
 }
 
 

@@ -68,6 +68,7 @@ HEADLINE = [
     "q_tfidf_top_terms",
     "q_top_terms",
     "q_unigram_logprob",
+    "q_pmi_collocations",
     # deduplication
     "q_exact_dedup",
     "q_minhash_dedup",

@@ -830,6 +830,114 @@ FROM b GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# PMI collocations — phrase mining: rank adjacent word pairs by pointwise
+# mutual information, PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ), the classic
+# signal for "these two tokens form a unit" (multi-word expressions a
+# vocab/tokenizer designer promotes to single tokens; complements
+# q_bpe_merge_candidates, which ranks by RAW count and so surfaces
+# stopword pairs first). Low-count pairs are floored (c_ab >=
+# PMI_MIN_COUNT) — the standard guard against PMI's rare-pair bias.
+#
+# Scale design: two linear explodes feeding two-phase hash aggregates
+# (bigram counts, unigram counts), two equi-joins of the bigram frame
+# onto the unigram vocab (corpus-cardinality ⇒ NO broadcast hint, AQE
+# decides), scalar totals via 1-row broadcast crossings, and a
+# TakeOrderedAndProject top-K (per-partition heaps + driver merge — never
+# a global sort). Ranking compares the 1e-6-quantized PMI BIGINT, so both
+# engines order identical integers and the (qpmi desc, pair asc) cutoff
+# is deterministic cross-engine.
+# ---------------------------------------------------------------------------
+
+PMI_TOP_K = 30
+PMI_MIN_COUNT = 5
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = words_col(F.col("text"))
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    pairs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
+    bc = (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    uc = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    tot = uc.agg(F.sum("c_w").alias("n_uni"))
+    nbi = bc.agg(F.sum("c_ab").alias("n_bi"))  # post-floor bigram mass
+    parts = F.split(F.col("pair"), " ")
+    w12 = bc.select(
+        "pair", "c_ab", parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2")
+    )
+    joined = (
+        w12.join(uc.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nbi))
+    )
+    qpmi = F.round(
+        (
+            F.log(F.col("c_ab"))
+            - F.log(F.col("n_bi"))
+            + F.lit(2.0) * F.log(F.col("n_uni"))
+            - F.log(F.col("c_a"))
+            - F.log(F.col("c_b"))
+        )
+        * 1e6
+    ).cast("bigint")
+    return (
+        joined.select("pair", "c_ab", qpmi.alias("qpmi"))
+        .orderBy(F.col("qpmi").desc(), F.col("pair").asc())
+        .limit(PMI_TOP_K)
+        .select(
+            "pair",
+            "c_ab",
+            F.round(F.col("qpmi") / F.lit(1e6), 6).alias("pmi"),
+        )
+    )
+
+
+ORACLE_PMI_COLLOCATIONS = f"""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+),
+bi AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS pair
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i) g
+),
+bc AS (
+  SELECT pair, COUNT(*) AS c_ab FROM bi GROUP BY pair
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+tok AS (SELECT unnest(ws) AS word FROM w),
+uc AS (SELECT word, COUNT(*) AS c_w FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_uni FROM uc),
+nbi AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bc),
+scored AS (
+  SELECT bc.pair, bc.c_ab,
+         CAST(round((ln(bc.c_ab) - ln(nbi.n_bi) + 2.0 * ln(tot.n_uni)
+                     - ln(a.c_w) - ln(b.c_w)) * 1e6) AS BIGINT) AS qpmi
+  FROM bc
+  JOIN uc a ON a.word = string_split(bc.pair, ' ')[1]
+  JOIN uc b ON b.word = string_split(bc.pair, ' ')[2]
+  CROSS JOIN tot CROSS JOIN nbi
+)
+SELECT pair, c_ab, round(qpmi / 1e6, 6) AS pmi
+FROM scored
+ORDER BY qpmi DESC, pair ASC
+LIMIT {PMI_TOP_K}
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -845,6 +953,7 @@ QUERIES = {
     "q_bpe_merge_candidates": q_bpe_merge_candidates,
     "q_unigram_logprob": q_unigram_logprob,
     "q_ccnet_buckets": q_ccnet_buckets,
+    "q_pmi_collocations": q_pmi_collocations,
 }
 
 ORACLES = {
@@ -862,4 +971,5 @@ ORACLES = {
     "q_bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "q_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "q_ccnet_buckets": ORACLE_CCNET_BUCKETS,
+    "q_pmi_collocations": ORACLE_PMI_COLLOCATIONS,
 }

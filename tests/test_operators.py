@@ -317,6 +317,16 @@ def test_knn_per_label_rank_bounds(spark, sf_dir):
         assert len(rks) <= 3
 
 
+def test_pmi_collocations_ranked_and_floored(spark, sf_dir):
+    rows = X.q_pmi_collocations(spark, sf_dir).collect()
+    assert 0 < len(rows) <= X.PMI_TOP_K
+    assert all(r.c_ab >= X.PMI_MIN_COUNT for r in rows)
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    pairs = [r.pair for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_ann_join_topk_invariants(spark, sf_dir):
     """Per-vector rank sequences are gapless 1..n with n <= K, sims are
     non-increasing within a vector, and no vector lists itself."""

@@ -250,6 +250,37 @@ def test_semdedup_pairwise_is_cluster_equi_join(spark, sf_dir):
     assert "EvalPython" not in plan, plan
 
 
+def test_ann_join_plan_is_banded_with_cached_sigs(spark, sf_dir):
+    """The ANN self-join must stay candidate-gated: band signatures
+    cached (one evaluation of the 32 hyperplane folds, not one per join
+    side), candidates from an equi-join on the band key, top-K as a
+    window — never a cartesian, never Python."""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        plan = _initial_plan(similarity.q_ann_join(spark, sf_dir))
+    finally:
+        release_caches()
+    assert "InMemoryTableScan" in plan, plan
+    assert "band_idx" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_dsir_weights_is_single_aggregate_plus_bounded_broadcast(spark, sf_dir):
+    """DSIR must build both bucket counts in ONE hash aggregate
+    (conditional sum, not two aggregates joined) and attach the bounded
+    4096-row weight table via broadcast; the per-doc sum is a bigint
+    (fixed-point) aggregate with no Python stage."""
+    from langchain_callback_parquet_logger_spark.operators import pipeline
+
+    plan = _initial_plan(pipeline.q_dsir_weights(spark, sf_dir))
+    assert "HashAggregate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_unigram_logprob_is_jvm_two_aggregate_shape(spark, sf_dir):
     """The surprisal score must stay in codegen: token explode feeding
     two hash aggregates and one equi-join on word — no Python stage, and

@@ -325,6 +325,16 @@ COMMENTARY: dict[str, str] = {
         "BIGINTs, so the per-doc sum is associative under any shuffle "
         "combine order."
     ),
+    "q_pmi_collocations": (
+        "Phrase mining: two linear explodes feed two-phase hash "
+        "aggregates (bigram counts with the min-count floor applied "
+        "BEFORE any join, unigram vocab); the bigram frame joins the "
+        "vocab twice on the word key — corpus-cardinality, so no "
+        "broadcast hint, AQE decides. Scalar totals cross in as 1-row "
+        "broadcasts, and the top-K is TakeOrderedAndProject on the "
+        "quantized-PMI bigint (per-partition heaps + driver merge, "
+        "never a global sort)."
+    ),
     "q_user_value_median": (
         "percentile(0.5) participates in the standard two-phase "
         "aggregation: partial state before the exchange, merge after — "

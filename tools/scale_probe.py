@@ -88,6 +88,7 @@ QUERIES = [
     "q_leakage_safe_split",
     "q_dsir_weights",
     "q_ann_join",
+    "q_pmi_collocations",
 ]
 
 
