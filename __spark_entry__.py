@@ -167,6 +167,8 @@ _PENDING_CERTIFICATION = {
     "q_dsir_weights": 4,
     "q_ann_join": 4,
     "q_pmi_collocations": 4,
+    "q_filter_funnel": 4,
+    "q_vocab_coverage": 4,
 }
 
 

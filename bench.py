@@ -69,6 +69,8 @@ HEADLINE = [
     "q_top_terms",
     "q_unigram_logprob",
     "q_pmi_collocations",
+    "q_filter_funnel",
+    "q_vocab_coverage",
     # deduplication
     "q_exact_dedup",
     "q_minhash_dedup",

@@ -938,6 +938,197 @@ LIMIT {PMI_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Filter-funnel ablation report — the table curation teams actually
+# publish (Dolma, RefinedWeb, Gopher appendix): for each quality rule, how
+# many documents it flags on its own (marginal) and how many are gone
+# after applying the rules cumulatively in pipeline order. The marginal
+# column shows rule overlap; the cumulative column is the real funnel a
+# rule-ordering decision changes. Rules here are the cheap scan-side
+# heuristics (length bounds, type-token diversity, stopword density) —
+# the same family q_quality_score composites, reported per-rule.
+#
+# Scale design: ONE linear scan computes every rule flag as a codegen'd
+# expression, ONE aggregate row sums all marginal and cumulative
+# counters map-side (conditional sums — the shuffle carries a single
+# partial-state row per partition), and the per-rule report is an
+# unpivot (stack) of that one row. Cost is one pass over the corpus no
+# matter how many rules — adding a rule adds a column, not a scan.
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_TOKENS = 24
+FUNNEL_MAX_TOKENS = 88
+FUNNEL_MIN_DIVERSITY = 0.35  # distinct/total token ratio
+FUNNEL_MIN_STOPWORD = 0.02  # stopword density floor
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = words_col(F.col("text"))
+    n = F.size(ws)
+    div = F.size(F.array_distinct(ws)) / n
+    sw = stopword_count(F.col("text")) / n
+    f1 = (n < FUNNEL_MIN_TOKENS).cast("int")
+    f2 = (n > FUNNEL_MAX_TOKENS).cast("int")
+    f3 = (div < FUNNEL_MIN_DIVERSITY).cast("int")
+    f4 = (sw < FUNNEL_MIN_STOPWORD).cast("int")
+    flags = docs.select(
+        f1.alias("f1"),
+        f2.alias("f2"),
+        f3.alias("f3"),
+        f4.alias("f4"),
+    )
+    agg = flags.agg(
+        F.sum("f1").alias("m1"),
+        F.sum("f2").alias("m2"),
+        F.sum("f3").alias("m3"),
+        F.sum("f4").alias("m4"),
+        F.sum(F.greatest("f1", "f2")).alias("d2"),
+        F.sum(F.greatest("f1", "f2", "f3")).alias("d3"),
+        F.sum(F.greatest("f1", "f2", "f3", "f4")).alias("d4"),
+        F.count("*").alias("n_docs"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 'too_short', m1, m1,"
+            " 'too_long', m2, d2,"
+            " 'low_diversity', m3, d3,"
+            " 'low_stopword', m4, d4"
+            ") as (rule, n_flagged, n_cum_dropped)"
+        ),
+        F.col("n_docs"),
+    ).select(
+        "rule",
+        "n_flagged",
+        "n_cum_dropped",
+        (F.col("n_docs") - F.col("n_cum_dropped")).alias("n_survivors"),
+    )
+
+
+ORACLE_FILTER_FUNNEL = f"""
+WITH f AS (
+  SELECT len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) AS div,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_LIST})))::DOUBLE
+             / len(string_split(text, ' ')) AS sw
+  FROM documents
+),
+a AS (
+  SELECT
+    CAST(SUM(CASE WHEN n < {FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+    CAST(SUM(CASE WHEN n > {FUNNEL_MAX_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+    CAST(SUM(CASE WHEN div < {FUNNEL_MIN_DIVERSITY} THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+    CAST(SUM(CASE WHEN sw < {FUNNEL_MIN_STOPWORD} THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+    CAST(SUM(CASE WHEN n < {FUNNEL_MIN_TOKENS} OR n > {FUNNEL_MAX_TOKENS}
+             THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+    CAST(SUM(CASE WHEN n < {FUNNEL_MIN_TOKENS} OR n > {FUNNEL_MAX_TOKENS}
+             OR div < {FUNNEL_MIN_DIVERSITY} THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+    CAST(SUM(CASE WHEN n < {FUNNEL_MIN_TOKENS} OR n > {FUNNEL_MAX_TOKENS}
+             OR div < {FUNNEL_MIN_DIVERSITY} OR sw < {FUNNEL_MIN_STOPWORD}
+             THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+    COUNT(*) AS n_docs
+  FROM f
+)
+SELECT rule, n_flagged, n_cum_dropped, n_docs - n_cum_dropped AS n_survivors
+FROM (
+  SELECT 'too_short' AS rule, m1 AS n_flagged, m1 AS n_cum_dropped, n_docs FROM a
+  UNION ALL
+  SELECT 'too_long', m2, d2, n_docs FROM a
+  UNION ALL
+  SELECT 'low_diversity', m3, d3, n_docs FROM a
+  UNION ALL
+  SELECT 'low_stopword', m4, d4, n_docs FROM a
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — the tokenizer-design table: what fraction of
+# corpus tokens would be in-vocabulary at candidate vocab sizes V (the
+# rest become <unk>/byte-fallback)? Read together with
+# q_bpe_merge_candidates (what to merge) and q_pmi_collocations (what to
+# promote), this is the third input a vocab designer actually looks at.
+#
+# Scale design: the vocab frame is corpus-growing, but each curve point
+# needs only the TOP-V counts — and V is a CONSTANT, so
+# `orderBy(cnt desc, word).limit(V)` compiles to TakeOrderedAndProject
+# (per-partition V-row heaps, driver merge of V rows) and the coverage
+# sum aggregates V rows. No global sort of the vocab, no
+# single-partition window rank — the classic "rank the whole table"
+# anti-pattern is avoided because the question only ever asks about a
+# bounded prefix. Ties at the cutoff break on (cnt desc, word asc), so
+# the prefix is identical cross-engine.
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZES = (256, 1024, 4096)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..plans.session import cache_tracked, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # One token explode + aggregate feeds every curve point and the
+    # totals — cached so the union's branches don't re-scan the corpus.
+    vocab = cache_tracked(
+        docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = vocab.agg(
+        F.sum("cnt").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    points = []
+    for v in VOCAB_SIZES:
+        top = vocab.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(v)
+        pt = (
+            top.agg(
+                F.sum("cnt").alias("covered_tokens"),
+                F.count("*").alias("vocab_types"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(v).alias("vocab_size"),
+                "vocab_types",
+                "covered_tokens",
+                F.round(F.col("covered_tokens") / F.col("n_tokens"), 6).alias(
+                    "coverage"
+                ),
+            )
+        )
+        points.append(pt)
+    return reduce(lambda a, b: a.unionByName(b), points)
+
+
+def _oracle_vocab_coverage() -> str:
+    pts = "\nUNION ALL\n".join(
+        f"""SELECT {v} AS vocab_size,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         (SELECT word FROM vocab ORDER BY cnt DESC, word ASC LIMIT {v})) AS vocab_types,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM
+         (SELECT cnt FROM vocab ORDER BY cnt DESC, word ASC LIMIT {v})) AS covered_tokens"""
+        for v in VOCAB_SIZES
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM vocab),
+pts AS (
+{pts}
+)
+SELECT vocab_size, vocab_types, covered_tokens,
+       round(covered_tokens / (SELECT n_tokens FROM tot), 6) AS coverage
+FROM pts
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -954,6 +1145,8 @@ QUERIES = {
     "q_unigram_logprob": q_unigram_logprob,
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_pmi_collocations": q_pmi_collocations,
+    "q_filter_funnel": q_filter_funnel,
+    "q_vocab_coverage": q_vocab_coverage,
 }
 
 ORACLES = {
@@ -972,4 +1165,6 @@ ORACLES = {
     "q_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "q_ccnet_buckets": ORACLE_CCNET_BUCKETS,
     "q_pmi_collocations": ORACLE_PMI_COLLOCATIONS,
+    "q_filter_funnel": ORACLE_FILTER_FUNNEL,
+    "q_vocab_coverage": _oracle_vocab_coverage(),
 }

@@ -317,6 +317,37 @@ def test_knn_per_label_rank_bounds(spark, sf_dir):
         assert len(rks) <= 3
 
 
+def test_filter_funnel_cumulative_is_monotone(spark, sf_dir):
+    """Four rule rows; cumulative drops are non-decreasing in pipeline
+    order, each cumulative >= its rule's marginal, and survivors +
+    cumulative-dropped is constant (the corpus size)."""
+    rows = {r.rule: r for r in X.q_filter_funnel(spark, sf_dir).collect()}
+    order = ["too_short", "too_long", "low_diversity", "low_stopword"]
+    assert set(rows) == set(order)
+    cums = [rows[r].n_cum_dropped for r in order]
+    assert cums == sorted(cums)
+    for r in order:
+        assert rows[r].n_cum_dropped >= rows[r].n_flagged >= 0
+    totals = {rows[r].n_cum_dropped + rows[r].n_survivors for r in order}
+    assert len(totals) == 1
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    """Coverage and covered tokens are non-decreasing in vocab size;
+    types are capped by the size; coverage is a valid fraction."""
+    rows = sorted(
+        X.q_vocab_coverage(spark, sf_dir).collect(), key=lambda r: r.vocab_size
+    )
+    assert [r.vocab_size for r in rows] == sorted(X.VOCAB_SIZES)
+    covs = [r.coverage for r in rows]
+    assert covs == sorted(covs)
+    toks = [r.covered_tokens for r in rows]
+    assert toks == sorted(toks)
+    for r in rows:
+        assert r.vocab_types <= r.vocab_size
+        assert 0.0 < r.coverage <= 1.0
+
+
 def test_pmi_collocations_ranked_and_floored(spark, sf_dir):
     rows = X.q_pmi_collocations(spark, sf_dir).collect()
     assert 0 < len(rows) <= X.PMI_TOP_K

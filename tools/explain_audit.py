@@ -335,6 +335,23 @@ COMMENTARY: dict[str, str] = {
         "quantized-PMI bigint (per-partition heaps + driver merge, "
         "never a global sort)."
     ),
+    "q_filter_funnel": (
+        "Curation ablation report: every rule flag is a codegen'd "
+        "expression in ONE linear scan, all marginal and cumulative "
+        "counters sum in ONE aggregate row (map-side partials — the "
+        "shuffle carries one state row per partition), and the per-rule "
+        "table is an unpivot of that row. Adding a rule adds a column, "
+        "not a pass over the corpus."
+    ),
+    "q_vocab_coverage": (
+        "Tokenizer-design curve: one token explode + vocab aggregate "
+        "(cached — the union's branches read the InMemory relation, not "
+        "the corpus), then each curve point is orderBy().limit(V) over a "
+        "CONSTANT V — TakeOrderedAndProject with per-partition V-row "
+        "heaps, never a global sort or a single-partition rank window. "
+        "The 'rank the whole vocab' anti-pattern is avoided because the "
+        "question only asks about a bounded prefix."
+    ),
     "q_user_value_median": (
         "percentile(0.5) participates in the standard two-phase "
         "aggregation: partial state before the exchange, merge after — "

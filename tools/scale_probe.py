@@ -89,6 +89,8 @@ QUERIES = [
     "q_dsir_weights",
     "q_ann_join",
     "q_pmi_collocations",
+    "q_filter_funnel",
+    "q_vocab_coverage",
 ]
 
 
