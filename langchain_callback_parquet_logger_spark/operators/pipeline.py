@@ -588,10 +588,11 @@ FROM tagged GROUP BY 1, 2
 # table is bounded by construction at DSIR_BUCKETS rows no matter how big
 # the corpus gets, so broadcasting it is ALWAYS legitimate (contrast the
 # raw-vocab joins in q_unigram_logprob, which must stay AQE-decided).
-# Plan: one feature explode (linear, whole-stage codegen) → one hash
-# aggregate building both bucket counts in a single shuffle (conditional
-# sum, not two aggregates + join) → broadcast-join the 4096-row weight
-# table back onto per-doc bucket counts. Per-bucket log-ratios are
+# Plan: ONE feature explode (linear, whole-stage codegen) → ONE cached
+# (doc, bucket) hash aggregate that feeds both the per-doc sums and —
+# rolled up, is_t being constant per doc — the bucket count table, so
+# the corpus is scanned and hashed exactly once → broadcast-join the
+# 4096-row weight table back onto per-doc counts. Per-bucket log-ratios are
 # quantized to 1e-6 nats as BIGINT before the per-doc integer sum —
 # exactly associative under any shuffle combine order, and immune to
 # ≤1-ulp ln() divergence between the JVM and libm (the q_unigram_logprob
@@ -604,21 +605,27 @@ DSIR_TARGET_SOURCE = "src0"  # stand-in "curated target domain"
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import hash60
-    from .text import words_col
+    from .text import bigrams_col, words_col
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    ws = words_col(F.col("text"))
-    n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
     tok = docs.select(
         "doc_id",
         (F.col("source") == DSIR_TARGET_SOURCE).alias("is_t"),
-        F.explode(F.concat(ws, bigrams)).alias("f"),
+        F.explode(
+            F.concat(words_col(F.col("text")), bigrams_col(F.col("text")))
+        ).alias("f"),
     ).select("doc_id", "is_t", (hash60(F.col("f")) % DSIR_BUCKETS).alias("b"))
-    vocab = tok.groupBy("b").agg(
-        F.count("*").alias("cnt_r"),
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("cnt_t"),
+    # ONE explode + ONE wide aggregate: the per-(doc, bucket) frame feeds
+    # both the per-doc sums and (rolled up — is_t is constant per doc) the
+    # bucket count table, so the corpus is scanned and hashed exactly once.
+    tf = cache_tracked(
+        tok.groupBy("doc_id", "b").agg(
+            F.count("*").alias("tf"), F.max("is_t").alias("is_t")
+        )
+    )
+    vocab = tf.groupBy("b").agg(
+        F.sum("tf").alias("cnt_r"),
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(0)).alias("cnt_t"),
     )
     tot = vocab.agg(F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t"))
     # add-1 smoothed log-likelihood ratio per bucket, 1e-6-nat fixed point
@@ -632,7 +639,6 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1e6
     ).cast("bigint")
     weights = vocab.crossJoin(F.broadcast(tot)).select("b", qlr.alias("qlr"))
-    tf = tok.groupBy("doc_id", "b").agg(F.count("*").alias("tf"))
     per_doc = (
         tf.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
@@ -652,6 +658,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_dsir_weights() -> str:
     from .dedup import _hash60_sql
+    from .text import bigrams_sql
 
     B = DSIR_BUCKETS
     return f"""
@@ -661,10 +668,7 @@ WITH d AS (
   FROM documents
 ),
 feat AS (
-  SELECT doc_id, is_t,
-         unnest(ws || list_transform(
-             generate_series(1, greatest(len(ws) - 1, 1)),
-             i -> ws[i] || ' ' || ws[i+1])) AS f
+  SELECT doc_id, is_t, unnest(ws || {bigrams_sql('ws')}) AS f
   FROM d
 ),
 tok AS (SELECT doc_id, is_t, ({_hash60_sql('f')} % {B}) AS b FROM feat),

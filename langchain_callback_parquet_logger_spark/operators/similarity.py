@@ -396,19 +396,13 @@ DEDUP_PLANES = [
 ]
 
 
-def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by embedding cosine: LSH band equi-join generates
-    candidates, exact cosine re-ranks only those. Per-row norms are
-    computed once at scan time; the division `dot/(nrm_a*nrm_b)` is the
-    same float expression the oracle runs.
-
-    Scale: one scan computes 4 band keys per vector (JVM expressions),
-    posexplode → equi-join on (band_idx, band_val) — a plain shuffled hash
-    join whose per-bucket fan-out is capped by the 8-bit band width, then
-    two id-equi-joins to re-attach vectors for the exact re-rank. No stage
-    is quadratic in corpus or block size. Replaces the label-blocked
-    all-pairs baseline (:func:`embedding_dedup_blocked`, kept for recall
-    validation in tests)."""
+def _banded_emb(spark: SparkSession, sf_dir: str):
+    """Shared LSH front end for q_embedding_dedup / q_ann_join: the
+    normalized embedding frame (vec_id, emb, nrm) and its exploded
+    32-bit/4-band signature frame, both cache_tracked. The signature
+    cache is load-bearing: the 32 hyperplane dot products are expensive
+    Catalyst folds, and without the cache CollapseProject re-inlines
+    them into BOTH sides of the self-join (per-candidate recompute)."""
     from ..plans.session import cache_tracked, spread
 
     emb = cache_tracked(
@@ -416,11 +410,6 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
         .withColumn("nrm", norm(F.col("emb")))
     )
-    # The 32 hyperplane dot products are expensive Catalyst folds; caching
-    # the tiny (vec_id, band) frame stops CollapseProject from re-inlining
-    # them into both sides of the self-join (per-candidate recompute).
-    # Both caches are registered for release_caches() — harnesses release
-    # after the consuming action (see plans/session.py).
     bands = cache_tracked(
         emb.select(
             "vec_id",
@@ -429,13 +418,27 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_idx", "band_val"),
         )
     )
-    cand = (
+    return emb, bands
+
+
+def _lsh_candidate_pairs(bands: DataFrame, symmetric: bool) -> DataFrame:
+    """Distinct (vec_a, vec_b) pairs sharing >=1 band bucket — an
+    EQUI-join on the band key whose fan-out is capped by the 8-bit band
+    width, never all-pairs. ``symmetric=False`` keeps one orientation
+    (vec_a < vec_b, the dedup pair list); ``symmetric=True`` keeps both
+    (each vector sees its full neighbour candidate list)."""
+    pred = (
+        F.col("x.vec_id") != F.col("y.vec_id")
+        if symmetric
+        else F.col("x.vec_id") < F.col("y.vec_id")
+    )
+    return (
         bands.alias("x")
         .join(
             bands.alias("y"),
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
+            & pred,
         )
         .select(
             F.col("x.vec_id").alias("vec_a"),
@@ -443,26 +446,12 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
-        .filter(F.col("sim") >= DEDUP_LSH_THRESHOLD)
-    )
 
 
-def _oracle_embedding_dedup() -> str:
+def _band_cte_sql(pair_pred: str) -> str:
+    """DuckDB twin of :func:`_banded_emb` + :func:`_lsh_candidate_pairs`:
+    the e/sigs/bands/cand CTE chain, parameterized on the pair predicate
+    ('<' for the dedup orientation, '<>' for the symmetric one)."""
     band_bits = DEDUP_LSH_BITS // DEDUP_LSH_BANDS
 
     def plane_sql(b: int) -> str:
@@ -484,8 +473,7 @@ def _oracle_embedding_dedup() -> str:
         f"SELECT vec_id, {k} AS band_idx, band_{k} AS band_val FROM sigs"
         for k in range(DEDUP_LSH_BANDS)
     )
-    return f"""
-WITH e AS (
+    return f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
 sigs AS (
@@ -496,8 +484,48 @@ cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM bands x
   JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-              AND x.vec_id < y.vec_id
-),
+              AND x.vec_id {pair_pred} y.vec_id
+)"""
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine: LSH band equi-join generates
+    candidates, exact cosine re-ranks only those. Per-row norms are
+    computed once at scan time; the division `dot/(nrm_a*nrm_b)` is the
+    same float expression the oracle runs.
+
+    Scale: one scan computes 4 band keys per vector (JVM expressions),
+    posexplode → equi-join on (band_idx, band_val) — a plain shuffled hash
+    join whose per-bucket fan-out is capped by the 8-bit band width, then
+    two id-equi-joins to re-attach vectors for the exact re-rank. No stage
+    is quadratic in corpus or block size. Replaces the label-blocked
+    all-pairs baseline (:func:`embedding_dedup_blocked`, kept for recall
+    validation in tests). Both cached frames are registered for
+    release_caches() — harnesses release after the consuming action."""
+    emb, bands = _banded_emb(spark, sf_dir)
+    cand = _lsh_candidate_pairs(bands, symmetric=False)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= DEDUP_LSH_THRESHOLD)
+    )
+
+
+def _oracle_embedding_dedup() -> str:
+    return f"""
+WITH {_band_cte_sql('<')},
 scored AS (
   SELECT c.vec_a, c.vec_b,
          round(list_dot_product(a.emb, b.emb)
@@ -1022,37 +1050,9 @@ ANN_JOIN_K = 3
 
 
 def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.session import cache_tracked, spread
-
-    emb = cache_tracked(
-        spread(load_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
-        .withColumn("nrm", norm(F.col("emb")))
-    )
-    # Cache the small (vec_id, band) frame so the 32 hyperplane folds run
-    # once per vector, not once per join side (same CollapseProject hazard
-    # q_embedding_dedup documents).
-    bands = cache_tracked(
-        emb.select(
-            "vec_id",
-            F.posexplode(
-                F.array(*_band_cols(F.col("emb"), DEDUP_PLANES, DEDUP_LSH_BANDS))
-            ).alias("band_idx", "band_val"),
-        )
-    )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.vec_id") != F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("vec_id"),
-            F.col("y.vec_id").alias("nb_id"),
-        )
-        .distinct()
+    emb, bands = _banded_emb(spark, sf_dir)
+    cand = _lsh_candidate_pairs(bands, symmetric=True).select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nb_id")
     )
     a = emb.select(F.col("vec_id"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"))
     b = emb.select(
@@ -1075,49 +1075,16 @@ def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ann_join() -> str:
-    band_bits = DEDUP_LSH_BITS // DEDUP_LSH_BANDS
-
-    def plane_sql(b: int) -> str:
-        lits = ", ".join(repr(c) for c in DEDUP_PLANES[b])
-        return f"list_dot_product(emb, [{lits}]::DOUBLE[])"
-
-    band_exprs = []
-    for k in range(DEDUP_LSH_BANDS):
-        parts = []
-        for j in range(band_bits):
-            b = k * band_bits + j
-            parts.append(
-                f"(CASE WHEN {plane_sql(b)} >= 0 THEN 1 ELSE 0 END)"
-                f" * {1 << (band_bits - 1 - j)}"
-            )
-        band_exprs.append(f"({' + '.join(parts)}) AS band_{k}")
-    band_cols = ", ".join(band_exprs)
-    unpivot = " UNION ALL ".join(
-        f"SELECT vec_id, {k} AS band_idx, band_{k} AS band_val FROM sigs"
-        for k in range(DEDUP_LSH_BANDS)
-    )
     return f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-),
-sigs AS (
-  SELECT vec_id, {band_cols} FROM e
-),
-bands AS ({unpivot}),
-cand AS (
-  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nb_id
-  FROM bands x
-  JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-              AND x.vec_id <> y.vec_id
-),
+WITH {_band_cte_sql('<>')},
 scored AS (
-  SELECT c.vec_id, c.nb_id,
+  SELECT c.vec_a AS vec_id, c.vec_b AS nb_id,
          round(list_dot_product(a.emb, b.emb)
                / (sqrt(list_dot_product(a.emb, a.emb))
                   * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
   FROM cand c
-  JOIN e a ON a.vec_id = c.vec_id
-  JOIN e b ON b.vec_id = c.nb_id
+  JOIN e a ON a.vec_id = c.vec_a
+  JOIN e b ON b.vec_id = c.vec_b
 ),
 ranked AS (
   SELECT vec_id, nb_id,

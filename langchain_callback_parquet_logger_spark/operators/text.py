@@ -43,6 +43,33 @@ def words_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def bigrams_col(text: Column) -> Column:
+    """Positional (multiplicity-preserving) word bigrams; empty for docs
+    under 2 words. The n>=2 guard matters for cross-engine agreement: an
+    unguarded sequence(1, n-1) degenerates on 1-word docs, where Spark's
+    concat_ws over a 1-element slice would emit the lone word while the
+    SQL twin's ws[i+1] is NULL — silently diverging buckets/pairs. Shared
+    by q_bpe_merge_candidates, q_pmi_collocations and q_dsir_weights;
+    keep in sync with :func:`bigrams_sql`."""
+    ws = words_col(text)
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+    )
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def bigrams_sql(ws_expr: str) -> str:
+    """DuckDB twin of :func:`bigrams_col` over a split-words expression."""
+    return (
+        f"CASE WHEN len({ws_expr}) >= 2 THEN "
+        f"list_transform(generate_series(1, len({ws_expr}) - 1), "
+        f"i -> {ws_expr}[i] || ' ' || {ws_expr}[i+1]) "
+        f"ELSE [] END"
+    )
+
+
 def token_count_ws(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(words_col(text))
@@ -628,14 +655,8 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.session import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-    pairs = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2))
-    )
     return (
-        docs.select(F.explode(pairs).alias("pair"))
+        docs.select(F.explode(bigrams_col(F.col("text"))).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
@@ -648,8 +669,7 @@ WITH w AS (
   SELECT string_split(text, ' ') AS ws FROM documents
 ),
 p AS (
-  SELECT ws[i] || ' ' || ws[i+1] AS pair
-  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i) g
+  SELECT unnest({bigrams_sql('ws')}) AS pair FROM w
 )
 SELECT pair, COUNT(*) AS n_occurrences
 FROM p GROUP BY pair
@@ -857,18 +877,14 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.session import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    ws = words_col(F.col("text"))
-    n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-    pairs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
     bc = (
-        docs.select(F.explode(pairs).alias("pair"))
+        docs.select(F.explode(bigrams_col(F.col("text"))).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("c_ab"))
         .filter(F.col("c_ab") >= PMI_MIN_COUNT)
     )
     uc = (
-        docs.select(F.explode(ws).alias("w"))
+        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c_w"))
     )
@@ -911,8 +927,7 @@ WITH w AS (
   SELECT string_split(text, ' ') AS ws FROM documents
 ),
 bi AS (
-  SELECT ws[i] || ' ' || ws[i+1] AS pair
-  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i) g
+  SELECT unnest({bigrams_sql('ws')}) AS pair FROM w
 ),
 bc AS (
   SELECT pair, COUNT(*) AS c_ab FROM bi GROUP BY pair
@@ -1080,9 +1095,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
-    tot = vocab.agg(
-        F.sum("cnt").alias("n_tokens"), F.count("*").alias("n_types")
-    )
+    tot = vocab.agg(F.sum("cnt").alias("n_tokens"))
     points = []
     for v in VOCAB_SIZES:
         top = vocab.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(v)

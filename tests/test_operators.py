@@ -317,6 +317,26 @@ def test_knn_per_label_rank_bounds(spark, sf_dir):
         assert len(rks) <= 3
 
 
+def test_bigrams_col_guards_one_word_docs(spark):
+    """A 1-word doc must yield ZERO bigrams (not the lone word, not
+    NULL) — the cross-engine contract bigrams_sql mirrors; an unguarded
+    sequence(1, n-1) silently diverges between Spark and DuckDB here."""
+    import duckdb
+
+    df = spark.createDataFrame([("solo",), ("a b c",)], ["text"])
+    rows = df.select(
+        F.col("text"), X.bigrams_col(F.col("text")).alias("bg")
+    ).collect()
+    got = {r.text: r.bg for r in rows}
+    assert got["solo"] == []
+    assert got["a b c"] == ["a b", "b c"]
+    con = duckdb.connect()
+    sql = X.bigrams_sql("string_split(t, ' ')")
+    for text in ("solo", "a b c"):
+        (oracle,) = con.execute(f"SELECT {sql} FROM (SELECT '{text}' AS t)").fetchone()
+        assert oracle == got[text]
+
+
 def test_filter_funnel_cumulative_is_monotone(spark, sf_dir):
     """Four rule rows; cumulative drops are non-decreasing in pipeline
     order, each cumulative >= its rule's marginal, and survivors +
@@ -335,9 +355,13 @@ def test_filter_funnel_cumulative_is_monotone(spark, sf_dir):
 def test_vocab_coverage_monotone(spark, sf_dir):
     """Coverage and covered tokens are non-decreasing in vocab size;
     types are capped by the size; coverage is a valid fraction."""
-    rows = sorted(
-        X.q_vocab_coverage(spark, sf_dir).collect(), key=lambda r: r.vocab_size
-    )
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        collected = X.q_vocab_coverage(spark, sf_dir).collect()
+    finally:
+        release_caches()
+    rows = sorted(collected, key=lambda r: r.vocab_size)
     assert [r.vocab_size for r in rows] == sorted(X.VOCAB_SIZES)
     covs = [r.coverage for r in rows]
     assert covs == sorted(covs)
@@ -361,7 +385,12 @@ def test_pmi_collocations_ranked_and_floored(spark, sf_dir):
 def test_ann_join_topk_invariants(spark, sf_dir):
     """Per-vector rank sequences are gapless 1..n with n <= K, sims are
     non-increasing within a vector, and no vector lists itself."""
-    rows = S.q_ann_join(spark, sf_dir).collect()
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        rows = S.q_ann_join(spark, sf_dir).collect()
+    finally:
+        release_caches()
     assert rows, "band candidates should exist at every test SF"
     per: dict = {}
     for r in rows:

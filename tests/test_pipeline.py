@@ -201,7 +201,12 @@ def test_dsir_weights_separate_target_domain(spark, sf_dir):
     ).collect()
     src = {r.doc_id: r.source for r in docs}
     nw = {r.doc_id: r.n for r in docs}
-    rows = P.q_dsir_weights(spark, sf_dir).collect()
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        rows = P.q_dsir_weights(spark, sf_dir).collect()
+    finally:
+        release_caches()
     assert len(rows) == len(docs)
     for r in rows:
         assert r.n_feats == 2 * nw[r.doc_id] - 1

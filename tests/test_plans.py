@@ -273,8 +273,12 @@ def test_dsir_weights_is_single_aggregate_plus_bounded_broadcast(spark, sf_dir):
     4096-row weight table via broadcast; the per-doc sum is a bigint
     (fixed-point) aggregate with no Python stage."""
     from langchain_callback_parquet_logger_spark.operators import pipeline
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
 
-    plan = _initial_plan(pipeline.q_dsir_weights(spark, sf_dir))
+    try:
+        plan = _initial_plan(pipeline.q_dsir_weights(spark, sf_dir))
+    finally:
+        release_caches()
     assert "HashAggregate" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
