@@ -1,0 +1,61 @@
+"""Tokenizer-design session: the three tables a vocab designer reads,
+plus the cleaning funnel that decides which corpus the tokenizer is fit
+on — each one a single declarative Spark plan over the documents table.
+
+1. filter funnel   — which quality rules drop how much, marginally and
+                     cumulatively (fit the tokenizer AFTER cleaning).
+2. vocab coverage  — in-vocab token fraction at candidate vocab sizes
+                     (the <unk>/byte-fallback budget per size).
+3. BPE merges      — highest-count adjacent pairs (what a BPE trainer
+                     would merge first).
+4. PMI collocations — highest-cohesion pairs (multi-word expressions
+                     worth promoting even when raw counts are modest;
+                     raw-count ranking surfaces stopword pairs instead).
+
+Every stage is scan + hash-aggregate shaped (one pass each, bounded
+top-K via per-partition heaps) — the same plans run unchanged on a
+100 TB corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from langchain_callback_parquet_logger_spark import get_spark
+from langchain_callback_parquet_logger_spark.operators.text import (
+    q_bpe_merge_candidates,
+    q_filter_funnel,
+    q_pmi_collocations,
+    q_vocab_coverage,
+)
+from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark("example-tokenizer-design")
+
+    print("1. cleaning funnel (marginal vs cumulative drops):")
+    q_filter_funnel(spark, SF_DIR).show()
+
+    print("2. vocabulary coverage at candidate sizes:")
+    try:
+        q_vocab_coverage(spark, SF_DIR).orderBy("vocab_size").show()
+    finally:
+        release_caches()  # q_vocab_coverage caches the vocab aggregate
+
+    print("3. top BPE merge candidates (raw adjacent-pair counts):")
+    q_bpe_merge_candidates(spark, SF_DIR).show(10, truncate=False)
+
+    print("4. top PMI collocations (cohesion-ranked pairs):")
+    q_pmi_collocations(spark, SF_DIR).show(10, truncate=False)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

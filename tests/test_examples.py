@@ -15,6 +15,7 @@ EXAMPLES = [
     "batch_run_example.py",
     "curation_pipeline_example.py",
     "data_mixing_example.py",
+    "tokenizer_design_example.py",
 ]
 
 
