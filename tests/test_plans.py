@@ -285,6 +285,41 @@ def test_dsir_weights_is_single_aggregate_plus_bounded_broadcast(spark, sf_dir):
     assert "EvalPython" not in plan, plan
 
 
+def test_pmi_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """The PMI cutoff must compile to TakeOrderedAndProject (bounded
+    per-partition heaps), with the vocab joins equi-shaped — never a
+    cartesian or a Python stage."""
+    plan = _initial_plan(text.q_pmi_collocations(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_vocab_coverage_prefixes_are_take_ordered(spark, sf_dir):
+    """Each curve point is a bounded orderBy().limit(V) — the plan must
+    show TakeOrderedAndProject over the cached vocab (InMemoryTableScan),
+    and no window rank over the whole vocab."""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        plan = _initial_plan(text.q_vocab_coverage(spark, sf_dir))
+    finally:
+        release_caches()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_filter_funnel_is_single_scan(spark, sf_dir):
+    """All rule flags and counters come from ONE pass over documents:
+    exactly one parquet scan in the plan, no join, no Python."""
+    plan = _initial_plan(text.q_filter_funnel(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_unigram_logprob_is_jvm_two_aggregate_shape(spark, sf_dir):
     """The surprisal score must stay in codegen: token explode feeding
     two hash aggregates and one equi-join on word — no Python stage, and
