@@ -169,6 +169,7 @@ _PENDING_CERTIFICATION = {
     "q_pmi_collocations": 4,
     "q_filter_funnel": 4,
     "q_vocab_coverage": 4,
+    "q_doc_keywords": 4,
 }
 
 

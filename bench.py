@@ -71,6 +71,7 @@ HEADLINE = [
     "q_pmi_collocations",
     "q_filter_funnel",
     "q_vocab_coverage",
+    "q_doc_keywords",
     # deduplication
     "q_exact_dedup",
     "q_minhash_dedup",

@@ -1142,6 +1142,77 @@ FROM pts
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-document keywords — doc tagging at corpus scale: each document's
+# top-K terms by TF-IDF against the whole corpus (the per-DOC complement
+# of q_tfidf_top_terms' per-language rollup; use it to label documents
+# for retrieval, mixture design, or cluster naming). Same factoring as
+# its sibling: integer tf, idf computed once per word, one int×double
+# multiply per (doc, word) — no float summation order anywhere.
+#
+# Scale design: linear explode → two two-phase hash aggregates (tf per
+# (doc, word), df per word) → AQE-decided vocab join (corpus-growing, no
+# hint) + scalar doc-count broadcast → rank window keyed on doc_id —
+# corpus-cardinality, so window parallelism GROWS with the data (the
+# opposite of the ≤5-key window anti-pattern).
+# ---------------------------------------------------------------------------
+
+DOC_KEYWORDS_K = 3
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df_docs"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOC_KEYWORDS_K)
+        .select("doc_id", "word", "tf", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_DOC_KEYWORDS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT word, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         round(tf.tf * ln((nd.n_docs + 1) / (dfq.df_docs + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfq USING (word) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, word, tf, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, word ASC) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT doc_id, word, tf, tfidf, rk FROM ranked WHERE rk <= {DOC_KEYWORDS_K}
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -1160,6 +1231,7 @@ QUERIES = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_filter_funnel": q_filter_funnel,
     "q_vocab_coverage": q_vocab_coverage,
+    "q_doc_keywords": q_doc_keywords,
 }
 
 ORACLES = {
@@ -1180,4 +1252,5 @@ ORACLES = {
     "q_pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "q_filter_funnel": ORACLE_FILTER_FUNNEL,
     "q_vocab_coverage": _oracle_vocab_coverage(),
+    "q_doc_keywords": ORACLE_DOC_KEYWORDS,
 }

@@ -352,6 +352,22 @@ def test_filter_funnel_cumulative_is_monotone(spark, sf_dir):
     assert len(totals) == 1
 
 
+def test_doc_keywords_rank_bounds(spark, sf_dir):
+    """Every doc gets a gapless 1..n rank sequence with n <= K, ordered
+    by score then word, and a keyword's tf never exceeds doc length."""
+    rows = X.q_doc_keywords(spark, sf_dir).collect()
+    assert rows
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.doc_id, []).append(r)
+    for rs in per.values():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= X.DOC_KEYWORDS_K
+        scores = [(r.tfidf, r.word) for r in rs]
+        assert scores == sorted(scores, key=lambda s: (-s[0], s[1]))
+
+
 def test_vocab_coverage_monotone(spark, sf_dir):
     """Coverage and covered tokens are non-decreasing in vocab size;
     types are capped by the size; coverage is a valid fraction."""

@@ -352,6 +352,14 @@ COMMENTARY: dict[str, str] = {
         "The 'rank the whole vocab' anti-pattern is avoided because the "
         "question only asks about a bounded prefix."
     ),
+    "q_doc_keywords": (
+        "Per-doc tagging: linear explode, two two-phase hash aggregates "
+        "(tf, df), an AQE-decided vocab join (corpus-growing — no "
+        "broadcast hint) plus the scalar doc-count broadcast, and a rank "
+        "window PARTITIONED ON doc_id — corpus-cardinality, so window "
+        "parallelism grows with the data instead of funneling through a "
+        "handful of sort tasks."
+    ),
     "q_user_value_median": (
         "percentile(0.5) participates in the standard two-phase "
         "aggregation: partial state before the exchange, merge after — "

@@ -91,6 +91,7 @@ QUERIES = [
     "q_pmi_collocations",
     "q_filter_funnel",
     "q_vocab_coverage",
+    "q_doc_keywords",
 ]
 
 
