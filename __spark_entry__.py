@@ -69,108 +69,88 @@ GRADING_WINDOW = 50
 
 # The driver grades the FIRST GRADING_WINDOW registry entries (insertion
 # order).  Order the registry explicitly so that, across rounds, EVERY
-# query earns a driver-graded CORRECTNESS record.  Round-4 rotation: the
-# 37 queries graded only by the local full-surface gate in rounds 1-3
-# (they sat behind the window) move to the FRONT for driver
-# re-certification, followed by the 13 queries whose plans changed this
-# round (broadcast-hint removal, simhash band blocking, two-phase
-# sequence packing, source-keyed domain cap, fixed-point corpus_clean
-# average, tracked caching) — a prior green does not certify changed
-# code.  The remaining 37 (green in r2 AND r3, unchanged since) rotate to
-# the tail; the local gate still covers them every round.
+# query earns a driver-graded CORRECTNESS record.  Round-5 rotation:
+# the 9 round-4 additions that were certified only by the local gate
+# (CORRECTNESS_r04 landed, so their _PENDING_CERTIFICATION exemption
+# expired) take the front, followed by the rows-only sketch entry (which
+# can never earn a hash record and therefore always sits in-window),
+# the queries whose plan changes this round alter results or scale
+# behavior, the three once-green-in-r3 entries, and the 34 queries last
+# driver-graded in round 3 (oldest records first for redundancy).  The
+# 47 queries freshly certified in round 4 and unchanged rotate to the
+# tail; the local full-surface gate still covers them every round.
 _PRIORITY = [
-    # -- previously tail-only: aggregates / joins / set-ops --
-    "q_status_summary",
-    "q_dedup_keep_last",
-    "q_hierarchy_join",
-    "q_union_dedup",
-    "q_results_zip",
-    "q_topk",  # changed r4: customer broadcast hint removed (AQE decides)
-    "q_pricing_summary",
-    "q_revenue_by_nation",  # changed r4: customer broadcast hint removed
-    "q_priority_rollup",
-    "q_percentiles",
-    "q_event_pivot",
-    "q_cube",
-    "q_grouping_sets",
-    "q_running_total",
-    "q_lead_lag",
-    "q_ntile",
-    "q_set_ops",
-    # -- previously tail-only: analytic suite --
-    "q_funnel",  # changed r4: per-user broadcast hints removed
-    "q_cohort_retention",
-    "q_anomaly_zscore",
-    "q_value_histogram",
-    "q_event_runs",
+    # -- round-4 additions, first driver certification (mandatory) --
+    "q_training_order",
+    "q_ccnet_buckets",
+    "q_leakage_safe_split",
+    "q_dsir_weights",
+    "q_ann_join",  # changed r5: fixed-point window ordering (ADVICE)
+    "q_pmi_collocations",
+    "q_filter_funnel",
+    "q_vocab_coverage",
+    "q_doc_keywords",  # changed r5: fixed-point window ordering (ADVICE)
+    # -- permanent window resident --
     "q_hll_users",  # rows-only (sketch estimates are engine-specific)
-    # -- previously tail-only: SQL subquery surface --
-    "q_sql_exists_semi",
-    "q_sql_in_agg",
-    "q_sql_scalar_having",
-    "q_sql_correlated_scalar",
-    "q_sql_not_exists_anti",
-    # -- previously tail-only: checkpoint / UDF-UDAF-UDTF / text --
-    "q_checkpoint_resume",
-    "q_user_value_p90",
-    "q_udtf_trigrams",
-    "q_tfidf_top_terms",
-    "q_repetition_ratio",
-    "q_text_stats",
-    "q_quality_score",
-    "q_doc_fingerprint",
-    "q_rolling_hash",
-    # -- changed with a DIFFERENT result set/schema this round: the r03
-    # record cannot certify them, driver re-grade is mandatory.  (The
-    # result-IDENTICAL plan changes — q_ngram_jaccard hint removal,
-    # q_embedding_dedup tracked caching, q_corpus_clean fixed-point
-    # average — ceded their window slots to the three session-4 additions
-    # below; they hold r03 driver certification and stay green in the
-    # local full-surface gate every round.) --
-    "q_simhash_pairs",  # REBUILT: band-prefix blocking (result set changed)
-    "q_sequence_pack",  # REBUILT: two-phase prefix sum
-    "q_domain_cap",  # re-keyed on source (schema changed)
-    # -- NEW in round 4: first driver certification --
-    "q_bpe_merge_candidates",  # BPE-trainer pair counting, top-K merge list
-    "q_diversity_sample",  # one representative per simhash-prefix bucket
-    "q_length_histogram",  # token-length bins (sizes PACK_BUDGET)
-    "q_incremental_dedup",  # new-batch-vs-corpus LSH index join
-    "q_pq_quantize",  # product-quantization codes + reconstruction error
-    "q_ensemble_dedup",  # fused text-Jaccard + embedding-cosine verdicts
-    "q_stream_incremental_dedup",  # stream-static ingest dedup (foreachBatch)
-    "q_substring_dedup",  # exact duplicated-span windows (Lee et al. 2021)
-    "q_semdedup",  # intra-cluster cosine prune (Abbas et al. 2023)
-    "q_unigram_logprob",  # CCNet-style unigram surprisal quality signal
+    # -- changed in round 5, re-grade mandatory --
+    "q_decontaminate",  # hard broadcast on bench postings removed (VERDICT #3)
+    "q_stream_incremental_dedup",  # verdicts sink-materialized (VERDICT #4)
+    # -- once-green (single r3 record) --
+    "q_cross_source_dupes",
+    "q_multimodal_resize",
+    "q_source_mixture_weights",
+    # -- last driver-graded in round 3 --
+    "q_asof_join",
+    "q_corpus_clean",
+    "q_dedup_clusters",
+    "q_denylist_redact",
+    "q_embedding_dedup",  # changed r5: shared banded-emb cache memoized
+    "q_embedding_quantize",
+    "q_exact_dedup",
+    "q_hash_sample",
+    "q_kmeans_ivf",
+    "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_knn_per_label",
+    "q_lang_id",
+    "q_lang_rollup",
+    "q_minhash_dedup",
+    "q_mixture_sample",
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_multimodal_meta",
+    "q_ngram_jaccard",
+    "q_priority_class",
+    "q_range_join_banded",
+    "q_salted_rollup",
+    "q_sessionize",
+    "q_simhash",
+    "q_sql_moving_avg",
+    "q_stream_dedup",
+    "q_stream_hourly_counts",
+    "q_stream_join",
+    "q_stream_session_window",
+    "q_stream_sessionize",
+    "q_top_terms",
+    "q_variant_extract",
+    # -- new in round 5: first driver certification --
+    "q_bpe_apply",  # apply learned BPE merges (closes the tokenizer loop)
 ]
-# Rotated out to make room (driver-green in r1-r3, r4 results unchanged —
-# q_exact_dedup/q_simhash/q_decontaminate saw only the spread() gate,
-# q_cross_source_dupes/q_dedup_clusters/q_minhash_dedup only upstream or
-# internal caching (and the minhash pipeline is value-re-verified inside
-# the in-window q_ensemble_dedup/q_incremental_dedup/q_cross_source_dupes),
-# q_mixture_sample no change; the local full gate still covers them every
-# round).
+# Rotated out to make room: the 47 queries driver-certified in round 4
+# (CORRECTNESS_r04.json, all-green) whose plans are unchanged this
+# round; the local full gate still covers them every round.
 
-# Queries added AFTER the round-4 window filled (it holds 47 never-graded
-# entries plus the 3 whose r4 rebuild changed their result set — none can
-# cede a slot).  These are certified by the local full-surface gate
-# (ORACLE_FULL/ORACLE_SF01/DTYPES_FULL artifacts) this round and MUST
-# rotate into _PRIORITY next round.  tests/test_survey_registry.py allows
-# this set to be window-absent without a prior driver record ONLY until a
+# Queries added AFTER the current round's window filled.  These are
+# certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/
+# DTYPES_FULL artifacts) this round and MUST rotate into _PRIORITY next
+# round.  tests/test_survey_registry.py allows this set to be
+# window-absent without a prior driver record ONLY until a
 # CORRECTNESS_r{N}.json with N ≥ the recorded round exists — i.e. the
 # exemption expires the moment the next driver grade lands, so the
 # following session cannot ship without rotating these in (value = round
 # the query was added).
-_PENDING_CERTIFICATION = {
-    "q_training_order": 4,
-    "q_ccnet_buckets": 4,
-    "q_leakage_safe_split": 4,
-    "q_dsir_weights": 4,
-    "q_ann_join": 4,
-    "q_pmi_collocations": 4,
-    "q_filter_funnel": 4,
-    "q_vocab_coverage": 4,
-    "q_doc_keywords": 4,
-}
+_PENDING_CERTIFICATION: dict[str, int] = {}
 
 
 def entry(spark: SparkSession) -> DataFrame:

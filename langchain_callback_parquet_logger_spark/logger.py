@@ -126,9 +126,21 @@ class SparkParquetLogger:
     or standalone: ``logger.on_llm_start({...}, ["prompt"], run_id="r1")``.
     """
 
-    # LangChain BaseCallbackHandler duck-type surface.
+    # LangChain BaseCallbackHandler duck-type surface: the real callback
+    # dispatcher (langchain_core.callbacks.base.BaseCallbackManager /
+    # handle_event) reads these flags off every handler before routing an
+    # event, so they must all exist for the duck-typed handler to survive
+    # real dispatch (verified by tests/test_langchain_integration.py
+    # wherever langchain-core is installed).
     raise_error = False
     run_inline = True
+    ignore_llm = False
+    ignore_chain = False
+    ignore_agent = False
+    ignore_retriever = False
+    ignore_chat_model = False
+    ignore_retry = False
+    ignore_custom_event = False
 
     def __init__(
         self,

@@ -468,11 +468,14 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_THRESHOLD}
 # short so the corpus shingle size (k=3) is reused, which also lets the
 # oracle share _SHINGLES_SQL verbatim.
 #
-# Scale: the benchmark side is ~1/97th of the corpus — its exploded posting
-# list broadcasts, so the training side streams through a broadcast hash
-# join with NO shuffle of the 100 TB side; the only wide op is the final
-# per-doc aggregate. If the benchmark outgrows the broadcast threshold the
-# same plan degrades gracefully to a shuffle join on the shingle key.
+# Scale: the benchmark side here is ~1/97th of the corpus — proportional
+# to corpus size, NOT bounded by construction, so it carries NO hard
+# broadcast hint (forcing a ~1 TB posting list into every executor at
+# 100 TB would OOM).  AQE picks broadcast-hash at runtime whenever the
+# bench side measures under the threshold (it does at every test SF) and
+# degrades gracefully to a shuffle join on the shingle key when a real
+# eval suite outgrows it.  Hint policy per round-4 review: hard hints
+# only on frames bounded by construction.
 # ---------------------------------------------------------------------------
 
 
@@ -484,9 +487,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = post.filter(F.col("doc_id") % 97 != 0)
     # bench rows are already unique per (bench_id, s): shingles() emits
-    # array_distinct per doc, so no dedup exchange before the broadcast.
+    # array_distinct per doc, so no dedup exchange before the join.
     return (
-        train.join(F.broadcast(bench), "s")
+        train.join(bench, "s")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("bench_id").alias("n_bench_hits"),
@@ -706,6 +709,31 @@ FROM fp GROUP BY bucket
 # ---------------------------------------------------------------------------
 
 
+def ensemble_from_pairs(text_pairs: DataFrame, emb_pairs: DataFrame) -> DataFrame:
+    """Fuse MATERIALIZED pair tables into the ensemble verdict — the
+    production shape: nightly jobs persist the MinHash pair list and the
+    embedding-LSH pair list once, and every downstream policy query joins
+    the stored tables instead of re-running two full dedup pipelines
+    (what the end-to-end ``q_ensemble_dedup`` does, at 100 TB a ~2×
+    saving of the whole dedup cost).
+
+    ``text_pairs``: (doc_a, doc_b, text_jaccard); ``emb_pairs``:
+    (doc_a, doc_b, cosine_sim) — both canonical orientation (a < b).
+    The FULL OUTER equi-join of two pair lists is linear in true
+    near-dups and AQE-decided; no stage touches raw text or vectors."""
+    joined = text_pairs.join(emb_pairs, ["doc_a", "doc_b"], "full_outer")
+    n_signals = F.when(F.col("text_jaccard").isNotNull(), 1).otherwise(0) + F.when(
+        F.col("cosine_sim").isNotNull(), 1
+    ).otherwise(0)
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "text_jaccard",
+        "cosine_sim",
+        n_signals.alias("n_signals"),
+    )
+
+
 def q_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import q_embedding_dedup
 
@@ -717,17 +745,7 @@ def q_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_b").alias("doc_b"),
         F.col("sim").alias("cosine_sim"),
     )
-    joined = tp.join(ep, ["doc_a", "doc_b"], "full_outer")
-    n_signals = F.when(F.col("text_jaccard").isNotNull(), 1).otherwise(0) + F.when(
-        F.col("cosine_sim").isNotNull(), 1
-    ).otherwise(0)
-    return joined.select(
-        "doc_a",
-        "doc_b",
-        "text_jaccard",
-        "cosine_sim",
-        n_signals.alias("n_signals"),
-    )
+    return ensemble_from_pairs(tp, ep)
 
 
 def _oracle_ensemble_dedup() -> str:

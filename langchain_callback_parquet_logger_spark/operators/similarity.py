@@ -396,14 +396,29 @@ DEDUP_PLANES = [
 ]
 
 
+# (generation, emb, bands) per sf_dir — see _banded_emb.
+_BANDED_EMB_MEMO: dict[str, tuple[int, DataFrame, DataFrame]] = {}
+
+
 def _banded_emb(spark: SparkSession, sf_dir: str):
     """Shared LSH front end for q_embedding_dedup / q_ann_join: the
     normalized embedding frame (vec_id, emb, nrm) and its exploded
     32-bit/4-band signature frame, both cache_tracked. The signature
     cache is load-bearing: the 32 hyperplane dot products are expensive
     Catalyst folds, and without the cache CollapseProject re-inlines
-    them into BOTH sides of the self-join (per-candidate recompute)."""
-    from ..plans.session import cache_tracked, spread
+    them into BOTH sides of the self-join (per-candidate recompute).
+
+    The pair is MEMOIZED per sf_dir within a cache generation so a
+    session running both consumers without an intervening
+    release_caches() shares one cached copy instead of materializing
+    duplicate blocks of identical data; release_caches() bumps the
+    generation, invalidating the memo along with the blocks it tracks."""
+    from ..plans.session import cache_generation, cache_tracked, spread
+
+    gen = cache_generation()
+    hit = _BANDED_EMB_MEMO.get(sf_dir)
+    if hit is not None and hit[0] == gen:
+        return hit[1], hit[2]
 
     emb = cache_tracked(
         spread(load_table(spark, sf_dir, "embeddings"))
@@ -418,6 +433,7 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
             ).alias("band_idx", "band_val"),
         )
     )
+    _BANDED_EMB_MEMO[sf_dir] = (gen, emb, bands)
     return emb, bands
 
 
@@ -1061,16 +1077,27 @@ def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
     )
     sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    # Rank on a 1e-6 fixed-point BIGINT (not the rounded double): a ≤1-ulp
+    # sqrt/dot divergence between the JVM and DuckDB's libm near a 0.5e-6
+    # rounding boundary could otherwise flip the top-K cutoff cross-engine
+    # — same contract as q_pmi_collocations/q_doc_keywords; the displayed
+    # sim derives FROM the quantized value so order and display agree.
     scored = (
         cand.join(a, "vec_id")
         .join(b, "nb_id")
-        .select("vec_id", "nb_id", F.round(sim, 6).alias("sim"))
+        .select(
+            "vec_id",
+            "nb_id",
+            F.round(sim * F.lit(1e6)).cast("bigint").alias("sim_q"),
+        )
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nb_id").asc())
+    w = W.partitionBy("vec_id").orderBy(F.col("sim_q").desc(), F.col("nb_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= ANN_JOIN_K)
-        .select("vec_id", "nb_id", "rank", "sim")
+        .select(
+            "vec_id", "nb_id", "rank", F.round(F.col("sim_q") / 1e6, 6).alias("sim")
+        )
     )
 
 
@@ -1079,9 +1106,10 @@ def _oracle_ann_join() -> str:
 WITH {_band_cte_sql('<>')},
 scored AS (
   SELECT c.vec_a AS vec_id, c.vec_b AS nb_id,
-         round(list_dot_product(a.emb, b.emb)
+         CAST(round(list_dot_product(a.emb, b.emb)
                / (sqrt(list_dot_product(a.emb, a.emb))
-                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+                  * sqrt(list_dot_product(b.emb, b.emb))) * 1e6) AS BIGINT)
+             AS sim_q
   FROM cand c
   JOIN e a ON a.vec_id = c.vec_a
   JOIN e b ON b.vec_id = c.vec_b
@@ -1089,11 +1117,12 @@ scored AS (
 ranked AS (
   SELECT vec_id, nb_id,
          ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY sim DESC, nb_id ASC) AS rank,
-         sim
+                            ORDER BY sim_q DESC, nb_id ASC) AS rank,
+         sim_q
   FROM scored
 )
-SELECT vec_id, nb_id, rank, sim FROM ranked WHERE rank <= {ANN_JOIN_K}
+SELECT vec_id, nb_id, rank, round(sim_q / 1e6, 6) AS sim
+FROM ranked WHERE rank <= {ANN_JOIN_K}
 """
 
 

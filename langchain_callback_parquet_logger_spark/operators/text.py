@@ -679,6 +679,132 @@ LIMIT {BPE_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# BPE merge APPLICATION — the other half of the tokenizer loop: given the
+# ranked merge list the trainer learned (q_bpe_merge_candidates), segment
+# the corpus with it. One rule application = a leftmost-greedy,
+# non-overlapping rewrite of every adjacent (a, b) token pair into the
+# merged symbol, applied in rank order — classic BPE semantics (Sennrich
+# et al. 2016), here at word level to match the rest of the text surface.
+#
+# The merge rules are plan PARAMETERS (they shape the fold expressions),
+# so the graded query embeds the trainer's learned list as literals —
+# the same pattern as q_pq_quantize's PQ_CODEBOOK: the bounded K-row
+# collect lives in the TRAINER loop (examples/tokenizer_design_example.py),
+# never in the graded query, which stays fully declarative.
+#
+# Scale design: each rule is ONE JVM-side higher-order fold per document
+# (F.aggregate over the token array, whole-stage codegen, no Python, no
+# shuffle) — applying M rules is M narrow map stages over the corpus, a
+# purely embarrassingly-parallel rewrite. The fold keeps the running
+# segmentation as a \\x1f-joined string so Spark's aggregate() and
+# DuckDB's list_reduce() execute the IDENTICAL algorithm (list_reduce's
+# accumulator must have the element type, so both engines fold strings).
+# ---------------------------------------------------------------------------
+
+# Top-8 merges learned by the trainer on the synthetic corpus (count desc,
+# pair asc — the q_bpe_merge_candidates order). ("part","filter") before
+# ("filter","hash") exercises rule interaction: a "part filter hash" run
+# becomes [part_filter, hash], so rule 8 correctly no longer fires.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("table", "hash"),
+    ("part", "filter"),
+    ("customer", "join"),
+    ("merge", "group"),
+    ("slow", "key"),
+    ("vector", "small"),
+    ("big", "order"),
+    ("filter", "hash"),
+)
+BPE_SEP = "\x1f"  # unit separator: cannot occur in whitespace-split tokens
+
+
+def bpe_apply_state(text: Column, merges=BPE_MERGES) -> Column:
+    """Segment ``text`` with the learned merges; returns the final
+    segmentation as a BPE_SEP-joined string (split it to get tokens).
+    Leftmost-greedy per rule, rules applied in rank order."""
+    # Each rule folds the PREVIOUS state exactly once: the accumulator
+    # starts NULL and the first token replaces it, so the fold runs over
+    # the whole split array and `state` appears a single time per level.
+    # (The natural head/rest formulation references state 3× per level —
+    # Catalyst inlines the unshared subtrees and the expression fans out
+    # ~3^M, measured 88 s/500 docs at M=8; this shape is linear.)
+    def make_step(a: str, b: str):
+        merged = F.lit(a + "_" + b)
+
+        def step(acc: Column, x: Column) -> Column:
+            hit = (x == F.lit(b)) & (
+                (acc == F.lit(a)) | acc.endswith(BPE_SEP + a)
+            )
+            return F.when(acc.isNull(), x).when(
+                hit,
+                F.concat(
+                    acc.substr(F.lit(1), F.length(acc) - F.lit(len(a))), merged
+                ),
+            ).otherwise(F.concat(acc, F.lit(BPE_SEP), x))
+
+        return step
+
+    state = F.translate(text, " ", BPE_SEP)
+    for a, b in merges:
+        state = F.aggregate(
+            F.split(state, BPE_SEP),
+            F.lit(None).cast("string"),
+            make_step(a, b),
+        )
+    return state
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    state = bpe_apply_state(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("bigint").alias("n_tokens_before"),
+        F.size(F.split(state, BPE_SEP)).cast("bigint").alias("n_tokens_after"),
+    ).select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        (F.col("n_tokens_before") - F.col("n_tokens_after")).alias("n_merges"),
+        F.round(F.col("n_tokens_after") / F.col("n_tokens_before"), 6).alias(
+            "compression"
+        ),
+    )
+
+
+def _oracle_bpe_apply() -> str:
+    ctes = [
+        "s0 AS (SELECT doc_id, len(string_split(text, ' ')) AS n_before, "
+        "replace(text, ' ', chr(31)) AS st FROM documents)"
+    ]
+    for i, (a, b) in enumerate(BPE_MERGES, start=1):
+        lam = (
+            f"(acc, x) -> CASE WHEN x = '{b}' AND (acc = '{a}' OR "
+            f"right(acc, {len(a) + 1}) = chr(31) || '{a}') "
+            f"THEN left(acc, len(acc) - {len(a)}) || '{a}_{b}' "
+            f"ELSE acc || chr(31) || x END"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, n_before, "
+            f"list_reduce(string_split(st, chr(31)), {lam}) AS st "
+            f"FROM s{i - 1})"
+        )
+    last = f"s{len(BPE_MERGES)}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT doc_id,
+       CAST(n_before AS BIGINT) AS n_tokens_before,
+       CAST(len(string_split(st, chr(31))) AS BIGINT) AS n_tokens_after,
+       CAST(n_before - len(string_split(st, chr(31))) AS BIGINT) AS n_merges,
+       round(len(string_split(st, chr(31))) / n_before, 6) AS compression
+FROM {last}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Unigram language-model surprisal — the CCNet/Wenzek-et-al.-style
 # perplexity quality signal: score every document by the mean negative
 # log-probability of its tokens under a unigram model fit on the corpus
@@ -1170,6 +1296,12 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("word").agg(F.count("*").alias("df_docs"))
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # Rank on a 1e-6 fixed-point BIGINT, not the rounded double: a ≤1-ulp
+    # ln() divergence between the JVM and DuckDB's libm near a 0.5e-6
+    # rounding boundary could otherwise flip the rank cutoff cross-engine
+    # (same contract as q_pmi_collocations / q_dsir_weights); the
+    # displayed tfidf is derived FROM the quantized value so order and
+    # display can never disagree.
     scored = (
         tf.join(df_, "word")
         .crossJoin(F.broadcast(n_docs))
@@ -1178,16 +1310,25 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
             "tf",
             F.round(
-                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)),
-                6,
-            ).alias("tfidf"),
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1))
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("tfidf_q"),
         )
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_q").desc(), F.col("word").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= DOC_KEYWORDS_K)
-        .select("doc_id", "word", "tf", "tfidf", F.col("rk").cast("int").alias("rk"))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(F.col("tfidf_q") / 1e6, 6).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
     )
 
 
@@ -1200,16 +1341,18 @@ dfq AS (SELECT word, COUNT(*) AS df_docs FROM tf GROUP BY 1),
 nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.word, tf.tf,
-         round(tf.tf * ln((nd.n_docs + 1) / (dfq.df_docs + 1.0)), 6) AS tfidf
+         CAST(round(tf.tf * ln((nd.n_docs + 1) / (dfq.df_docs + 1.0)) * 1e6)
+              AS BIGINT) AS tfidf_q
   FROM tf JOIN dfq USING (word) CROSS JOIN nd
 ),
 ranked AS (
-  SELECT doc_id, word, tf, tfidf,
+  SELECT doc_id, word, tf, tfidf_q,
          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
-                                 ORDER BY tfidf DESC, word ASC) AS INTEGER) AS rk
+                                 ORDER BY tfidf_q DESC, word ASC) AS INTEGER) AS rk
   FROM scored
 )
-SELECT doc_id, word, tf, tfidf, rk FROM ranked WHERE rk <= {DOC_KEYWORDS_K}
+SELECT doc_id, word, tf, round(tfidf_q / 1e6, 6) AS tfidf, rk
+FROM ranked WHERE rk <= {DOC_KEYWORDS_K}
 """
 
 
@@ -1226,6 +1369,7 @@ QUERIES = {
     "q_rolling_hash": q_rolling_hash,
     "q_top_terms": q_top_terms,
     "q_bpe_merge_candidates": q_bpe_merge_candidates,
+    "q_bpe_apply": q_bpe_apply,
     "q_unigram_logprob": q_unigram_logprob,
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_pmi_collocations": q_pmi_collocations,
@@ -1247,6 +1391,7 @@ ORACLES = {
     "q_rolling_hash": ORACLE_ROLLING_HASH,
     "q_top_terms": ORACLE_TOP_TERMS,
     "q_bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
+    "q_bpe_apply": _oracle_bpe_apply(),
     "q_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "q_ccnet_buckets": ORACLE_CCNET_BUCKETS,
     "q_pmi_collocations": ORACLE_PMI_COLLOCATIONS,

@@ -194,6 +194,7 @@ def spread(df: DataFrame, min_bytes: int = SPREAD_MIN_BYTES) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TRACKED_CACHES: list[DataFrame] = []
+_CACHE_GENERATION = 0
 
 
 def cache_tracked(df: DataFrame) -> DataFrame:
@@ -203,8 +204,21 @@ def cache_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def cache_generation() -> int:
+    """Monotone counter bumped by every release_caches() call. Builders
+    that MEMOIZE a cache_tracked frame across invocations (e.g. the
+    shared LSH band index consumed by both q_embedding_dedup and
+    q_ann_join) key their memo on this: a stale generation means the
+    memoized frame was unpersisted and must be rebuilt, while within one
+    generation the two queries share a single cached copy instead of
+    materializing duplicate blocks of identical data."""
+    return _CACHE_GENERATION
+
+
 def release_caches() -> int:
     """Unpersist every tracked cache (non-blocking); returns count released."""
+    global _CACHE_GENERATION
+    _CACHE_GENERATION += 1
     n = 0
     while _TRACKED_CACHES:
         try:

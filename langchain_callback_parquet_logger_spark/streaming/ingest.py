@@ -463,6 +463,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same full value oracle.
     """
     import os
+    import tempfile
 
     from pyspark.sql import DataFrame as BatchDF
 
@@ -500,10 +501,14 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         src = reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
 
-    # Per-batch verdicts accumulate driver-side (the verdict list IS the
-    # query result the caller collects — same materialization point as a
-    # memory sink, without a managed-table write).
-    verdict_rows: list = []
+    # Per-batch verdicts go to a parquet sink, one `epoch=<id>` directory
+    # per micro-batch: overwrite of the SAME directory on foreachBatch
+    # re-delivery makes the write idempotent (the recipe materialize.py
+    # uses for its rollup table), and driver memory stays flat no matter
+    # how duplicate-rich the ingest is — the verdicts never pass through
+    # the driver at all.
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_verdicts_")
+    verdict_schema = "new_doc_id bigint, n_corpus_dups bigint, best_jaccard double"
 
     def _dedup_batch(batch_df: BatchDF, epoch_id: int) -> None:
         new_docs = batch_df.filter(is_new)
@@ -535,7 +540,9 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("j").alias("best_jaccard"),
             )
         )
-        verdict_rows.extend(verified.collect())
+        verified.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
 
     with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
         query = (
@@ -544,10 +551,14 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
-    return spark.createDataFrame(
-        verdict_rows,
-        "new_doc_id bigint, n_corpus_dups bigint, best_jaccard double",
-    )
+    epoch_dirs = [
+        os.path.join(out_dir, d)
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("epoch=")
+    ]
+    if not epoch_dirs:  # zero micro-batches fired (empty source)
+        return spark.createDataFrame([], verdict_schema)
+    return spark.read.schema(verdict_schema).parquet(*epoch_dirs)
 
 
 def _oracle_stream_incremental_dedup() -> str:

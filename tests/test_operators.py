@@ -248,6 +248,27 @@ def test_ensemble_dedup_signal_consistency(spark, sf_dir):
         assert ((r.doc_a, r.doc_b) in text_pairs) == (r.text_jaccard is not None)
 
 
+def test_ensemble_from_pairs_merges_materialized_tables(spark):
+    """The stored-pair-table combinator (production shape: join persisted
+    pair lists instead of re-running both dedup pipelines) fuses the two
+    signals exactly like the end-to-end query: full-outer on (doc_a,
+    doc_b), n_signals = count of non-null signals."""
+    tp = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.8)], "doc_a bigint, doc_b bigint, text_jaccard double"
+    )
+    ep = spark.createDataFrame(
+        [(1, 2, 0.95), (5, 6, 0.7)], "doc_a bigint, doc_b bigint, cosine_sim double"
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in D.ensemble_from_pairs(tp, ep).collect()
+    }
+    assert set(rows) == {(1, 2), (3, 4), (5, 6)}
+    assert rows[(1, 2)].n_signals == 2
+    assert rows[(3, 4)].n_signals == 1 and rows[(3, 4)].cosine_sim is None
+    assert rows[(5, 6)].n_signals == 1 and rows[(5, 6)].text_jaccard is None
+
+
 def test_incremental_dedup_matches_corpus_only(spark, sf_dir):
     """Every flagged doc is from the new batch, every verified match is at
     or above the Jaccard threshold, and dup counts are positive."""

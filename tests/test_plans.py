@@ -146,11 +146,24 @@ def test_funnel_joins_are_aqe_decided(spark, sf_dir):
 
 def test_ngram_jaccard_size_dims_carry_no_hint(spark, sf_dir):
     """sa/sb are one-row-per-DOCUMENT dims; corpus-cardinality frames must
-    never be hint-broadcast. (q_decontaminate keeps its hint by design —
-    benchmark sets are bounded by construction.)"""
+    never be hint-broadcast."""
     from langchain_callback_parquet_logger_spark.plans.session import release_caches
 
     df = dedup.q_ngram_jaccard(spark, sf_dir)
+    try:
+        assert "ResolvedHint" not in _analyzed_plan(df)
+    finally:
+        release_caches()
+
+
+def test_decontaminate_bench_postings_carry_no_hint(spark, sf_dir):
+    """The bench posting list is ~1/97th of the CORPUS — proportional to
+    corpus size, not bounded by construction, so it must carry no hard
+    broadcast hint (at 100 TB a forced ~1 TB broadcast OOMs every
+    executor). AQE broadcasts it at runtime while it is actually small."""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    df = dedup.q_decontaminate(spark, sf_dir)
     try:
         assert "ResolvedHint" not in _analyzed_plan(df)
     finally:
