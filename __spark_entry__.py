@@ -118,8 +118,6 @@ _PRIORITY = [
     "q_minhash_dedup",
     "q_mixture_sample",
     "q_multimodal_features",
-    "q_multimodal_framesample",
-    "q_multimodal_meta",
     "q_ngram_jaccard",
     "q_priority_class",
     "q_range_join_banded",
@@ -136,7 +134,12 @@ _PRIORITY = [
     "q_variant_extract",
     # -- new in round 5: first driver certification --
     "q_bpe_apply",  # apply learned BPE merges (closes the tokenizer loop)
+    "q_minhash_estimate_error",  # signature-estimate vs exact Jaccard
+    "q_paraphrase_candidates",  # embedding-only near-dups + lang enrich
 ]
+# (q_multimodal_meta / q_multimodal_framesample ceded their round-5 slots
+# to the two dedup-family additions; both hold r2+r3 driver records and
+# stay green in the local full gate every round.)
 # Rotated out to make room: the 47 queries driver-certified in round 4
 # (CORRECTNESS_r04.json, all-green) whose plans are unchanged this
 # round; the local full gate still covers them every round.

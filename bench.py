@@ -82,6 +82,8 @@ HEADLINE = [
     "q_ensemble_dedup",
     "q_diversity_sample",
     "q_substring_dedup",
+    "q_minhash_estimate_error",
+    "q_paraphrase_candidates",
     # similarity search
     "q_knn_bruteforce",
     "q_knn_lsh",
@@ -102,6 +104,7 @@ HEADLINE = [
     "q_sequence_pack",
     "q_mixture_sample",
     "q_bpe_merge_candidates",
+    "q_bpe_apply",
     "q_length_histogram",
     "q_training_order",
     "q_ccnet_buckets",
@@ -174,6 +177,38 @@ def main() -> None:
         for name in names:
             one(name)
 
+    # Cold-vs-warm annotation for the r3→r4 dedup-family regressions
+    # (q_exact_dedup 1.7×, q_minhash_dedup 2.3×, q_dedup_clusters 1.8×,
+    # q_simhash_pairs 2.6×): round 4 changed the methodology to release
+    # tracked caches between reps, so every rep pays the full cold-cache
+    # pipeline cost, where r3's reps re-hit the previous rep's persisted
+    # blocks. This block records BOTH numbers: a cold rep (current
+    # methodology) is already in `runs`; here each query runs twice
+    # back-to-back WITHOUT an intervening release, and the second, warm
+    # rep emulates the r3 measurement. warm ≈ the r3 number names the
+    # regression as methodology, not plan; warm ≈ cold means the query
+    # doesn't benefit from resident caches and the delta needs another
+    # explanation (see ref_scan_sec for uniform environment drift).
+    warm_annotated = [
+        "q_exact_dedup",
+        "q_minhash_dedup",
+        "q_dedup_clusters",
+        "q_simhash_pairs",
+    ]
+    warm: dict[str, float] = {}
+    for name in warm_annotated:
+        if name not in qs or name in errors:
+            continue
+        try:
+            qs[name](spark, sf_dir).count()  # populate tracked caches
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()  # warm rep: caches resident
+            warm[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors.setdefault(name, f"warm-annotation {type(e).__name__}: {e}")
+        finally:
+            release_caches()
+
     timings: dict[str, float] = {}
     for name in names:
         if not runs[name]:  # every rep errored — recorded in `errors`
@@ -218,6 +253,10 @@ def main() -> None:
                 "ref_scan_sec": ref_runs,
                 "ref_scan_median_sec": ref_median,
                 "queries": timings,
+                # Named cause record for the r3→r4 dedup-family deltas:
+                # warm rep = caches resident (r3-style measurement);
+                # compare against the cold median in `queries`.
+                "warm_cache_annotation": warm,
                 "runs": {n: [round(t, 3) for t in ts] for n, ts in runs.items()},
                 "rows": counts,
                 "errors": errors,

@@ -766,6 +766,163 @@ FROM tp FULL OUTER JOIN ep
 
 
 # ---------------------------------------------------------------------------
+# MinHash estimator calibration — est-vs-exact Jaccard on the LSH candidate
+# pairs: the diagnostic a pipeline runs before trusting signature-only
+# dedup at scale (at 100 TB the exact verify join is the expensive leg;
+# if the 16-hash estimator tracks exact Jaccard tightly enough, the
+# verify can be skipped or subsampled). Reports, per candidate pair, the
+# signature-agreement estimate (#equal components / NUM_HASHES — an
+# unbiased estimator of Jaccard), the exact shingle-set Jaccard, and the
+# absolute error.
+#
+# Scale: candidates come from the SAME banded equi-join as q_minhash_dedup
+# (never all-pairs); the estimate is 16 integer equality checks per pair
+# (already-computed signatures), and the exact leg is the usual two
+# id-equi-joins — all linear in candidates.
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = cache_tracked(docs.select("doc_id", shingles(F.col("text")).alias("sh")))
+    sig = cache_tracked(minhash_signatures(docs))
+    bands = lsh_bands(sig)
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    candidates = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.band_key") == F.col("b2.band_key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{j}").alias(f"a_s{j}") for j in range(NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{j}").alias(f"b_s{j}") for j in range(NUM_HASHES)],
+    )
+    matches = None
+    for j in range(NUM_HASHES):
+        m = F.when(F.col(f"a_s{j}") == F.col(f"b_s{j}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    est = matches / F.lit(float(NUM_HASHES))
+    exact = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+def _oracle_minhash_estimate_error() -> str:
+    match_sql = " + ".join(
+        f"(CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END)" for j in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_minhash_bands_cte()},
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands b1 JOIN bands b2
+    ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
+   AND b1.doc_id < b2.doc_id
+),
+est AS (
+  SELECT cand.doc_a, cand.doc_b,
+         ({match_sql}) / {float(NUM_HASHES)} AS est_j
+  FROM cand JOIN sig a ON a.doc_id = cand.doc_a
+            JOIN sig b ON b.doc_id = cand.doc_b
+)
+SELECT e.doc_a, e.doc_b,
+       round(e.est_j, 6) AS est_jaccard,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)), 6) AS exact_jaccard,
+       round(abs(e.est_j - len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh))), 6) AS abs_err
+FROM est e JOIN sh a ON a.doc_id = e.doc_a
+           JOIN sh b ON b.doc_id = e.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Paraphrase candidates — the embedding-ONLY near-dup slice: pairs whose
+# cosine clears the embedding threshold but that the lexical (MinHash
+# Jaccard) path does NOT flag. These are "same meaning, different words"
+# — exactly the rows a dedup POLICY treats differently from lexical
+# dups (keep for diversity, or collapse for strict dedup) and a
+# paraphrase-mining pipeline harvests as training pairs. Enriched with
+# both docs' languages: a cross-language paraphrase pair is a
+# translation candidate.
+#
+# Scale: both inputs are banded-LSH pair lists (linear in true
+# near-dups); the anti-join and the two lang-dim joins are AQE-decided
+# equi-joins (the lang dim is one row per DOCUMENT — corpus-cardinality,
+# so no hard broadcast hint, per the hint policy).
+# ---------------------------------------------------------------------------
+
+
+def q_paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import q_embedding_dedup
+
+    ep = q_embedding_dedup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.col("sim").alias("cosine_sim"),
+    )
+    tp = q_minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    para = ep.join(tp, ["doc_a", "doc_b"], "left_anti")
+    docs = load_table(spark, sf_dir, "documents")
+    la = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    lb = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    return (
+        para.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "cosine_sim",
+            "lang_a",
+            "lang_b",
+            (F.col("lang_a") == F.col("lang_b")).cast("int").alias("same_lang"),
+        )
+    )
+
+
+def _oracle_paraphrase_candidates() -> str:
+    from .similarity import _oracle_embedding_dedup
+
+    return f"""
+SELECT p.doc_a, p.doc_b, p.cosine_sim,
+       da.lang AS lang_a, db.lang AS lang_b,
+       CAST(da.lang = db.lang AS INTEGER) AS same_lang
+FROM (
+  SELECT e.vec_a AS doc_a, e.vec_b AS doc_b, e.sim AS cosine_sim
+  FROM ({_oracle_embedding_dedup()}) e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({_oracle_minhash()}) t
+    WHERE t.doc_a = e.vec_a AND t.doc_b = e.vec_b
+  )
+) p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact-substring (duplicated span) detection — the window-level exact
 # dedup signal from "Deduplicating Training Data Makes Language Models
 # Better" (Lee et al., 2021): any SPAN_WINDOW-token window that appears
@@ -862,6 +1019,8 @@ QUERIES = {
     "q_incremental_dedup": q_incremental_dedup,
     "q_ensemble_dedup": q_ensemble_dedup,
     "q_substring_dedup": q_substring_dedup,
+    "q_minhash_estimate_error": q_minhash_estimate_error,
+    "q_paraphrase_candidates": q_paraphrase_candidates,
 }
 
 ORACLES = {
@@ -876,4 +1035,6 @@ ORACLES = {
     "q_incremental_dedup": _oracle_incremental_dedup(),
     "q_ensemble_dedup": _oracle_ensemble_dedup(),
     "q_substring_dedup": _oracle_substring_dedup(),
+    "q_minhash_estimate_error": _oracle_minhash_estimate_error(),
+    "q_paraphrase_candidates": _oracle_paraphrase_candidates(),
 }

