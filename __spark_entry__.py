@@ -112,7 +112,6 @@ _PRIORITY = [
     "q_knn_bruteforce",
     "q_knn_ivf",
     "q_knn_lsh",
-    "q_knn_per_label",
     "q_lang_id",
     "q_lang_rollup",
     "q_minhash_dedup",
@@ -121,7 +120,6 @@ _PRIORITY = [
     "q_ngram_jaccard",
     "q_priority_class",
     "q_range_join_banded",
-    "q_salted_rollup",
     "q_sessionize",
     "q_simhash",
     "q_sql_moving_avg",
@@ -136,10 +134,13 @@ _PRIORITY = [
     "q_bpe_apply",  # apply learned BPE merges (closes the tokenizer loop)
     "q_minhash_estimate_error",  # signature-estimate vs exact Jaccard
     "q_paraphrase_candidates",  # embedding-only near-dups + lang enrich
+    "q_doc_features",  # wide per-doc feature frame for quality classifiers
+    "q_matryoshka_probe",  # MRL prefix-truncation fidelity measurement
 ]
-# (q_multimodal_meta / q_multimodal_framesample ceded their round-5 slots
-# to the two dedup-family additions; both hold r2+r3 driver records and
-# stay green in the local full gate every round.)
+# (q_multimodal_meta, q_multimodal_framesample, q_knn_per_label and
+# q_salted_rollup ceded their round-5 slots to the four new queries; all
+# hold r2+r3 driver records and stay green in the local full gate every
+# round.)
 # Rotated out to make room: the 47 queries driver-certified in round 4
 # (CORRECTNESS_r04.json, all-green) whose plans are unchanged this
 # round; the local full gate still covers them every round.

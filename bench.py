@@ -68,6 +68,7 @@ HEADLINE = [
     "q_tfidf_top_terms",
     "q_top_terms",
     "q_unigram_logprob",
+    "q_doc_features",
     "q_pmi_collocations",
     "q_filter_funnel",
     "q_vocab_coverage",
@@ -93,6 +94,7 @@ HEADLINE = [
     "q_pq_quantize",
     "q_semdedup",
     "q_ann_join",
+    "q_matryoshka_probe",
     # temporal joins
     "q_asof_join",
     "q_range_join_banded",

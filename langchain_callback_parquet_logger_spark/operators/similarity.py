@@ -1126,6 +1126,100 @@ FROM ranked WHERE rank <= {ANN_JOIN_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncation probe — how much similarity fidelity is
+# lost when embeddings are truncated to a prefix of their dimensions
+# (Kusupati et al. 2022): per prefix length, the mean absolute deviation
+# between prefix-cosine and full-cosine over the LSH candidate pairs.
+# This is the measurement that licenses storing/searching 16- or 32-dim
+# prefixes at 100 TB (a 4×/2× footprint and bandwidth cut for the ANN
+# index) — if the probe says the prefix ranks pairs like the full
+# vector, the index can run on prefixes and re-rank on full vectors.
+#
+# Scale: candidate pairs from the shared banded-LSH front end (linear,
+# never all-pairs); per-pair work is a handful of JVM array folds; the
+# rollup is ONE aggregate row stacked into one row per prefix. Per-pair
+# deviations quantize to 1e-6 BIGINTs before the sum, so shuffle combine
+# order cannot move the 6-dp mean.
+# ---------------------------------------------------------------------------
+
+MRL_PREFIXES = (16, 32, 48)  # full-dim (64) deviation is identically 0
+
+
+def q_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb, bands = _banded_emb(spark, sf_dir)
+    cand = _lsh_candidate_pairs(bands, symmetric=False)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    joined = cand.join(a, "vec_a").join(b, "vec_b")
+    full = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    dcols = []
+    for p in MRL_PREFIXES:
+        sa = F.slice(F.col("emb_a"), 1, p)
+        sb = F.slice(F.col("emb_b"), 1, p)
+        simp = dot(sa, sb) / (norm(sa) * norm(sb))
+        dcols.append(
+            F.round(F.abs(simp - full) * F.lit(1e6)).cast("bigint").alias(f"d{p}")
+        )
+    agg = joined.select(*dcols).agg(
+        F.count("*").alias("n_pairs"),
+        *[F.sum(f"d{p}").alias(f"s{p}") for p in MRL_PREFIXES],
+    )
+    points = [
+        agg.select(
+            F.lit(p).alias("prefix_dim"),
+            "n_pairs",
+            F.round(F.col(f"s{p}") / (F.col("n_pairs") * F.lit(1e6)), 6).alias(
+                "mean_abs_dev"
+            ),
+        )
+        for p in MRL_PREFIXES
+    ]
+    return reduce(lambda x, y: x.unionByName(y), points)
+
+
+def _oracle_matryoshka_probe() -> str:
+    def cos_sql(ea: str, eb: str) -> str:
+        return (
+            f"list_dot_product({ea}, {eb}) / "
+            f"(sqrt(list_dot_product({ea}, {ea})) * "
+            f"sqrt(list_dot_product({eb}, {eb})))"
+        )
+
+    dexprs = ", ".join(
+        f"CAST(round(abs({cos_sql(f'ea[1:{p}]', f'eb[1:{p}]')} "
+        f"- {cos_sql('ea', 'eb')}) * 1e6) AS BIGINT) AS d{p}"
+        for p in MRL_PREFIXES
+    )
+    sums = ", ".join(f"SUM(d{p}) AS s{p}" for p in MRL_PREFIXES)
+    points = "\nUNION ALL\n".join(
+        f"SELECT {p} AS prefix_dim, n_pairs, "
+        f"round(s{p} / (n_pairs * 1e6), 6) AS mean_abs_dev FROM agg"
+        for p in MRL_PREFIXES
+    )
+    return f"""
+WITH {_band_cte_sql('<')},
+pr AS (
+  SELECT a.emb AS ea, b.emb AS eb
+  FROM cand c JOIN e a ON a.vec_id = c.vec_a
+              JOIN e b ON b.vec_id = c.vec_b
+),
+d AS (SELECT {dexprs} FROM pr),
+agg AS (SELECT COUNT(*) AS n_pairs, {sums} FROM d)
+{points}
+"""
+
+
 QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_knn_ivf": q_knn_ivf,
@@ -1137,6 +1231,7 @@ QUERIES = {
     "q_pq_quantize": q_pq_quantize,
     "q_semdedup": q_semdedup,
     "q_ann_join": q_ann_join,
+    "q_matryoshka_probe": q_matryoshka_probe,
 }
 
 ORACLES = {
@@ -1150,4 +1245,5 @@ ORACLES = {
     "q_pq_quantize": _oracle_pq_quantize(),
     "q_semdedup": _oracle_semdedup(),
     "q_ann_join": _oracle_ann_join(),
+    "q_matryoshka_probe": _oracle_matryoshka_probe(),
 }

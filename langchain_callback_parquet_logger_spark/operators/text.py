@@ -1356,6 +1356,123 @@ FROM ranked WHERE rk <= {DOC_KEYWORDS_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-doc feature assembly — the WIDE frame a trained quality classifier
+# (fasttext-style filter, DSIR weighting, curriculum scorer) consumes:
+# every cheap per-document signal in one row. Real pipelines materialize
+# exactly this table once and train/score against it instead of
+# re-deriving signals ad hoc.
+#
+# Scale design: one scan computes all scalar text features (pure
+# projection, whole-stage codegen); the corpus-model signal (unigram
+# surprisal) is the usual explode → two hash aggregates → vocab join;
+# the exact-dup flag is a hash aggregate on the fingerprint joined back
+# ON THE SAME KEY (exchange reuse). Near-dup features join from the
+# MATERIALIZED pair tables in production (see ensemble_from_pairs) —
+# deliberately not recomputed here, so the feature build stays linear.
+# ---------------------------------------------------------------------------
+
+
+def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    n_words = token_count_ws(t)
+    sw_ratio = stopword_count(t) / n_words
+    punct_ratio = F.size(
+        F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0))
+    ) / F.length(t)
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    quality = (sw_ratio + (1 - punct_ratio) + len_score) / 3
+    rep = 1 - F.size(F.array_distinct(words_col(t))) / n_words
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_words.cast("bigint").alias("n_words"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+        F.round(rep, 6).alias("repetition"),
+        fingerprint(t).alias("fp"),
+    )
+    dupes = base.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    tok = docs.select("doc_id", F.explode(words_col(t)).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    surp = (
+        tf.join(unigram_model(tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("nt"),
+            F.sum(F.col("tf") * F.col("qnll")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("s") / (F.col("nt") * F.lit(1e6)), 6).alias("avg_nll"),
+        )
+    )
+    return (
+        base.join(dupes, "fp")
+        .join(surp, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_chars",
+            "stopword_ratio",
+            "punct_ratio",
+            "quality",
+            "repetition",
+            (F.col("n_copies") >= 2).cast("int").alias("is_exact_dup"),
+            "avg_nll",
+        )
+    )
+
+
+ORACLE_DOC_FEATURES = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         len(list_filter(string_split(text, ' '), w -> w IN ({_SW_LIST})))::DOUBLE
+             / len(string_split(text, ' ')) AS sw_ratio,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text)
+             AS punct_ratio,
+         least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
+         1 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) AS rep,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+dup AS (SELECT fp, COUNT(*) AS n_copies FROM base GROUP BY 1),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+q AS (
+  SELECT word,
+         CAST(round((ln(tot.n_total) - ln(cnt)) * 1e6) AS BIGINT) AS qnll
+  FROM vocab, tot
+),
+pd AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS nt,
+         CAST(SUM(tf.tf * q.qnll) AS BIGINT) AS s
+  FROM tf JOIN q USING (word) GROUP BY 1
+)
+SELECT b.doc_id, b.lang, b.n_words, b.n_chars,
+       round(b.sw_ratio, 6) AS stopword_ratio,
+       round(b.punct_ratio, 6) AS punct_ratio,
+       round((b.sw_ratio + (1 - b.punct_ratio) + b.len_score) / 3, 6) AS quality,
+       round(b.rep, 6) AS repetition,
+       CAST(dup.n_copies >= 2 AS INTEGER) AS is_exact_dup,
+       round(pd.s / (pd.nt * 1e6), 6) AS avg_nll
+FROM base b JOIN dup USING (fp) JOIN pd ON pd.doc_id = b.doc_id
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -1376,6 +1493,7 @@ QUERIES = {
     "q_filter_funnel": q_filter_funnel,
     "q_vocab_coverage": q_vocab_coverage,
     "q_doc_keywords": q_doc_keywords,
+    "q_doc_features": q_doc_features,
 }
 
 ORACLES = {
@@ -1398,4 +1516,5 @@ ORACLES = {
     "q_filter_funnel": ORACLE_FILTER_FUNNEL,
     "q_vocab_coverage": _oracle_vocab_coverage(),
     "q_doc_keywords": ORACLE_DOC_KEYWORDS,
+    "q_doc_features": ORACLE_DOC_FEATURES,
 }

@@ -248,6 +248,53 @@ def test_ensemble_dedup_signal_consistency(spark, sf_dir):
         assert ((r.doc_a, r.doc_b) in text_pairs) == (r.text_jaccard is not None)
 
 
+def test_doc_features_one_row_per_doc_with_bounded_signals(spark, sf_dir):
+    """The feature frame covers every document exactly once; every ratio
+    signal is bounded, and the exact-dup flag agrees with a direct
+    fingerprint count."""
+    from pyspark.sql import Window as W
+
+    from langchain_callback_parquet_logger_spark.operators import text as T2
+
+    rows = T2.q_doc_features(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    dup_ids = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id", T2.fingerprint(F.col("text")).alias("fp")
+        )
+        .withColumn("n", F.count("*").over(W.partitionBy("fp")))
+        .filter(F.col("n") >= 2)
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.repetition < 1.0
+        assert r.avg_nll > 0
+        assert r.is_exact_dup == int(r.doc_id in dup_ids)
+
+
+def test_matryoshka_deviation_shrinks_with_prefix_length(spark, sf_dir):
+    """Longer prefixes approximate the full cosine at least as well on
+    average (monotone non-increasing mean deviation), and all deviations
+    are non-negative."""
+    from langchain_callback_parquet_logger_spark.operators import similarity as S3
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        rows = {r.prefix_dim: r for r in S3.q_matryoshka_probe(spark, sf_dir).collect()}
+    finally:
+        release_caches()
+    assert set(rows) == set(S3.MRL_PREFIXES)
+    n = {r.n_pairs for r in rows.values()}
+    assert len(n) == 1 and n.pop() > 0
+    devs = [rows[p].mean_abs_dev for p in sorted(rows)]
+    assert all(d >= 0 for d in devs)
+    assert devs == sorted(devs, reverse=True)
+
+
 def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
     """The 16-hash agreement fraction is an unbiased Jaccard estimator:
     every estimate and exact value sits in [0,1], abs_err is their

@@ -226,6 +226,21 @@ COMMENTARY: dict[str, str] = {
         "M=8). Merge rules are plan literals (PQ_CODEBOOK pattern): the "
         "bounded top-K collect lives in the trainer loop, never here."
     ),
+    "q_doc_features": (
+        "Wide feature assembly: all scalar text signals in ONE scan "
+        "projection (codegen), the unigram-surprisal leg as the standard "
+        "explode → two hash aggregates → vocab join, the exact-dup flag "
+        "as a fingerprint hash-aggregate joined back on the same key "
+        "(exchange reuse). Near-dup features deliberately come from the "
+        "materialized pair tables in production, keeping this linear."
+    ),
+    "q_matryoshka_probe": (
+        "MRL truncation fidelity: candidate pairs from the shared banded "
+        "LSH front end, a handful of JVM array folds per pair (prefix "
+        "dots/norms), then ONE aggregate row stacked into one row per "
+        "prefix. Per-pair deviations quantize to 1e-6 BIGINTs before the "
+        "sum — shuffle combine order cannot move the 6-dp mean."
+    ),
     "q_minhash_estimate_error": (
         "Estimator calibration on the banded candidate pairs: the "
         "signature-agreement estimate is 16 integer equality checks per "

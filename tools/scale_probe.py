@@ -63,6 +63,8 @@ QUERIES = [
     "q_bpe_apply",
     "q_minhash_estimate_error",
     "q_paraphrase_candidates",
+    "q_doc_features",
+    "q_matryoshka_probe",
     "q_diversity_sample",
     "q_length_histogram",
     "q_incremental_dedup",
