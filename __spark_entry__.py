@@ -105,7 +105,6 @@ _PRIORITY = [
     "q_dedup_clusters",
     "q_denylist_redact",
     "q_embedding_dedup",  # changed r5: shared banded-emb cache memoized
-    "q_embedding_quantize",
     "q_exact_dedup",
     "q_hash_sample",
     "q_kmeans_ivf",
@@ -136,11 +135,12 @@ _PRIORITY = [
     "q_paraphrase_candidates",  # embedding-only near-dups + lang enrich
     "q_doc_features",  # wide per-doc feature frame for quality classifiers
     "q_matryoshka_probe",  # MRL prefix-truncation fidelity measurement
+    "q_kmv_users",  # KMV distinct sketch with a full value oracle
 ]
-# (q_multimodal_meta, q_multimodal_framesample, q_knn_per_label and
-# q_salted_rollup ceded their round-5 slots to the four new queries; all
-# hold r2+r3 driver records and stay green in the local full gate every
-# round.)
+# (q_multimodal_meta, q_multimodal_framesample, q_knn_per_label,
+# q_salted_rollup and q_embedding_quantize ceded their round-5 slots to
+# the five new queries; all hold r2+r3 driver records and stay green in
+# the local full gate every round.)
 # Rotated out to make room: the 47 queries driver-certified in round 4
 # (CORRECTNESS_r04.json, all-green) whose plans are unchanged this
 # round; the local full gate still covers them every round.

@@ -62,6 +62,7 @@ HEADLINE = [
     "q_sql_moving_avg",
     "q_funnel",
     "q_user_value_median",
+    "q_kmv_users",
     # text analysis
     "q_lang_id",
     "q_quality_score",

@@ -308,6 +308,68 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the VALUE-CHECKABLE sketch:
+# unlike HLL (whose estimate is implementation-defined, see q_hll_users),
+# the KMV estimate (k-1)/v_k is a pure function of the hash function and
+# the data, so Spark and DuckDB produce the IDENTICAL estimate from the
+# shared md5-based hash60 — a cardinality sketch with a full value
+# oracle, plus its own calibration (relative error vs exact count).
+#
+# Scale: the k smallest distinct hashes are a TakeOrderedAndProject —
+# per-partition k-heaps merged on the driver, never a global sort; the
+# partial heaps merge associatively exactly like production KMV sketch
+# unions. The exact COUNT(DISTINCT) leg exists for calibration (at
+# 100 TB you run the sketch precisely to avoid it).
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+_TWO_POW_60 = float(1 << 60)
+
+
+def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hash60
+
+    events = load_table(spark, sf_dir, "events")
+    h = hash60(F.concat(F.lit("user:"), F.col("user_id").cast("string")))
+    hashes = events.select(h.alias("h")).distinct()
+    sk = hashes.orderBy("h").limit(KMV_K).agg(
+        F.max("h").alias("vk"), F.count("*").alias("m")
+    )
+    exact = events.agg(F.countDistinct("user_id").alias("n_exact"))
+    est = F.when(F.col("m") < KMV_K, F.col("m").cast("double")).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(_TWO_POW_60) / F.col("vk")
+    )
+    return sk.crossJoin(exact).select(  # both sides are single rows
+        F.lit(KMV_K).alias("k"),
+        "n_exact",
+        F.round(est, 2).alias("est_distinct"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+def _oracle_kmv_users() -> str:
+    from .dedup import _hash60_sql
+
+    hsql = _hash60_sql("'user:' || CAST(user_id AS VARCHAR)")
+    est = (
+        f"CASE WHEN m < {KMV_K} THEN m::DOUBLE "
+        f"ELSE ({float(KMV_K - 1)!r} * {_TWO_POW_60!r}) / vk END"
+    )
+    return f"""
+WITH h AS (SELECT DISTINCT {hsql} AS h FROM events),
+tk AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+sk AS (SELECT MAX(h) AS vk, COUNT(*) AS m FROM tk),
+ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT {KMV_K} AS k, n_exact,
+       round({est}, 2) AS est_distinct,
+       round(abs(({est}) - n_exact) / n_exact, 6) AS rel_err
+FROM sk, ex
+"""
+
+
+# ---------------------------------------------------------------------------
 # Funnel: view → click → purchase, strictly ordered per user. Each stage
 # is "earliest qualifying event after the previous stage's time" — a
 # conditional min aggregate, NOT a pattern-match UDF. Scale: three hash
@@ -550,6 +612,7 @@ QUERIES = {
     "q_event_runs": q_event_runs,
     "q_priority_class": q_priority_class,
     "q_hll_users": q_hll_users,
+    "q_kmv_users": q_kmv_users,
 }
 
 ORACLES = {
@@ -569,4 +632,7 @@ ORACLES = {
     "q_priority_class": ORACLE_PRIORITY_CLASS,
     # q_hll_users intentionally absent: approximate sketch estimates are
     # implementation-defined and cannot hash-match an exact oracle.
+    # (q_kmv_users shows the contrast: KMV's estimate is a pure function
+    # of the shared hash, so it DOES carry one.)
+    "q_kmv_users": _oracle_kmv_users(),
 }

@@ -89,6 +89,19 @@ def test_hll_close_to_exact(spark, sf_dir):
         assert abs(approx[k] - n) <= max(2, 0.05 * n)
 
 
+def test_kmv_estimate_close_to_exact_and_self_consistent(spark, sf_dir):
+    """KMV with k=256 carries ~1/sqrt(k-2) ≈ 6% standard error; require
+    the estimate within 25% of exact (loose enough to never flake, tight
+    enough to catch a broken estimator), and the reported rel_err must
+    equal the recomputed one."""
+    row = A.q_kmv_users(spark, sf_dir).collect()[0]
+    assert row.k == A.KMV_K
+    assert row.n_exact > 0
+    assert row.rel_err <= 0.25
+    expected = abs(row.est_distinct - row.n_exact) / row.n_exact
+    assert abs(row.rel_err - expected) < 1e-2  # est_distinct is 2dp-rounded
+
+
 def test_decontaminate_excludes_benchmark_docs(spark, sf_dir):
     df = D.q_decontaminate(spark, sf_dir)
     assert df.filter(F.col("doc_id") % 97 == 0).count() == 0

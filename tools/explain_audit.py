@@ -226,6 +226,13 @@ COMMENTARY: dict[str, str] = {
         "M=8). Merge rules are plan literals (PQ_CODEBOOK pattern): the "
         "bounded top-K collect lives in the trainer loop, never here."
     ),
+    "q_kmv_users": (
+        "KMV distinct sketch: hash-distinct then TakeOrderedAndProject "
+        "for the k smallest — per-partition k-heaps merged on the "
+        "driver, the same associative union a production KMV sketch "
+        "uses; never a global sort. The exact COUNT(DISTINCT) leg is "
+        "the calibration this query exists to report."
+    ),
     "q_doc_features": (
         "Wide feature assembly: all scalar text signals in ONE scan "
         "projection (codegen), the unigram-surprisal leg as the standard "

@@ -65,6 +65,7 @@ QUERIES = [
     "q_paraphrase_candidates",
     "q_doc_features",
     "q_matryoshka_probe",
+    "q_kmv_users",
     "q_diversity_sample",
     "q_length_histogram",
     "q_incremental_dedup",
