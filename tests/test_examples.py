@@ -16,6 +16,7 @@ EXAMPLES = [
     "curation_pipeline_example.py",
     "data_mixing_example.py",
     "tokenizer_design_example.py",
+    "quality_features_example.py",
 ]
 
 
