@@ -106,7 +106,6 @@ _PRIORITY = [
     "q_denylist_redact",
     "q_embedding_dedup",  # changed r5: shared banded-emb cache memoized
     "q_exact_dedup",
-    "q_hash_sample",
     "q_kmeans_ivf",
     "q_knn_bruteforce",
     "q_knn_ivf",
@@ -136,11 +135,12 @@ _PRIORITY = [
     "q_doc_features",  # wide per-doc feature frame for quality classifiers
     "q_matryoshka_probe",  # MRL prefix-truncation fidelity measurement
     "q_kmv_users",  # KMV distinct sketch with a full value oracle
+    "q_key_skew_report",  # heaviest join keys: share + pair pressure
 ]
 # (q_multimodal_meta, q_multimodal_framesample, q_knn_per_label,
-# q_salted_rollup and q_embedding_quantize ceded their round-5 slots to
-# the five new queries; all hold r2+r3 driver records and stay green in
-# the local full gate every round.)
+# q_salted_rollup, q_embedding_quantize and q_hash_sample ceded their
+# round-5 slots to the six new queries; all hold r2+r3 driver records
+# and stay green in the local full gate every round.)
 # Rotated out to make room: the 47 queries driver-certified in round 4
 # (CORRECTNESS_r04.json, all-green) whose plans are unchanged this
 # round; the local full gate still covers them every round.

@@ -86,6 +86,7 @@ HEADLINE = [
     "q_substring_dedup",
     "q_minhash_estimate_error",
     "q_paraphrase_candidates",
+    "q_key_skew_report",
     # similarity search
     "q_knn_bruteforce",
     "q_knn_lsh",

@@ -766,6 +766,69 @@ FROM tp FULL OUTER JOIN ep
 
 
 # ---------------------------------------------------------------------------
+# Join-key skew report — the diagnostic behind every salting/capping
+# decision: the heaviest shingle keys in the posting table, each with
+# its share of all postings and its pair pressure n·(n−1)/2 (the number
+# of candidate pairs this single key would inject into a posting
+# self-join — the quadratic hot spot q_ngram_jaccard's skew note warns
+# about). Run it BEFORE the join at 100 TB: keys above a pressure
+# budget get capped (stop-shingle removal) or salted, everything else
+# rides AQE's skew-join splitting.
+#
+# Scale: one explode + one hash aggregate on the key, a 1-row total
+# (exact broadcast), and a TakeOrderedAndProject top-K — per-partition
+# heaps, no global sort; the rank window runs over K=20 rows, bounded
+# by construction.
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 20
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    post = docs.select(F.explode(shingles(F.col("text"))).alias("shingle"))
+    counts = post.groupBy("shingle").agg(F.count("*").alias("n_postings"))
+    tot = counts.agg(F.sum("n_postings").alias("n_total"))  # 1 row: exact
+    top = counts.orderBy(F.desc("n_postings"), F.asc("shingle")).limit(SKEW_TOP_K)
+    w = W.orderBy(F.desc("n_postings"), F.asc("shingle"))  # K rows, bounded
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "shingle",
+            "n_postings",
+            F.round(F.col("n_postings") / F.col("n_total"), 6).alias("share"),
+            (
+                F.col("n_postings") * (F.col("n_postings") - 1) / F.lit(2)
+            )
+            .cast("bigint")
+            .alias("pair_pressure"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+ORACLE_KEY_SKEW_REPORT = f"""
+WITH post AS (
+  SELECT unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+counts AS (SELECT shingle, COUNT(*) AS n_postings FROM post GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_postings) AS BIGINT) AS n_total FROM counts),
+top AS (
+  SELECT shingle, n_postings FROM counts
+  ORDER BY n_postings DESC, shingle ASC LIMIT {SKEW_TOP_K}
+)
+SELECT shingle, n_postings,
+       round(n_postings / (SELECT n_total FROM tot), 6) AS share,
+       CAST(n_postings * (n_postings - 1) / 2 AS BIGINT) AS pair_pressure,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_postings DESC, shingle ASC)
+            AS INTEGER) AS rank
+FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash estimator calibration — est-vs-exact Jaccard on the LSH candidate
 # pairs: the diagnostic a pipeline runs before trusting signature-only
 # dedup at scale (at 100 TB the exact verify join is the expensive leg;
@@ -1021,6 +1084,7 @@ QUERIES = {
     "q_substring_dedup": q_substring_dedup,
     "q_minhash_estimate_error": q_minhash_estimate_error,
     "q_paraphrase_candidates": q_paraphrase_candidates,
+    "q_key_skew_report": q_key_skew_report,
 }
 
 ORACLES = {
@@ -1037,4 +1101,5 @@ ORACLES = {
     "q_substring_dedup": _oracle_substring_dedup(),
     "q_minhash_estimate_error": _oracle_minhash_estimate_error(),
     "q_paraphrase_candidates": _oracle_paraphrase_candidates(),
+    "q_key_skew_report": ORACLE_KEY_SKEW_REPORT,
 }

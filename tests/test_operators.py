@@ -248,6 +248,20 @@ def test_ensemble_dedup_signal_consistency(spark, sf_dir):
         assert ((r.doc_a, r.doc_b) in text_pairs) == (r.text_jaccard is not None)
 
 
+def test_key_skew_report_ranks_heaviest_keys(spark, sf_dir):
+    """Rows are rank-ordered by posting count (desc, key asc tie-break);
+    shares are positive and sum below 1 for a top-K cut; pair pressure
+    is exactly n(n-1)/2."""
+    rows = D.q_key_skew_report(spark, sf_dir).collect()
+    assert len(rows) == D.SKEW_TOP_K
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    counts = [r.n_postings for r in by_rank]
+    assert counts == sorted(counts, reverse=True)
+    assert 0 < sum(r.share for r in rows) < 1
+    for r in rows:
+        assert r.pair_pressure == r.n_postings * (r.n_postings - 1) // 2
+
+
 def test_doc_features_one_row_per_doc_with_bounded_signals(spark, sf_dir):
     """The feature frame covers every document exactly once; every ratio
     signal is bounded, and the exact-dup flag agrees with a direct

@@ -226,6 +226,14 @@ COMMENTARY: dict[str, str] = {
         "M=8). Merge rules are plan literals (PQ_CODEBOOK pattern): the "
         "bounded top-K collect lives in the trainer loop, never here."
     ),
+    "q_key_skew_report": (
+        "Skew diagnostic: one explode + one hash aggregate on the "
+        "posting key, a 1-row exact total broadcast, and "
+        "TakeOrderedAndProject for the heaviest keys (per-partition "
+        "heaps, no global sort); the rank window covers K=20 rows, "
+        "bounded by construction. Feeds salting/capping decisions "
+        "BEFORE the posting self-join pays the quadratic hot key."
+    ),
     "q_kmv_users": (
         "KMV distinct sketch: hash-distinct then TakeOrderedAndProject "
         "for the k smallest — per-partition k-heaps merged on the "

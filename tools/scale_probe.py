@@ -66,6 +66,7 @@ QUERIES = [
     "q_doc_features",
     "q_matryoshka_probe",
     "q_kmv_users",
+    "q_key_skew_report",
     "q_diversity_sample",
     "q_length_histogram",
     "q_incremental_dedup",
