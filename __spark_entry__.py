@@ -108,10 +108,8 @@ _PRIORITY = [
     "q_exact_dedup",
     "q_kmeans_ivf",
     "q_knn_bruteforce",
-    "q_knn_ivf",
     "q_knn_lsh",
     "q_lang_id",
-    "q_lang_rollup",
     "q_minhash_dedup",
     "q_mixture_sample",
     "q_multimodal_features",
@@ -136,11 +134,14 @@ _PRIORITY = [
     "q_matryoshka_probe",  # MRL prefix-truncation fidelity measurement
     "q_kmv_users",  # KMV distinct sketch with a full value oracle
     "q_key_skew_report",  # heaviest join keys: share + pair pressure
+    "q_length_quality_corr",  # integer-moment Pearson r per language
+    "q_ngram_novelty",  # per-doc share of first-seen shingles
 ]
 # (q_multimodal_meta, q_multimodal_framesample, q_knn_per_label,
-# q_salted_rollup, q_embedding_quantize and q_hash_sample ceded their
-# round-5 slots to the six new queries; all hold r2+r3 driver records
-# and stay green in the local full gate every round.)
+# q_salted_rollup, q_embedding_quantize, q_hash_sample, q_knn_ivf and
+# q_lang_rollup ceded their round-5 slots to the eight new queries; all
+# hold r2+r3 driver records and stay green in the local full gate every
+# round.)
 # Rotated out to make room: the 47 queries driver-certified in round 4
 # (CORRECTNESS_r04.json, all-green) whose plans are unchanged this
 # round; the local full gate still covers them every round.

@@ -70,6 +70,7 @@ HEADLINE = [
     "q_top_terms",
     "q_unigram_logprob",
     "q_doc_features",
+    "q_length_quality_corr",
     "q_pmi_collocations",
     "q_filter_funnel",
     "q_vocab_coverage",
@@ -87,6 +88,7 @@ HEADLINE = [
     "q_minhash_estimate_error",
     "q_paraphrase_candidates",
     "q_key_skew_report",
+    "q_ngram_novelty",
     # similarity search
     "q_knn_bruteforce",
     "q_knn_lsh",

@@ -829,6 +829,59 @@ FROM top
 
 
 # ---------------------------------------------------------------------------
+# N-gram novelty — per document, the fraction of its shingles that no
+# EARLIER document (by doc_id, the ingest order) contains: the marginal-
+# information signal behind "stop crawling this source, it has gone
+# stale" and dataset-ordering studies (late documents with near-zero
+# novelty are pure rehash). A doc's novel-shingle share is computed
+# against the global first-seen table, so the whole curve costs one
+# aggregate — not a per-doc scan of history.
+#
+# Scale: explode (linear) → min-aggregate per shingle → join back ON THE
+# SAME KEY (exchange reuse) → per-doc count rollup. No pairwise stage,
+# no ordering dependency beyond the min().
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    post = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    first_seen = post.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        post.join(first_seen, "s")  # same key as the aggregate
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH post AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+),
+fs AS (SELECT s, MIN(doc_id) AS first_doc FROM post GROUP BY 1)
+SELECT p.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN fs.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       round(SUM(CASE WHEN fs.first_doc = p.doc_id THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS novelty
+FROM post p JOIN fs USING (s)
+GROUP BY p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash estimator calibration — est-vs-exact Jaccard on the LSH candidate
 # pairs: the diagnostic a pipeline runs before trusting signature-only
 # dedup at scale (at 100 TB the exact verify join is the expensive leg;
@@ -1085,6 +1138,7 @@ QUERIES = {
     "q_minhash_estimate_error": q_minhash_estimate_error,
     "q_paraphrase_candidates": q_paraphrase_candidates,
     "q_key_skew_report": q_key_skew_report,
+    "q_ngram_novelty": q_ngram_novelty,
 }
 
 ORACLES = {
@@ -1102,4 +1156,5 @@ ORACLES = {
     "q_minhash_estimate_error": _oracle_minhash_estimate_error(),
     "q_paraphrase_candidates": _oracle_paraphrase_candidates(),
     "q_key_skew_report": ORACLE_KEY_SKEW_REPORT,
+    "q_ngram_novelty": ORACLE_NGRAM_NOVELTY,
 }

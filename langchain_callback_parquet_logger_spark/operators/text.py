@@ -1473,6 +1473,87 @@ FROM base b JOIN dup USING (fp) JOIN pd ON pd.doc_id = b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Length-quality correlation — per language, the Pearson r between doc
+# length and composite quality: the sanity check behind every length
+# filter (if r is strongly positive the "quality" score is just a length
+# proxy and the filter double-counts). corr() is NOT used: windowed/
+# aggregated FLOAT moments are engine-implementation-defined — instead
+# both engines accumulate INTEGER moments (x = word count, y = quality
+# quantized to 1e-4) whose sums are exact and associative, then evaluate
+# the closed-form r from the same integers. The 1e4 quantum keeps y² sums
+# within int64 out to ~10^10 docs per language.
+# ---------------------------------------------------------------------------
+
+
+def q_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    n_words = token_count_ws(t)
+    sw_ratio = stopword_count(t) / n_words
+    punct_ratio = F.size(
+        F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0))
+    ) / F.length(t)
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    quality = (sw_ratio + (1 - punct_ratio) + len_score) / 3
+    xy = docs.select(
+        "lang",
+        n_words.cast("bigint").alias("x"),
+        F.round(quality * F.lit(1e4)).cast("bigint").alias("y"),
+    )
+    m = xy.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_docs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        (n * sxy - sx * sy) / den
+    )
+    return m.select("lang", "n_docs", F.round(r, 6).alias("len_quality_corr"))
+
+
+ORACLE_LENGTH_QUALITY_CORR = f"""
+WITH xy AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         CAST(round((
+             len(list_filter(string_split(text, ' '), w -> w IN ({_SW_LIST})))::DOUBLE
+                 / len(string_split(text, ' '))
+             + (1 - len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+                   / length(text))
+             + least(length(text)::DOUBLE / 500.0, 1.0)
+           ) / 3 * 1e4) AS BIGINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM xy GROUP BY lang
+)
+SELECT lang, n_docs,
+       round(CASE WHEN sqrt((n_docs::DOUBLE * sxx - sx::DOUBLE * sx)
+                            * (n_docs::DOUBLE * syy - sy::DOUBLE * sy)) = 0
+                  THEN NULL
+                  ELSE (n_docs::DOUBLE * sxy - sx::DOUBLE * sy)
+                       / sqrt((n_docs::DOUBLE * sxx - sx::DOUBLE * sx)
+                              * (n_docs::DOUBLE * syy - sy::DOUBLE * sy))
+             END, 6) AS len_quality_corr
+FROM m
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -1494,6 +1575,7 @@ QUERIES = {
     "q_vocab_coverage": q_vocab_coverage,
     "q_doc_keywords": q_doc_keywords,
     "q_doc_features": q_doc_features,
+    "q_length_quality_corr": q_length_quality_corr,
 }
 
 ORACLES = {
@@ -1517,4 +1599,5 @@ ORACLES = {
     "q_vocab_coverage": _oracle_vocab_coverage(),
     "q_doc_keywords": ORACLE_DOC_KEYWORDS,
     "q_doc_features": ORACLE_DOC_FEATURES,
+    "q_length_quality_corr": ORACLE_LENGTH_QUALITY_CORR,
 }

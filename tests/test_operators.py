@@ -248,6 +248,59 @@ def test_ensemble_dedup_signal_consistency(spark, sf_dir):
         assert ((r.doc_a, r.doc_b) in text_pairs) == (r.text_jaccard is not None)
 
 
+def test_length_quality_corr_bounded_and_matches_numpy(spark, sf_dir):
+    """r in [-1, 1] per language, and the integer-moment formula agrees
+    with a NumPy reference computed from the same quantized inputs."""
+    import numpy as np
+
+    from langchain_callback_parquet_logger_spark.operators import text as T3
+
+    rows = {r.lang: r for r in T3.q_length_quality_corr(spark, sf_dir).collect()}
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = T3.token_count_ws(t)
+    sw = T3.stopword_count(t) / n_words
+    punct = F.size(
+        F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0))
+    ) / F.length(t)
+    ls = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    q = (sw + (1 - punct) + ls) / 3
+    raw = docs.select(
+        "lang",
+        n_words.cast("bigint").alias("x"),
+        F.round(q * F.lit(1e4)).cast("bigint").alias("y"),
+    ).collect()
+    by_lang: dict = {}
+    for r in raw:
+        by_lang.setdefault(r.lang, ([], []))
+        by_lang[r.lang][0].append(r.x)
+        by_lang[r.lang][1].append(r.y)
+    for lang, (xs, ys) in by_lang.items():
+        got = rows[lang].len_quality_corr
+        assert got is None or -1.0 <= got <= 1.0
+        if len(set(xs)) > 1 and len(set(ys)) > 1:
+            ref = float(np.corrcoef(xs, ys)[0, 1])
+            assert abs(got - ref) < 1e-4
+
+
+def test_ngram_novelty_is_causal_and_complete(spark, sf_dir):
+    """Doc 0 (smallest id) is fully novel; novelty = n_novel/n_shingles;
+    global novel counts sum to the number of distinct shingles."""
+    rows = D.q_ngram_novelty(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.n_novel == first.n_shingles and first.novelty == 1.0
+    n_distinct = (
+        docs.select(F.explode(D.shingles(F.col("text"))).alias("s"))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == n_distinct
+
+
 def test_key_skew_report_ranks_heaviest_keys(spark, sf_dir):
     """Rows are rank-ordered by posting count (desc, key asc tie-break);
     shares are positive and sum below 1 for a top-K cut; pair pressure

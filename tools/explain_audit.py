@@ -226,6 +226,19 @@ COMMENTARY: dict[str, str] = {
         "M=8). Merge rules are plan literals (PQ_CODEBOOK pattern): the "
         "bounded top-K collect lives in the trainer loop, never here."
     ),
+    "q_length_quality_corr": (
+        "Pearson r from exact INTEGER moments: per-doc word count and "
+        "1e-4-quantized quality feed one hash aggregate of six integer "
+        "sums (associative, combine-order-immune); the closed-form r is "
+        "evaluated from the same integers on both engines. Never uses "
+        "corr() — float moment accumulation is engine-defined."
+    ),
+    "q_ngram_novelty": (
+        "First-seen novelty: explode (linear), min-aggregate per "
+        "shingle, join back on the SAME key (exchange reuse), per-doc "
+        "rollup. The novelty curve for the whole corpus costs one "
+        "aggregate — no per-doc history scan, nothing pairwise."
+    ),
     "q_key_skew_report": (
         "Skew diagnostic: one explode + one hash aggregate on the "
         "posting key, a 1-row exact total broadcast, and "

@@ -67,6 +67,8 @@ QUERIES = [
     "q_matryoshka_probe",
     "q_kmv_users",
     "q_key_skew_report",
+    "q_length_quality_corr",
+    "q_ngram_novelty",
     "q_diversity_sample",
     "q_length_histogram",
     "q_incremental_dedup",
