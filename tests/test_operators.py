@@ -454,6 +454,101 @@ def test_bpe_merge_candidates_ranked_and_bounded(spark, sf_dir):
         assert len(r.pair.split(" ")) == 2
 
 
+def _apply_merges_py(tokens: list, merges) -> list:
+    """Pure-Python reference of leftmost-greedy, rank-ordered BPE merge
+    application — the semantics bpe_apply_state must reproduce."""
+    for a, b in merges:
+        out: list = []
+        for t in tokens:
+            if out and out[-1] == a and t == b:
+                out[-1] = a + "_" + b
+            else:
+                out.append(t)
+        tokens = out
+    return tokens
+
+
+def test_bpe_apply_fold_matches_python_reference(spark):
+    """Randomized differential test: the JVM fold's segmentation equals
+    the reference implementation on adversarial token soup (overlapping
+    rules, repeated pairs, 1-token docs, rule-interaction chains)."""
+    import random
+
+    from langchain_callback_parquet_logger_spark.operators.text import (
+        BPE_MERGES,
+        BPE_SEP,
+        bpe_apply_state,
+    )
+
+    rng = random.Random(42)
+    vocab = ["table", "hash", "part", "filter", "big", "order", "x"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for _ in range(200)
+    ]
+    # targeted adversarial cases beyond random soup
+    docs += [
+        "table",  # single token
+        "table hash",  # one full merge
+        "table table hash hash",  # partial overlaps
+        "part filter hash",  # rule 2 then rule 8 must NOT chain
+        "filter hash filter hash",  # repeated rule-8 pairs
+        "table hash table hash table hash",  # run of merges
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i int, t string")
+    got = {
+        r.i: r.seg.split(BPE_SEP)
+        for r in df.select(
+            "i", bpe_apply_state(F.col("t")).alias("seg")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _apply_merges_py(d.split(" "), BPE_MERGES), d
+
+
+def test_bpe_apply_oracle_matches_python_reference_on_adversarial_docs():
+    """Three-way pin: the DuckDB list_reduce oracle reproduces the same
+    reference semantics on adversarial docs the synthetic corpus may
+    never contain (rule-interaction chains, repeated pairs, 1-token
+    docs) — so the oracle gate's Spark==DuckDB check is anchored to the
+    intended BPE semantics, not just to mutual agreement."""
+    import random
+
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.text import (
+        BPE_MERGES,
+        _oracle_bpe_apply,
+    )
+
+    rng = random.Random(7)
+    vocab = ["table", "hash", "part", "filter", "big", "order", "x"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        for _ in range(100)
+    ] + [
+        "table",
+        "part filter hash",
+        "filter hash filter hash",
+        "table hash table hash table hash",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        "SELECT * FROM (SELECT unnest(range(0, ?)) AS doc_id) ids "
+        "JOIN (SELECT unnest(?) AS text, unnest(range(0, ?)) AS doc_id) txt "
+        "USING (doc_id)",
+        [len(docs), docs, len(docs)],
+    )
+    rows = {r[0]: r for r in con.execute(_oracle_bpe_apply()).fetchall()}
+    for i, d in enumerate(docs):
+        ref = _apply_merges_py(d.split(" "), BPE_MERGES)
+        doc_id, n_before, n_after, n_merges, _comp = rows[i]
+        assert n_before == len(d.split(" "))
+        assert n_after == len(ref), d
+        assert n_merges == n_before - n_after
+
+
 # --- similarity -------------------------------------------------------------
 
 
