@@ -40,6 +40,8 @@ from .dedup import (
 
 BANDS_SUBDIR = "bands"
 SHINGLES_SUBDIR = "shingles"
+ANN_EMB_SUBDIR = "emb"
+ANN_BANDS_SUBDIR = "ann_bands"
 
 
 def _parts(index_dir: str) -> tuple[str, str]:
@@ -120,4 +122,104 @@ def dedup_against_index(
     return verified.groupBy("new_doc_id").agg(
         F.count("*").alias("n_corpus_dups"),
         F.max("j").alias("best_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stored ANN index — the same lifecycle for the embedding side: persist
+# the normalized vectors and their hyperplane-LSH band keys once, serve
+# kNN queries from the STORED tables. Mirrors q_ann_join's banded plan
+# (identical fixed-point ranking), so a query batch drawn from the
+# corpus reproduces q_ann_join's rows exactly — pinned by test.
+# ---------------------------------------------------------------------------
+
+
+def _ann_frames(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    from .similarity import (
+        DEDUP_LSH_BANDS,
+        DEDUP_PLANES,
+        _as_double,
+        _band_cols,
+        norm,
+    )
+
+    emb = vecs.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nrm", norm(F.col("emb")))
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*_band_cols(F.col("emb"), DEDUP_PLANES, DEDUP_LSH_BANDS))
+        ).alias("band_idx", "band_val"),
+    )
+    return emb, bands
+
+
+def materialize_ann_index(vecs: DataFrame, index_dir: str) -> None:
+    """Build (overwrite) the stored ANN index from (vec_id, embedding)."""
+    emb, bands = _ann_frames(vecs)
+    emb.write.mode("overwrite").parquet(os.path.join(index_dir, ANN_EMB_SUBDIR))
+    bands.write.mode("overwrite").parquet(
+        os.path.join(index_dir, ANN_BANDS_SUBDIR)
+    )
+
+
+def knn_against_index(
+    spark: SparkSession, index_dir: str, queries: DataFrame, k: int
+) -> DataFrame:
+    """Top-k cosine neighbours for a batch of (query_id, embedding)
+    probes against the stored index: candidates from the band equi-join,
+    exact re-rank on candidates only, row_number keyed on query_id (the
+    1e-6 fixed-point rank contract shared with q_ann_join). Self-matches
+    (an indexed vector probing itself) are excluded by band key + id."""
+    from pyspark.sql import Window as W
+
+    from .similarity import dot
+
+    emb_dir = os.path.join(index_dir, ANN_EMB_SUBDIR)
+    bands_dir = os.path.join(index_dir, ANN_BANDS_SUBDIR)
+    corpus_emb = spark.read.parquet(emb_dir)
+    corpus_bands = spark.read.parquet(bands_dir).select(
+        F.col("vec_id").alias("nb_id"), "band_idx", "band_val"
+    )
+    q_emb, q_bands = _ann_frames(queries.withColumnRenamed("query_id", "vec_id"))
+    q_emb = cache_tracked(q_emb)
+    cand = (
+        cache_tracked(q_bands)
+        .select(F.col("vec_id").alias("query_id"), "band_idx", "band_val")
+        .join(corpus_bands, ["band_idx", "band_val"])
+        .filter(F.col("query_id") != F.col("nb_id"))
+        .select("query_id", "nb_id")
+        .distinct()
+    )
+    a = q_emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = corpus_emb.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    scored = (
+        cand.join(a, "query_id")
+        .join(b, "nb_id")
+        .select(
+            "query_id",
+            "nb_id",
+            F.round(sim * F.lit(1e6)).cast("bigint").alias("sim_q"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim_q").desc(), F.col("nb_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "nb_id",
+            "rank",
+            F.round(F.col("sim_q") / 1e6, 6).alias("sim"),
+        )
     )

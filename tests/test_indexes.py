@@ -52,3 +52,34 @@ def test_index_append_extends_coverage(spark, sf_dir, tmp_path):
     finally:
         release_caches()
     assert got == want
+
+
+def test_knn_against_stored_ann_index_matches_ann_join(spark, sf_dir, tmp_path):
+    """Probing the stored ANN index with corpus vectors reproduces
+    q_ann_join's rows for those vec_ids exactly (same band candidates,
+    same fixed-point rank contract)."""
+    from langchain_callback_parquet_logger_spark.operators import similarity as S
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_dir = str(tmp_path / "ann_index")
+    try:
+        I.materialize_ann_index(vecs, index_dir)
+        probe_ids = [r.vec_id for r in vecs.limit(25).collect()]
+        queries = vecs.filter(F.col("vec_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = sorted(
+            (r.query_id, r.nb_id, r.rank, r.sim)
+            for r in I.knn_against_index(
+                spark, index_dir, queries, S.ANN_JOIN_K
+            ).collect()
+        )
+        want = sorted(
+            (r.vec_id, r.nb_id, r.rank, r.sim)
+            for r in S.q_ann_join(spark, sf_dir)
+            .filter(F.col("vec_id").isin(probe_ids))
+            .collect()
+        )
+    finally:
+        release_caches()
+    assert got == want and got

@@ -403,6 +403,34 @@ def test_release_caches_empties_cache_manager(spark, sf_dir):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_banded_emb_memo_shares_caches_within_generation(spark, sf_dir):
+    """q_embedding_dedup and q_ann_join share the banded-LSH front end;
+    running both WITHOUT an intervening release must materialize the
+    (emb, bands) cache pair ONCE (the ADVICE-r4 duplicate-cache leak),
+    and release_caches() must invalidate the memo so the next call
+    rebuilds."""
+    from langchain_callback_parquet_logger_spark.operators import similarity as S
+    from langchain_callback_parquet_logger_spark.plans import session as sess
+
+    spark.catalog.clearCache()
+    sess.release_caches()
+    n0 = len(sess._TRACKED_CACHES)
+    S.q_embedding_dedup(spark, sf_dir).count()
+    n1 = len(sess._TRACKED_CACHES)
+    S.q_ann_join(spark, sf_dir).count()
+    n2 = len(sess._TRACKED_CACHES)
+    assert n1 - n0 == 2  # emb + bands registered once
+    assert n2 == n1  # second consumer reused the memoized pair
+    gen = sess.cache_generation()
+    sess.release_caches()
+    assert sess.cache_generation() == gen + 1
+    S.q_embedding_dedup(spark, sf_dir).count()
+    try:
+        assert len(sess._TRACKED_CACHES) == 2  # rebuilt after release
+    finally:
+        sess.release_caches()
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """Several operators lean on AQE skew-join splitting as their
     100 TB skew story (dedup posting lists, as-of keys) — prove the
