@@ -17,6 +17,7 @@ EXAMPLES = [
     "data_mixing_example.py",
     "tokenizer_design_example.py",
     "quality_features_example.py",
+    "index_lifecycle_example.py",
 ]
 
 
