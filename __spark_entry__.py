@@ -100,7 +100,6 @@ _PRIORITY = [
     "q_multimodal_resize",
     "q_source_mixture_weights",
     # -- last driver-graded in round 3 --
-    "q_asof_join",
     "q_corpus_clean",
     "q_dedup_clusters",
     "q_denylist_redact",
@@ -136,12 +135,13 @@ _PRIORITY = [
     "q_key_skew_report",  # heaviest join keys: share + pair pressure
     "q_length_quality_corr",  # integer-moment Pearson r per language
     "q_ngram_novelty",  # per-doc share of first-seen shingles
+    "q_cms_heavy_hitters",  # Count-Min estimate vs exact calibration
 ]
 # (q_multimodal_meta, q_multimodal_framesample, q_knn_per_label,
-# q_salted_rollup, q_embedding_quantize, q_hash_sample, q_knn_ivf and
-# q_lang_rollup ceded their round-5 slots to the eight new queries; all
-# hold r2+r3 driver records and stay green in the local full gate every
-# round.)
+# q_salted_rollup, q_embedding_quantize, q_hash_sample, q_knn_ivf,
+# q_lang_rollup and q_asof_join ceded their round-5 slots to the nine
+# new queries; all hold r2+r3 driver records and stay green in the
+# local full gate every round.)
 # Rotated out to make room: the 47 queries driver-certified in round 4
 # (CORRECTNESS_r04.json, all-green) whose plans are unchanged this
 # round; the local full gate still covers them every round.

@@ -63,6 +63,7 @@ HEADLINE = [
     "q_funnel",
     "q_user_value_median",
     "q_kmv_users",
+    "q_cms_heavy_hitters",
     # text analysis
     "q_lang_id",
     "q_quality_score",

@@ -370,6 +370,95 @@ FROM sk, ex
 
 
 # ---------------------------------------------------------------------------
+# Count-Min heavy hitters — the third mergeable sketch, again with a
+# FULL value oracle: a d×w Count-Min sketch built from the shared
+# md5-based hash60 is a pure function of the data, so both engines
+# produce identical bucket counts and identical estimates. The query
+# reports, for the exact top-K words, the CMS estimate beside the true
+# count — the calibration that tells a 100 TB pipeline how much
+# overestimate its chosen (d, w) costs before it replaces exact
+# counting with the sketch.
+#
+# Scale: the token explode ×d is linear; the sketch is a bounded
+# d·w-row table (4×1024 here) — the legitimate-broadcast case — and the
+# exact leg exists only for calibration. Sketch rows merge additively
+# across partitions/batches, the production union.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+CMS_TOP = 20
+
+
+def _cms_bucket(word, i):
+    from .dedup import hash60
+
+    return (
+        hash60(F.concat(F.lit("cms"), i.cast("string"), F.lit(":"), word))
+        % CMS_W
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+    from .text import words_col
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    exact = tok.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(CMS_TOP)
+    rows_i = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    bucketed = tok.select("word", rows_i).select(
+        "i", _cms_bucket(F.col("word"), F.col("i")).alias("bucket")
+    )
+    sketch = bucketed.groupBy("i", "bucket").agg(F.count("*").alias("cnt"))
+    cand = top.select("word", "exact_cnt", rows_i).withColumn(
+        "bucket", _cms_bucket(F.col("word"), F.col("i"))
+    )
+    return (
+        # the sketch is d·w rows, bounded by construction: broadcast
+        cand.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            "word",
+            "exact_cnt",
+            "est_cnt",
+            F.round(F.col("est_cnt") / F.col("exact_cnt"), 6).alias("inflation"),
+        )
+    )
+
+
+def _oracle_cms_heavy_hitters() -> str:
+    from .dedup import _hash60_sql
+
+    bucket = _hash60_sql("'cms' || CAST(i AS VARCHAR) || ':' || word")
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+exact AS (SELECT word, COUNT(*) AS exact_cnt FROM tok GROUP BY 1),
+top AS (
+  SELECT word, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, word ASC LIMIT {CMS_TOP}
+),
+rows_i AS (SELECT unnest(range(0, {CMS_D})) AS i),
+bucketed AS (
+  SELECT i, {bucket} % {CMS_W} AS bucket FROM tok CROSS JOIN rows_i
+),
+sketch AS (SELECT i, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY 1, 2),
+cand AS (
+  SELECT word, exact_cnt, i, {bucket} % {CMS_W} AS bucket
+  FROM top CROSS JOIN rows_i
+)
+SELECT c.word, c.exact_cnt, MIN(s.cnt) AS est_cnt,
+       round(MIN(s.cnt) / c.exact_cnt, 6) AS inflation
+FROM cand c JOIN sketch s ON c.i = s.i AND c.bucket = s.bucket
+GROUP BY c.word, c.exact_cnt
+"""
+
+
+# ---------------------------------------------------------------------------
 # Funnel: view → click → purchase, strictly ordered per user. Each stage
 # is "earliest qualifying event after the previous stage's time" — a
 # conditional min aggregate, NOT a pattern-match UDF. Scale: three hash
@@ -613,6 +702,7 @@ QUERIES = {
     "q_priority_class": q_priority_class,
     "q_hll_users": q_hll_users,
     "q_kmv_users": q_kmv_users,
+    "q_cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 ORACLES = {
@@ -635,4 +725,5 @@ ORACLES = {
     # (q_kmv_users shows the contrast: KMV's estimate is a pure function
     # of the shared hash, so it DOES carry one.)
     "q_kmv_users": _oracle_kmv_users(),
+    "q_cms_heavy_hitters": _oracle_cms_heavy_hitters(),
 }

@@ -102,6 +102,17 @@ def test_kmv_estimate_close_to_exact_and_self_consistent(spark, sf_dir):
     assert abs(row.rel_err - expected) < 1e-2  # est_distinct is 2dp-rounded
 
 
+def test_cms_estimates_dominate_exact_counts(spark, sf_dir):
+    """Count-Min never underestimates (each bucket sums a superset of
+    the word's occurrences), top rows are the exact top-K, and the
+    inflation column is the recomputed ratio."""
+    rows = A.q_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == A.CMS_TOP
+    for r in rows:
+        assert r.est_cnt >= r.exact_cnt > 0
+        assert abs(r.inflation - round(r.est_cnt / r.exact_cnt, 6)) < 1e-9
+
+
 def test_decontaminate_excludes_benchmark_docs(spark, sf_dir):
     df = D.q_decontaminate(spark, sf_dir)
     assert df.filter(F.col("doc_id") % 97 == 0).count() == 0

@@ -239,6 +239,14 @@ COMMENTARY: dict[str, str] = {
         "rollup. The novelty curve for the whole corpus costs one "
         "aggregate — no per-doc history scan, nothing pairwise."
     ),
+    "q_cms_heavy_hitters": (
+        "Count-Min calibration: token explode ×d (linear), one hash "
+        "aggregate into the bounded d·w sketch table (the "
+        "legitimate-broadcast case), exact top-K via "
+        "TakeOrderedAndProject, then a broadcast join + min-rollup for "
+        "the estimates. Sketch rows merge additively across partitions "
+        "— the production union."
+    ),
     "q_key_skew_report": (
         "Skew diagnostic: one explode + one hash aggregate on the "
         "posting key, a 1-row exact total broadcast, and "
