@@ -236,6 +236,56 @@ def test_materialized_rollup_incremental_merge(spark, sf_dir, tmp_path):
     assert again == got
 
 
+def test_streaming_cms_sketch_union_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Count-Min sketches merge additively, so maintaining one over a
+    micro-batched document stream with the generic rollup maintainer
+    must give the batch-built sketch exactly — the streaming half of
+    q_cms_heavy_hitters' production story."""
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        CMS_D,
+        _cms_bucket,
+    )
+    from langchain_callback_parquet_logger_spark.operators.text import words_col
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+    from langchain_callback_parquet_logger_spark.streaming.materialize import (
+        maintain_rollup,
+    )
+
+    def sketch_cols(df):
+        rows_i = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+        tok = df.select(F.explode(words_col(F.col("text"))).alias("word"))
+        return tok.select("word", rows_i).select(
+            "i",
+            _cms_bucket(F.col("word"), F.col("i")).alias("bucket"),
+            F.lit(1.0).alias("value"),
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest = str(tmp_path / "ingest")
+    docs.repartition(3).write.json(ingest)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(ingest)
+    )
+    table = str(tmp_path / "cms")
+    q = maintain_rollup(
+        sketch_cols(stream), table, str(tmp_path / "ckpt"), keys=("i", "bucket")
+    )
+    q.awaitTermination()
+    got = {(r.i, r.bucket): r.n for r in spark.read.parquet(table).collect()}
+    want = {
+        (r.i, r.bucket): r.n
+        for r in sketch_cols(docs)
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_non_utc_session_cannot_shift_event_times(spark, sf_dir):
     """ADVICE-r3 regression: a driver session with a non-UTC timezone that
     runs a q_stream_* query FIRST (before any load_table, which also pins
