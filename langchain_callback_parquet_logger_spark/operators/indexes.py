@@ -94,11 +94,8 @@ def dedup_against_index(
         F.col("doc_id").alias("corpus_doc_id"), F.col("sh").alias("sh_c")
     )
     nb, nsh = _index_frames(new_docs)
-    # The batch-side frames feed one join each, but the signature
-    # pipeline is expensive Catalyst folds — cache so the candidate join
-    # and the verify leg don't recompute it (released by harnesses via
-    # release_caches()).
-    nb = cache_tracked(nb)
+    # nb and nsh each feed exactly ONE join — no reuse, so no cache:
+    # each batch-side pipeline executes once per action.
     cand = (
         nb.select("band_id", "band_key", F.col("doc_id").alias("new_doc_id"))
         .join(corpus_bands, ["band_id", "band_key"])
@@ -183,9 +180,12 @@ def knn_against_index(
         F.col("vec_id").alias("nb_id"), "band_idx", "band_val"
     )
     q_emb, q_bands = _ann_frames(queries.withColumnRenamed("query_id", "vec_id"))
+    # q_emb feeds both the band computation and the re-rank leg — cache
+    # it so the normalization runs once (released via release_caches());
+    # q_bands has a single consumer and needs none.
     q_emb = cache_tracked(q_emb)
     cand = (
-        cache_tracked(q_bands)
+        q_bands
         .select(F.col("vec_id").alias("query_id"), "band_idx", "band_val")
         .join(corpus_bands, ["band_idx", "band_val"])
         .filter(F.col("query_id") != F.col("nb_id"))
