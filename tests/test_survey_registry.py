@@ -102,6 +102,31 @@ def test_grading_window_rotation_leaves_no_query_uncertified():
     )
 
 
+def test_every_oracle_parses_and_plans_in_duckdb():
+    """Cheap full-surface guard: EXPLAIN every oracle against the
+    sf0.001 tables in an in-memory DuckDB (no Spark, ~seconds). Catches
+    SQL typos/renames in any oracle immediately, without waiting for
+    the full gate run."""
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = []
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+
 def test_survey_counts_accurate():
     text = open(os.path.join(ROOT, "SURVEY.md")).read()
     n = len(entrymod.queries())
