@@ -71,11 +71,21 @@ def shingles(text: Column, k: int = SHINGLE_SIZE) -> Column:
     )
 
 
+# DuckDB twin of :func:`shingles`. The window slice uses DuckDB's
+# clipping list slice (ws[i+1:i+3] ≅ Spark slice(ws, i, 3) + concat_ws)
+# rather than `ws[i+1] || ' ' || ws[i+2] || ...`: on a doc shorter than
+# k words the ||-form concatenates a NULL and the whole partial shingle
+# collapses to NULL (then []), silently diverging from Spark's
+# single-partial-shingle guard — caught by the round-5 differential
+# test (tests/test_operators.py::test_shingles_match_python_reference
+# _including_short_docs); the synthetic corpus never exposes it because
+# every generated doc has ≥k words. NOTE: DuckDB's list_distinct does
+# not promise first-occurrence order — fine here because every consumer
+# treats shingle arrays as SETS (len/list_intersect/unnest).
 _SHINGLES_SQL = """
 list_distinct(list_transform(
     range(0, greatest(len(string_split(text, ' ')) - 2, 1)),
-    i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
-         || ' ' || string_split(text, ' ')[i+3]))
+    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
 """.strip()
 
 

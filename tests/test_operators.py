@@ -454,6 +454,64 @@ def test_bpe_merge_candidates_ranked_and_bounded(spark, sf_dir):
         assert len(r.pair.split(" ")) == 2
 
 
+def _shingles_py(text: str, k: int = 3) -> list:
+    """Pure-Python reference of the shared shingle contract: distinct
+    word k-grams; docs under k words degrade to ONE partial shingle
+    (the greatest(n-k+1, 1) guard) — order of first occurrence, then
+    de-duplicated preserving order like array_distinct."""
+    ws = text.split(" ")
+    n = len(ws)
+    grams = [" ".join(ws[i : i + k]) for i in range(max(n - k + 1, 1))]
+    seen, out = set(), []
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def test_shingles_match_python_reference_including_short_docs(spark):
+    """Spark AND the DuckDB oracle SQL reproduce the reference on
+    adversarial docs: 1- and 2-word docs (the guard path), repeated
+    k-grams (distinctness), and random soup."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(3)
+    vocab = ["a", "b", "c", "dd"]
+    docs = ["x", "x y", "a b c a b c a b c"] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i int, t string")
+    got = {
+        r.i: list(r.sh)
+        for r in df.select("i", D.shingles(F.col("t")).alias("sh")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        "SELECT * FROM (SELECT unnest(range(0, ?)) AS i) a "
+        "JOIN (SELECT unnest(?) AS text, unnest(range(0, ?)) AS i) b USING (i)",
+        [len(docs), docs, len(docs)],
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {D._SHINGLES_SQL} FROM documents"
+        ).fetchall()
+    }
+    for i, d in enumerate(docs):
+        ref = _shingles_py(d)
+        assert got[i] == ref, (d, got[i], ref)
+        # DuckDB's list_distinct does not promise first-occurrence order;
+        # every consumer treats shingle arrays as sets, so compare as sets
+        # (plus length, to catch duplicate leakage).
+        assert sorted(duck[i]) == sorted(ref), (d, duck[i], ref)
+        assert len(duck[i]) == len(ref)
+
+
 def _apply_merges_py(tokens: list, merges) -> list:
     """Pure-Python reference of leftmost-greedy, rank-ordered BPE merge
     application — the semantics bpe_apply_state must reproduce."""
