@@ -50,6 +50,17 @@ HASH_FAMILY = [
 # Portable primitives (Spark side)
 # ---------------------------------------------------------------------------
 
+# Whitespace spelled as an EXPLICIT class everywhere a regex crosses
+# engines: Java's \s is [ \t\n\x0B\f\r] while RE2's (DuckDB) omits
+# \x0B, so a shared pattern written with \s silently diverges on
+# vertical-tab input (caught by the round-5 differential test
+# test_text_primitives_match_duckdb_on_adversarial_strings; the
+# synthetic corpus never contains \x0B). text.py re-exports these for
+# its token/punct patterns; pipeline.py imports them via text.
+WS_CHARS = " \\t\\n\\x0B\\f\\r"
+WS_RUN_PATTERN = f"[{WS_CHARS}]+"
+PUNCT_PATTERN = f"[^a-zA-Z0-9{WS_CHARS}]"
+
 
 def hash60(col: Column) -> Column:
     """60-bit positive bigint from md5 — identical in Spark and DuckDB."""
@@ -115,8 +126,8 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_EXACT_DEDUP = """
-SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+ORACLE_EXACT_DEDUP = f"""
+SELECT md5(lower(trim(regexp_replace(text, '{WS_RUN_PATTERN}', ' ', 'g')))) AS fingerprint,
        MIN(doc_id) AS canonical_doc_id,
        COUNT(*) AS n_copies
 FROM documents GROUP BY 1

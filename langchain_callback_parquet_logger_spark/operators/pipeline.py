@@ -28,8 +28,10 @@ from pyspark.sql import functions as F
 
 from ..plans.session import cache_tracked, load_table, spread
 from .text import (
+    PUNCT_PATTERN,
     STOPWORDS,
     TOKEN_PATTERN,
+    WS_RUN_PATTERN,
     fingerprint,
     predicted_lang,
     stopword_count,
@@ -43,7 +45,7 @@ QUALITY_THRESHOLD = 0.5  # keeps ~65% of the synthetic corpus
 def quality_score(t: Column) -> Column:
     """The q_quality_score composite, unrounded (shared formula)."""
     sw_ratio = stopword_count(t) / token_count_ws(t)
-    punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0)))
+    punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_PATTERN), F.lit(0)))
     punct_ratio = punct / F.length(t)
     len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
     return (sw_ratio + (1 - punct_ratio) + len_score) / 3
@@ -331,11 +333,11 @@ WITH s AS (
   SELECT doc_id, lang,
          len(list_filter(string_split(text,' '), w -> w IN ({_SW_LIST})))::DOUBLE
              / len(string_split(text,' ')) AS sw_ratio,
-         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text)
+         len(regexp_extract_all(text, '{PUNCT_PATTERN}'))::DOUBLE / length(text)
              AS punct_ratio,
          least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
          len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
-         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         md5(lower(trim(regexp_replace(text, '{WS_RUN_PATTERN}', ' ', 'g')))) AS fp
   FROM documents
 ),
 q AS (
@@ -559,7 +561,7 @@ def _oracle_leakage_safe_split() -> str:
     return f"""
 WITH keyed AS (
   SELECT doc_id, lang,
-         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         md5(lower(trim(regexp_replace(text, '{WS_RUN_PATTERN}', ' ', 'g')))) AS fp
   FROM documents
 ),
 canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM keyed GROUP BY fp),

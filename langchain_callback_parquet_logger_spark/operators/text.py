@@ -21,9 +21,11 @@ from pyspark.sql import functions as F
 
 from ..plans.session import load_table
 
+from .dedup import PUNCT_PATTERN, WS_RUN_PATTERN
+
 # BPE-ish word/number/punctuation token pattern, shared verbatim with the
 # oracle's regexp_extract_all.
-TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+TOKEN_PATTERN = f"[a-zA-Z]+|[0-9]+|{PUNCT_PATTERN}"
 
 # Stopword list used by the quality score (drawn from common English
 # function words present in the corpus vocabulary).
@@ -87,7 +89,7 @@ def stopword_count(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(text, "\\s+", " "))))
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, WS_RUN_PATTERN, " "))))
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -165,7 +167,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     n_words = token_count_ws(t)
     sw_ratio = stopword_count(t) / n_words
-    punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0)))
+    punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_PATTERN), F.lit(0)))
     punct_ratio = punct / F.length(t)
     len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
     score = (sw_ratio + (1 - punct_ratio) + len_score) / 3
@@ -185,7 +187,7 @@ WITH s AS (
   SELECT doc_id,
          len(list_filter(string_split(text,' '), w -> w IN ({_SW_LIST})))::DOUBLE
              / len(string_split(text,' ')) AS sw_ratio,
-         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text)
+         len(regexp_extract_all(text, '{PUNCT_PATTERN}'))::DOUBLE / length(text)
              AS punct_ratio,
          least(length(text)::DOUBLE / 500.0, 1.0) AS len_score
   FROM documents
@@ -250,9 +252,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DOC_FINGERPRINT = """
+ORACLE_DOC_FINGERPRINT = f"""
 SELECT doc_id,
-       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       md5(lower(trim(regexp_replace(text, '{WS_RUN_PATTERN}', ' ', 'g')))) AS fingerprint,
        md5(text) AS raw_md5
 FROM documents
 """
@@ -1381,7 +1383,7 @@ def q_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = token_count_ws(t)
     sw_ratio = stopword_count(t) / n_words
     punct_ratio = F.size(
-        F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0))
+        F.regexp_extract_all(t, F.lit(PUNCT_PATTERN), F.lit(0))
     ) / F.length(t)
     len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
     quality = (sw_ratio + (1 - punct_ratio) + len_score) / 3
@@ -1437,12 +1439,12 @@ WITH base AS (
          CAST(length(text) AS BIGINT) AS n_chars,
          len(list_filter(string_split(text, ' '), w -> w IN ({_SW_LIST})))::DOUBLE
              / len(string_split(text, ' ')) AS sw_ratio,
-         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE / length(text)
+         len(regexp_extract_all(text, '{PUNCT_PATTERN}'))::DOUBLE / length(text)
              AS punct_ratio,
          least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
          1 - len(list_distinct(string_split(text, ' ')))::DOUBLE
              / len(string_split(text, ' ')) AS rep,
-         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         md5(lower(trim(regexp_replace(text, '{WS_RUN_PATTERN}', ' ', 'g')))) AS fp
   FROM documents
 ),
 dup AS (SELECT fp, COUNT(*) AS n_copies FROM base GROUP BY 1),
@@ -1494,7 +1496,7 @@ def q_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = token_count_ws(t)
     sw_ratio = stopword_count(t) / n_words
     punct_ratio = F.size(
-        F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), F.lit(0))
+        F.regexp_extract_all(t, F.lit(PUNCT_PATTERN), F.lit(0))
     ) / F.length(t)
     len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
     quality = (sw_ratio + (1 - punct_ratio) + len_score) / 3
@@ -1529,7 +1531,7 @@ WITH xy AS (
          CAST(round((
              len(list_filter(string_split(text, ' '), w -> w IN ({_SW_LIST})))::DOUBLE
                  / len(string_split(text, ' '))
-             + (1 - len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+             + (1 - len(regexp_extract_all(text, '{PUNCT_PATTERN}'))::DOUBLE
                    / length(text))
              + least(length(text)::DOUBLE / 500.0, 1.0)
            ) / 3 * 1e4) AS BIGINT) AS y

@@ -512,6 +512,56 @@ def test_shingles_match_python_reference_including_short_docs(spark):
         assert len(duck[i]) == len(ref)
 
 
+def test_text_primitives_match_duckdb_on_adversarial_strings(spark):
+    """Cross-engine differential for the scalar text primitives the
+    oracles re-express in SQL: BPE-ish token count (Java regex vs RE2)
+    and the whitespace-normalized fingerprint (\\s semantics, unicode
+    lower/trim) must agree on strings the synthetic corpus never
+    contains — tabs/newlines/vertical tab, accents, emoji, digit and
+    punctuation runs, leading/trailing space."""
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.text import (
+        TOKEN_PATTERN,
+        WS_RUN_PATTERN,
+        fingerprint,
+        token_count_bpe,
+    )
+
+    cases = [
+        "plain words here",
+        "tabs\tand\nnewlines\x0bmixed   runs",
+        "  leading and trailing  ",
+        "MiXeD CaSe WORDS",
+        "digits 123 456x78 punct!!! ...",
+        "café naïve résumé",
+        "emoji \U0001f600 inline",
+        "a-b_c.d,e;f",
+        "",
+        " ",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, t string"
+    )
+    got = {
+        r.i: (r.n, r.fp)
+        for r in df.select(
+            "i",
+            token_count_bpe(F.col("t")).alias("n"),
+            fingerprint(F.col("t")).alias("fp"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        n, fp = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{TOKEN_PATTERN}')), "
+            f"md5(lower(trim(regexp_replace(?, '{WS_RUN_PATTERN}', ' ', 'g'))))",
+            [c, c],
+        ).fetchone()
+        assert got[i][0] == n, (c, got[i][0], n)
+        assert got[i][1] == fp, (c, got[i][1], fp)
+
+
 def _apply_merges_py(tokens: list, merges) -> list:
     """Pure-Python reference of leftmost-greedy, rank-ordered BPE merge
     application — the semantics bpe_apply_state must reproduce."""
