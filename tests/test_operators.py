@@ -562,6 +562,70 @@ def test_text_primitives_match_duckdb_on_adversarial_strings(spark):
         assert got[i][1] == fp, (c, got[i][1], fp)
 
 
+def test_hash60_and_lang_id_match_duckdb_on_adversarial_strings(spark):
+    """hash60 (md5 substring → bigint) must be bit-identical across
+    engines on unicode/empty/long inputs — every LSH band key, sample
+    bucket and split assignment rides on it. predicted_lang's argmax
+    chain must break ties identically on crafted all-tie and zero-score
+    docs."""
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.dedup import (
+        _hash60_sql,
+        hash60,
+    )
+    from langchain_callback_parquet_logger_spark.operators.text import (
+        LANG_MARKERS,
+        predicted_lang,
+    )
+
+    strings = ["", "a", "café 😀", "x" * 500, "tab\there", "0", "ночь 夜"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "i int, s string"
+    )
+    got_h = {
+        r.i: r.h
+        for r in df.select("i", hash60(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(strings):
+        (h,) = con.execute(
+            f"SELECT {_hash60_sql('?')}", [s]
+        ).fetchone()
+        assert got_h[i] == h, (s, got_h[i], h)
+
+    # tie-break cases: every marker once (4-way tie), zero markers,
+    # two-way ties between alphabetical neighbours and extremes
+    m = {k: v[0] for k, v in LANG_MARKERS.items()}  # one marker per lang
+    docs = [
+        " ".join(m.values()),  # all four tie -> alphabetically first (de)
+        "no markers at all",  # zero scores -> 'en' fallback
+        f"{m['de']} {m['en']}",  # de vs en tie -> de
+        f"{m['es']} {m['fr']}",  # es vs fr tie -> es
+        f"{m['en']} {m['en']} {m['fr']}",  # en outright
+    ]
+    ldf = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i int, t string")
+    got_l = {
+        r.i: r.lg
+        for r in ldf.select("i", predicted_lang(F.col("t")).alias("lg")).collect()
+    }
+    assert [got_l[i] for i in range(len(docs))] == ["de", "en", "de", "es", "en"]
+    # and the SQL twin agrees (same CASE chain the q_lang_id oracle uses)
+    from langchain_callback_parquet_logger_spark.operators.text import _oracle_lang_id
+
+    con.execute(
+        "CREATE TABLE documents AS "
+        "SELECT * FROM (SELECT unnest(range(0, ?)) AS doc_id) a "
+        "JOIN (SELECT unnest(?) AS text, unnest(range(0, ?)) AS doc_id, "
+        "'xx' AS lang) b USING (doc_id)",
+        [len(docs), docs, len(docs)],
+    )
+    duck_l = {
+        r[0]: r[2] for r in con.execute(_oracle_lang_id()).fetchall()
+    }
+    assert [duck_l[i] for i in range(len(docs))] == ["de", "en", "de", "es", "en"]
+
+
 def _apply_merges_py(tokens: list, merges) -> list:
     """Pure-Python reference of leftmost-greedy, rank-ordered BPE merge
     application — the semantics bpe_apply_state must reproduce."""
