@@ -562,6 +562,33 @@ def test_text_primitives_match_duckdb_on_adversarial_strings(spark):
         assert got[i][1] == fp, (c, got[i][1], fp)
 
 
+def test_round_tie_semantics_match_duckdb(spark):
+    """Every oracle leans on round(x, 6) agreeing across engines.
+    Both must round DOUBLE ties half-AWAY-from-zero (Spark HALF_UP,
+    DuckDB's round) — pinned on exactly-representable ties, where a
+    half-even engine would differ."""
+    import duckdb
+
+    ties = [0.5, 1.5, 2.5, -0.5, -1.5, 0.125, -0.125, 0.0009765625]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(ties)], "i int, v double")
+    got = {
+        r.i: (r.r0, r.r2, r.r6)
+        for r in df.select(
+            "i",
+            F.round(F.col("v"), 0).alias("r0"),
+            F.round(F.col("v"), 2).alias("r2"),
+            F.round(F.col("v"), 6).alias("r6"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(ties):
+        want = con.execute(
+            "SELECT round(?::DOUBLE, 0), round(?::DOUBLE, 2), round(?::DOUBLE, 6)",
+            [v, v, v],
+        ).fetchone()
+        assert got[i] == want, (v, got[i], want)
+
+
 def test_hash60_and_lang_id_match_duckdb_on_adversarial_strings(spark):
     """hash60 (md5 substring → bigint) must be bit-identical across
     engines on unicode/empty/long inputs — every LSH band key, sample
