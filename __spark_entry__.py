@@ -69,82 +69,77 @@ GRADING_WINDOW = 50
 
 # The driver grades the FIRST GRADING_WINDOW registry entries (insertion
 # order).  Order the registry explicitly so that, across rounds, EVERY
-# query earns a driver-graded CORRECTNESS record.  Round-5 rotation:
-# the 9 round-4 additions that were certified only by the local gate
-# (CORRECTNESS_r04 landed, so their _PENDING_CERTIFICATION exemption
-# expired) take the front, followed by the rows-only sketch entry (which
-# can never earn a hash record and therefore always sits in-window),
-# the queries whose plan changes this round alter results or scale
-# behavior, the three once-green-in-r3 entries, and the 34 queries last
-# driver-graded in round 3 (oldest records first for redundancy).  The
-# 47 queries freshly certified in round 4 and unchanged rotate to the
-# tail; the local full-surface gate still covers them every round.
+# query earns a driver-graded CORRECTNESS record.  Round-6 rotation
+# (VERDICT r5 next-round #1): the 9 queries that ceded their round-5
+# slots (newest driver records r2/r3) take the front, followed by the
+# rows-only sketch entry (which can never earn a hash record and
+# therefore always sits in-window), the queries whose plans change this
+# round, and the round-4-certified tail (oldest single-record entries
+# first).  The 49 queries freshly certified in round 5 rotate out; the
+# local full-surface gate still covers them every round.
 _PRIORITY = [
-    # -- round-4 additions, first driver certification (mandatory) --
-    "q_training_order",
-    "q_ccnet_buckets",
-    "q_leakage_safe_split",
-    "q_dsir_weights",
-    "q_ann_join",  # changed r5: fixed-point window ordering (ADVICE)
-    "q_pmi_collocations",
-    "q_filter_funnel",
-    "q_vocab_coverage",
-    "q_doc_keywords",  # changed r5: fixed-point window ordering (ADVICE)
+    # -- newest driver record is r2/r3: re-certify first (VERDICT #1) --
+    "q_multimodal_meta",
+    "q_multimodal_framesample",
+    "q_knn_per_label",
+    "q_salted_rollup",
+    "q_embedding_quantize",
+    "q_hash_sample",
+    "q_knn_ivf",
+    "q_lang_rollup",
+    "q_asof_join",
     # -- permanent window resident --
     "q_hll_users",  # rows-only (sketch estimates are engine-specific)
-    # -- changed in round 5, re-grade mandatory --
-    "q_decontaminate",  # hard broadcast on bench postings removed (VERDICT #3)
-    "q_stream_incremental_dedup",  # verdicts sink-materialized (VERDICT #4)
-    # -- once-green (single r3 record) --
-    "q_cross_source_dupes",
-    "q_multimodal_resize",
-    "q_source_mixture_weights",
-    # -- last driver-graded in round 3 --
-    "q_corpus_clean",
-    "q_dedup_clusters",
-    "q_denylist_redact",
-    "q_embedding_dedup",  # changed r5: shared banded-emb cache memoized
-    "q_exact_dedup",
-    "q_kmeans_ivf",
-    "q_knn_bruteforce",
-    "q_knn_lsh",
-    "q_lang_id",
-    "q_minhash_dedup",
-    "q_mixture_sample",
-    "q_multimodal_features",
-    "q_ngram_jaccard",
-    "q_priority_class",
-    "q_range_join_banded",
-    "q_sessionize",
-    "q_simhash",
-    "q_sql_moving_avg",
-    "q_stream_dedup",
-    "q_stream_hourly_counts",
-    "q_stream_join",
-    "q_stream_session_window",
-    "q_stream_sessionize",
-    "q_top_terms",
-    "q_variant_extract",
-    # -- new in round 5: first driver certification --
-    "q_bpe_apply",  # apply learned BPE merges (closes the tokenizer loop)
-    "q_minhash_estimate_error",  # signature-estimate vs exact Jaccard
-    "q_paraphrase_candidates",  # embedding-only near-dups + lang enrich
-    "q_doc_features",  # wide per-doc feature frame for quality classifiers
-    "q_matryoshka_probe",  # MRL prefix-truncation fidelity measurement
-    "q_kmv_users",  # KMV distinct sketch with a full value oracle
-    "q_key_skew_report",  # heaviest join keys: share + pair pressure
-    "q_length_quality_corr",  # integer-moment Pearson r per language
-    "q_ngram_novelty",  # per-doc share of first-seen shingles
-    "q_cms_heavy_hitters",  # Count-Min estimate vs exact calibration
+    # -- changed in round 6, re-grade mandatory --
+    "q_stream_incremental_dedup",  # verdict sink path made cluster-safe (ADVICE)
+    # -- last driver-graded in round 4 (oldest single-record tail) --
+    "q_anomaly_zscore",
+    "q_bpe_merge_candidates",
+    "q_checkpoint_resume",
+    "q_cohort_retention",
+    "q_dedup_keep_last",
+    "q_diversity_sample",
+    "q_ensemble_dedup",
+    "q_event_pivot",
+    "q_event_runs",
+    "q_funnel",
+    "q_hierarchy_join",
+    "q_incremental_dedup",
+    "q_length_histogram",
+    "q_percentiles",
+    "q_pq_quantize",
+    "q_pricing_summary",
+    "q_priority_rollup",
+    "q_quality_score",
+    "q_repetition_ratio",
+    "q_results_zip",
+    "q_revenue_by_nation",
+    "q_semdedup",
+    "q_sql_correlated_scalar",
+    "q_sql_exists_semi",
+    "q_sql_in_agg",
+    "q_sql_not_exists_anti",
+    "q_sql_scalar_having",
+    "q_status_summary",
+    "q_substring_dedup",
+    "q_text_stats",
+    "q_tfidf_top_terms",
+    "q_udtf_trigrams",
+    "q_unigram_logprob",
+    "q_user_value_p90",
+    "q_value_histogram",
+    # -- r4-certified placeholders: round-6 additions swap in here --
+    "q_topk",
+    "q_union_dedup",
+    "q_lead_lag",
+    "q_running_total",
 ]
-# (q_multimodal_meta, q_multimodal_framesample, q_knn_per_label,
-# q_salted_rollup, q_embedding_quantize, q_hash_sample, q_knn_ivf,
-# q_lang_rollup and q_asof_join ceded their round-5 slots to the nine
-# new queries; all hold r2+r3 driver records and stay green in the
-# local full gate every round.)
-# Rotated out to make room: the 47 queries driver-certified in round 4
-# (CORRECTNESS_r04.json, all-green) whose plans are unchanged this
-# round; the local full gate still covers them every round.
+# Rotated out to make room: the 49 queries driver-certified in round 5
+# (CORRECTNESS_r05.json, all-green) plus the r4-certified multi-record
+# set (q_doc_fingerprint, q_domain_cap, q_rolling_hash, q_sequence_pack,
+# q_simhash_pairs also hold r2/r3 records) and four r4-only SQL-surface
+# entries (q_cube, q_grouping_sets, q_set_ops, q_ntile); the local
+# full-surface gate still covers them every round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/

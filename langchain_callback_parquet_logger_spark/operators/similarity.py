@@ -396,8 +396,12 @@ DEDUP_PLANES = [
 ]
 
 
-# (generation, emb, bands) per sf_dir — see _banded_emb.
-_BANDED_EMB_MEMO: dict[str, tuple[int, DataFrame, DataFrame]] = {}
+# (generation, emb, bands) per (app_id, sf_dir) — see _banded_emb.  The
+# applicationId in the key means a frame cached under a stopped session
+# can never be handed to a NEW session in the same process (sessions
+# recycle memory but not DataFrame lineage); the stale entry is simply
+# never hit again and costs only its dict slot.
+_BANDED_EMB_MEMO: dict[tuple[str, str], tuple[int, DataFrame, DataFrame]] = {}
 
 
 def _banded_emb(spark: SparkSession, sf_dir: str):
@@ -408,15 +412,18 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
     Catalyst folds, and without the cache CollapseProject re-inlines
     them into BOTH sides of the self-join (per-candidate recompute).
 
-    The pair is MEMOIZED per sf_dir within a cache generation so a
-    session running both consumers without an intervening
-    release_caches() shares one cached copy instead of materializing
-    duplicate blocks of identical data; release_caches() bumps the
-    generation, invalidating the memo along with the blocks it tracks."""
+    The pair is MEMOIZED per (applicationId, sf_dir) within a cache
+    generation so a session running both consumers without an
+    intervening release_caches() shares one cached copy instead of
+    materializing duplicate blocks of identical data; release_caches()
+    bumps the generation, invalidating the memo along with the blocks
+    it tracks, and the applicationId keeps frames from a stopped
+    session out of any successor session in the same process."""
     from ..plans.session import cache_generation, cache_tracked, spread
 
     gen = cache_generation()
-    hit = _BANDED_EMB_MEMO.get(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BANDED_EMB_MEMO.get(key)
     if hit is not None and hit[0] == gen:
         return hit[1], hit[2]
 
@@ -433,7 +440,7 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
             ).alias("band_idx", "band_val"),
         )
     )
-    _BANDED_EMB_MEMO[sf_dir] = (gen, emb, bands)
+    _BANDED_EMB_MEMO[key] = (gen, emb, bands)
     return emb, bands
 
 

@@ -447,13 +447,24 @@ FROM flagged GROUP BY user_id
 """
 
 
-def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_incremental_dedup(
+    spark: SparkSession, sf_dir: str, verdict_dir: str | None = None
+) -> DataFrame:
     """STREAM-STATIC incremental dedup — the live-ingest form of
     operators/dedup.q_incremental_dedup: documents arrive as a file
     stream, and each micro-batch is deduped against the STATIC corpus
     LSH band index via foreachBatch (batch-side MinHash signatures for
     the arriving docs, equi-join on (band_id, band_key) against the
     cached index, exact-Jaccard verify, append verdicts to the sink).
+
+    ``verdict_dir`` is the sink location for the per-epoch verdict
+    tables. On a cluster it MUST be shared storage (s3a://, hdfs://, a
+    mounted checkpoint volume) — executors write the parquet files, the
+    driver lists and reads them back, so a driver-local path only works
+    in local mode. When omitted (local mode / tests), a scratch temp
+    directory is used and REMOVED before returning: the verdict frame
+    is localCheckpoint-materialized into executor block storage first,
+    so the returned DataFrame never depends on the deleted files.
 
     Scale: the static index is computed ONCE (cached, in production the
     stored signature table) and every micro-batch pays only its own
@@ -463,6 +474,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same full value oracle.
     """
     import os
+    import shutil
     import tempfile
 
     from pyspark.sql import DataFrame as BatchDF
@@ -507,7 +519,10 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uses for its rollup table), and driver memory stays flat no matter
     # how duplicate-rich the ingest is — the verdicts never pass through
     # the driver at all.
-    out_dir = tempfile.mkdtemp(prefix="stream_dedup_verdicts_")
+    scratch = verdict_dir is None
+    out_dir = (
+        tempfile.mkdtemp(prefix="stream_dedup_verdicts_") if scratch else verdict_dir
+    )
     verdict_schema = "new_doc_id bigint, n_corpus_dups bigint, best_jaccard double"
 
     def _dedup_batch(batch_df: BatchDF, epoch_id: int) -> None:
@@ -557,8 +572,18 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if d.startswith("epoch=")
     ]
     if not epoch_dirs:  # zero micro-batches fired (empty source)
+        if scratch:
+            shutil.rmtree(out_dir, ignore_errors=True)
         return spark.createDataFrame([], verdict_schema)
-    return spark.read.schema(verdict_schema).parquet(*epoch_dirs)
+    verdicts = spark.read.schema(verdict_schema).parquet(*epoch_dirs)
+    if scratch:
+        # Scratch sink: pin the (small, dup-count-sized) verdict frame
+        # into executor block storage so the temp files can be removed
+        # now instead of leaking until process exit. A caller-supplied
+        # verdict_dir is the caller's table — leave it on disk, lazy.
+        verdicts = verdicts.localCheckpoint(eager=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return verdicts
 
 
 def _oracle_stream_incremental_dedup() -> str:
