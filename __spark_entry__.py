@@ -27,6 +27,7 @@ from langchain_callback_parquet_logger_spark.operators import (
 )
 from langchain_callback_parquet_logger_spark.operators import dedup as _dedup
 from langchain_callback_parquet_logger_spark.operators import graph as _graph
+from langchain_callback_parquet_logger_spark.operators import indexes as _indexes
 from langchain_callback_parquet_logger_spark.operators import (
     multimodal as _multimodal,
 )
@@ -57,6 +58,7 @@ _MODULES = [
     _multimodal,
     _pipeline,
     _graph,
+    _indexes,
     _streaming,
     _stateful,
 ]
@@ -128,9 +130,10 @@ _PRIORITY = [
     "q_unigram_logprob",
     "q_user_value_p90",
     "q_value_histogram",
-    # -- r4-certified placeholders: round-6 additions swap in here --
-    "q_topk",
-    "q_union_dedup",
+    # -- new in round 6: first driver certification --
+    "q_index_incremental_dedup",  # stored dedup index: build+append+query
+    "q_index_ann",  # stored ANN index: build+append+probe
+    # -- r4-certified placeholders: further round-6 additions swap in --
     "q_lead_lag",
     "q_running_total",
 ]

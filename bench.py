@@ -83,6 +83,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_dedup_clusters",
     "q_incremental_dedup",
+    "q_index_incremental_dedup",
     "q_ensemble_dedup",
     "q_diversity_sample",
     "q_substring_dedup",
@@ -99,6 +100,7 @@ HEADLINE = [
     "q_pq_quantize",
     "q_semdedup",
     "q_ann_join",
+    "q_index_ann",
     "q_matryoshka_probe",
     # temporal joins
     "q_asof_join",

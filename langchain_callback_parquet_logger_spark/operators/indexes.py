@@ -161,6 +161,15 @@ def materialize_ann_index(vecs: DataFrame, index_dir: str) -> None:
     )
 
 
+def append_to_ann_index(vecs: DataFrame, index_dir: str) -> None:
+    """Fold a new vector batch into the stored ANN index — the embedding
+    twin of :func:`append_to_dedup_index`: plain parquet appends to the
+    emb and band tables (transactional MERGE/append at warehouse scale)."""
+    emb, bands = _ann_frames(vecs)
+    emb.write.mode("append").parquet(os.path.join(index_dir, ANN_EMB_SUBDIR))
+    bands.write.mode("append").parquet(os.path.join(index_dir, ANN_BANDS_SUBDIR))
+
+
 def knn_against_index(
     spark: SparkSession, index_dir: str, queries: DataFrame, k: int
 ) -> DataFrame:
@@ -223,3 +232,124 @@ def knn_against_index(
             F.round(F.col("sim_q") / 1e6, 6).alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graded lifecycle queries — each drives the FULL stored-index path
+# (build → append → query against the stored tables) end-to-end, so the
+# production shape carries a driver-graded value oracle and not just the
+# unit-test identity with the in-session recompute.
+#
+# The index location: graded runs and tests use a process-scoped scratch
+# directory (removed at interpreter exit); production callers pass their
+# warehouse path (shared storage on a cluster — executors write the
+# parquet, so a driver-local path only works in local mode).
+# ---------------------------------------------------------------------------
+
+_SCRATCH: list[str] = []
+
+
+def _scratch_root() -> str:
+    if not _SCRATCH:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="spark_graft_indexes_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _SCRATCH.append(d)
+    return _SCRATCH[0]
+
+
+def q_index_incremental_dedup(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
+    """Incremental dedup THROUGH the stored index: build the MinHash
+    band + shingle tables from half the corpus, APPEND the other half,
+    then dedup the ingest batch (doc_id % 10 == 0, the split shared with
+    q_incremental_dedup) against the stored tables. Verdicts are
+    identical to the in-session recompute (pinned by tests/
+    test_indexes.py), so the query carries q_incremental_dedup's full
+    value oracle — what a nightly 100 TB ingest job actually runs: the
+    corpus is never re-shingled, cost is the batch scan plus an
+    equi-join against the partition-pruned index.
+
+    Reference provenance: extends /root/reference
+    background_retrieval.py:102-170 (checkpoint "skip work already
+    done") from exact id sets to near-dup content identity.
+    """
+    from ..plans.session import load_table, spread
+
+    from .dedup import INCREMENTAL_BATCH_MOD
+
+    if index_dir is None:
+        index_dir = os.path.join(_scratch_root(), "dedup_index")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    is_new = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    corpus = docs.filter(~is_new)
+    half = F.col("doc_id") % 2 == 0
+    materialize_dedup_index(corpus.filter(half), index_dir)
+    append_to_dedup_index(corpus.filter(~half), index_dir)
+    return dedup_against_index(spark, index_dir, docs.filter(is_new))
+
+
+def _oracle_index_incremental_dedup() -> str:
+    # Stored-index verdicts equal the in-session recompute by
+    # construction (same signatures, same band keys, same verify) —
+    # the oracle is therefore q_incremental_dedup's, unchanged.
+    from .dedup import _oracle_incremental_dedup
+
+    return _oracle_incremental_dedup()
+
+
+INDEX_ANN_QUERY_MOD = 10  # vec_id % 10 == 0 → probe batch (~10%)
+
+
+def q_index_ann(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
+    """kNN THROUGH the stored ANN index: build the normalized-vector +
+    hyperplane-band tables from half the embeddings, APPEND the other
+    half, then serve a probe batch (vec_id % 10 == 0) from the stored
+    tables. Band candidates and the 1e-6 fixed-point rank contract are
+    exactly q_ann_join's (pinned by tests/test_indexes.py), so the rows
+    equal q_ann_join restricted to the probe ids and the oracle is that
+    restriction.
+    """
+    from .similarity import ANN_JOIN_K
+
+    if index_dir is None:
+        index_dir = os.path.join(_scratch_root(), "ann_index")
+    from ..plans.session import load_table, spread
+
+    vecs = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    half = F.col("vec_id") % 2 == 0
+    materialize_ann_index(vecs.filter(half), index_dir)
+    append_to_ann_index(vecs.filter(~half), index_dir)
+    probes = vecs.filter(F.col("vec_id") % INDEX_ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_against_index(spark, index_dir, probes, ANN_JOIN_K)
+
+
+def _oracle_index_ann() -> str:
+    from .similarity import _oracle_ann_join
+
+    return f"""
+SELECT vec_id AS query_id, nb_id, rank, sim
+FROM ({_oracle_ann_join()})
+WHERE vec_id % {INDEX_ANN_QUERY_MOD} = 0
+"""
+
+
+QUERIES = {
+    "q_index_incremental_dedup": q_index_incremental_dedup,
+    "q_index_ann": q_index_ann,
+}
+
+ORACLES = {
+    "q_index_incremental_dedup": _oracle_index_incremental_dedup(),
+    "q_index_ann": _oracle_index_ann(),
+}

@@ -301,6 +301,28 @@ COMMENTARY: dict[str, str] = {
         "linear in the batch plus its true collisions, however large the "
         "corpus."
     ),
+    "q_index_incremental_dedup": (
+        "The stored-index production path graded end-to-end: build + "
+        "append are plain partitioned parquet writes (one row per "
+        "(doc, band) / per doc — linear in corpus, transactional "
+        "MERGE/append at warehouse scale), and the query leg is an "
+        "equi-join of the batch's band keys against the STORED band "
+        "table scan (AQE decides strategy — the index side is corpus-"
+        "sized, so no hard broadcast) followed by exact-Jaccard verify "
+        "on collisions only. The corpus is never re-shingled: per-run "
+        "cost is the batch scan plus true collisions, whatever the "
+        "corpus size."
+    ),
+    "q_index_ann": (
+        "Stored ANN index serve: probes' band keys equi-join the stored "
+        "band table (hash-join-shaped, fan-out capped by the 8-bit band "
+        "key), exact cosine re-ranks candidates only against the stored "
+        "normalized vectors, and the top-K cut is the shared 1e-6 "
+        "fixed-point row_number contract keyed on query_id. Build + "
+        "append legs are linear parquet writes; at 100 TB only the "
+        "probe batch pays compute — the corpus index is a "
+        "partition-pruned scan."
+    ),
     "q_pq_quantize": (
         "Product quantization in ONE scan projection: 64 subvector-to-"
         "codeword distance folds per vector as codegen'd HOFs (codebook "

@@ -73,6 +73,8 @@ QUERIES = [
     "q_diversity_sample",
     "q_length_histogram",
     "q_incremental_dedup",
+    "q_index_incremental_dedup",
+    "q_index_ann",
     "q_pq_quantize",
     "q_ensemble_dedup",
     "q_mixture_sample",
