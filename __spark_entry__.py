@@ -133,8 +133,8 @@ _PRIORITY = [
     # -- new in round 6: first driver certification --
     "q_index_incremental_dedup",  # stored dedup index: build+append+query
     "q_index_ann",  # stored ANN index: build+append+probe
-    # -- r4-certified placeholders: further round-6 additions swap in --
-    "q_lead_lag",
+    "q_quality_logit",  # fixed-weight logistic filter + threshold ablation
+    # -- r4-certified placeholder: further round-6 additions swap in --
     "q_running_total",
 ]
 # Rotated out to make room: the 49 queries driver-certified in round 5

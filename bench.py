@@ -71,6 +71,7 @@ HEADLINE = [
     "q_top_terms",
     "q_unigram_logprob",
     "q_doc_features",
+    "q_quality_logit",
     "q_length_quality_corr",
     "q_pmi_collocations",
     "q_filter_funnel",

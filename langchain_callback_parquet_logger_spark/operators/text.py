@@ -1556,6 +1556,136 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Model-based quality filter — the APPLY step q_doc_features was built to
+# train (the Dolma/RefinedWeb "model-based filtering" stage): a
+# fixed-weight logistic scorer over the per-doc feature frame, evaluated
+# as a pure JVM expression, plus the threshold ablation a pipeline owner
+# reads to pick the operating point (keep-rate vs kept-cohort quality at
+# each cut). The weights stand in for a trained classifier's
+# coefficients; swapping in real fasttext/logreg weights changes only the
+# literals, not the plan.
+#
+# Determinism: every feature enters pre-rounded (the 6-dp q_doc_features
+# contract), the logit quantizes to a 1e-6 BIGINT before any comparison,
+# and each probability threshold is pre-mapped to logit space in PYTHON
+# (round(ln(p/(1-p))*1e6) — one shared integer literal per engine), so
+# keep/drop is an exact integer compare and the kept-cohort means are
+# fixed-point sums. exp() never runs inside either engine.
+#
+# Scale: one linear pass over the feature frame; the threshold dim is a
+# 4-row broadcast cross join (bounded by construction) and the rollup a
+# map-side-combined hash aggregate on the 4-value threshold key.
+# ---------------------------------------------------------------------------
+
+# (intercept, per-feature weights) — module literal, shared verbatim by
+# the Spark plan and the DuckDB oracle so the arithmetic matches bitwise.
+QUALITY_LOGIT_WEIGHTS: dict[str, float] = {
+    "intercept": -1.2,
+    "stopword_ratio": 3.0,
+    "punct_ratio": -8.0,
+    "repetition": -2.5,
+    "avg_nll": -0.35,
+    "ln_n_words": 0.25,
+    "is_exact_dup": -1.5,
+}
+
+QUALITY_LOGIT_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+def _logit_thr_q(p: float) -> int:
+    import math
+
+    return round(math.log(p / (1 - p)) * 1e6)
+
+
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Row
+
+    w = QUALITY_LOGIT_WEIGHTS
+    feat = q_doc_features(spark, sf_dir)
+    logit = (
+        F.lit(w["intercept"])
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["repetition"]) * F.col("repetition")
+        + F.lit(w["avg_nll"]) * F.col("avg_nll")
+        + F.lit(w["ln_n_words"]) * F.log(F.col("n_words").cast("double"))
+        + F.lit(w["is_exact_dup"]) * F.col("is_exact_dup").cast("double")
+    )
+    scored = feat.select(
+        F.round(logit * F.lit(1e6)).cast("bigint").alias("logit_q"),
+        F.round(F.col("quality") * F.lit(1e6)).cast("bigint").alias("quality_q"),
+        F.round(F.col("avg_nll") * F.lit(1e6)).cast("bigint").alias("nll_q"),
+    )
+    thr = spark.createDataFrame(
+        [Row(p_threshold=p, thr_q=_logit_thr_q(p)) for p in QUALITY_LOGIT_THRESHOLDS]
+    )
+    kept = F.col("logit_q") >= F.col("thr_q")
+    return (
+        scored.crossJoin(F.broadcast(thr))  # 4 rows — bounded by construction
+        .groupBy("p_threshold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("quality_q"))).alias("sq"),
+            F.sum(F.when(kept, F.col("nll_q"))).alias("sn"),
+        )
+        .select(
+            "p_threshold",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
+            F.round(F.col("sq") / (F.col("n_kept") * F.lit(1e6)), 6).alias(
+                "kept_mean_quality"
+            ),
+            F.round(F.col("sn") / (F.col("n_kept") * F.lit(1e6)), 6).alias(
+                "kept_mean_nll"
+            ),
+        )
+    )
+
+
+def _oracle_quality_logit() -> str:
+    w = QUALITY_LOGIT_WEIGHTS
+    thr_rows = ", ".join(
+        f"({p!r}, {_logit_thr_q(p)})" for p in QUALITY_LOGIT_THRESHOLDS
+    )
+    logit = (
+        f"({w['intercept']!r})::DOUBLE"
+        f" + ({w['stopword_ratio']!r})::DOUBLE * stopword_ratio"
+        f" + ({w['punct_ratio']!r})::DOUBLE * punct_ratio"
+        f" + ({w['repetition']!r})::DOUBLE * repetition"
+        f" + ({w['avg_nll']!r})::DOUBLE * avg_nll"
+        f" + ({w['ln_n_words']!r})::DOUBLE * ln(n_words::DOUBLE)"
+        f" + ({w['is_exact_dup']!r})::DOUBLE * is_exact_dup::DOUBLE"
+    )
+    return f"""
+WITH feat AS (
+  SELECT * FROM ({ORACLE_DOC_FEATURES})
+),
+scored AS (
+  SELECT CAST(round(({logit}) * 1e6) AS BIGINT) AS logit_q,
+         CAST(round(quality * 1e6) AS BIGINT) AS quality_q,
+         CAST(round(avg_nll * 1e6) AS BIGINT) AS nll_q
+  FROM feat
+),
+thr(p_threshold, thr_q) AS (VALUES {thr_rows})
+SELECT p_threshold,
+       CAST(SUM(CASE WHEN logit_q >= thr_q THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       round(SUM(CASE WHEN logit_q >= thr_q THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS keep_rate,
+       round(SUM(CASE WHEN logit_q >= thr_q THEN quality_q END)::DOUBLE
+             / (SUM(CASE WHEN logit_q >= thr_q THEN 1 ELSE 0 END) * 1e6), 6)
+           AS kept_mean_quality,
+       round(SUM(CASE WHEN logit_q >= thr_q THEN nll_q END)::DOUBLE
+             / (SUM(CASE WHEN logit_q >= thr_q THEN 1 ELSE 0 END) * 1e6), 6)
+           AS kept_mean_nll
+FROM scored CROSS JOIN thr
+GROUP BY p_threshold
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -1577,6 +1707,7 @@ QUERIES = {
     "q_vocab_coverage": q_vocab_coverage,
     "q_doc_keywords": q_doc_keywords,
     "q_doc_features": q_doc_features,
+    "q_quality_logit": q_quality_logit,
     "q_length_quality_corr": q_length_quality_corr,
 }
 
@@ -1601,5 +1732,6 @@ ORACLES = {
     "q_vocab_coverage": _oracle_vocab_coverage(),
     "q_doc_keywords": ORACLE_DOC_KEYWORDS,
     "q_doc_features": ORACLE_DOC_FEATURES,
+    "q_quality_logit": _oracle_quality_logit(),
     "q_length_quality_corr": ORACLE_LENGTH_QUALITY_CORR,
 }

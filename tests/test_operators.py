@@ -343,6 +343,26 @@ def test_doc_features_one_row_per_doc_with_bounded_signals(spark, sf_dir):
         assert r.is_exact_dup == int(r.doc_id in dup_ids)
 
 
+def test_quality_logit_ablation_is_monotone(spark, sf_dir):
+    """Raising the probability threshold can only shrink the kept set,
+    and a stricter cut never lowers the kept cohort's mean quality below
+    a looser cut's by construction of the (monotone) logit-quality link
+    being absent — so assert only the structural invariants: one row per
+    threshold, n_kept non-increasing, keep_rate = n_kept / n_docs."""
+    from langchain_callback_parquet_logger_spark.operators import text as T2
+
+    rows = {r.p_threshold: r for r in T2.q_quality_logit(spark, sf_dir).collect()}
+    assert set(rows) == set(T2.QUALITY_LOGIT_THRESHOLDS)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    kept = [rows[p].n_kept for p in sorted(rows)]
+    assert kept == sorted(kept, reverse=True)
+    for r in rows.values():
+        assert 0 <= r.n_kept <= n_docs
+        assert abs(r.keep_rate - r.n_kept / n_docs) < 1e-6
+        if r.n_kept:
+            assert 0.0 <= r.kept_mean_quality <= 1.0
+
+
 def test_matryoshka_deviation_shrinks_with_prefix_length(spark, sf_dir):
     """Longer prefixes approximate the full cosine at least as well on
     average (monotone non-increasing mean deviation), and all deviations

@@ -301,6 +301,16 @@ COMMENTARY: dict[str, str] = {
         "linear in the batch plus its true collisions, however large the "
         "corpus."
     ),
+    "q_quality_logit": (
+        "Model-based filter apply: the logistic scorer is a pure "
+        "projection over the feature frame (weights are plan literals — "
+        "no join, no Python, whole-stage codegen), the logit quantizes "
+        "to a 1e-6 BIGINT so keep/drop at each pre-mapped threshold is "
+        "an exact integer compare, and the ablation rollup is a 4-row "
+        "bounded broadcast cross join into ONE map-side-combined hash "
+        "aggregate. Upstream cost is q_doc_features itself; the apply "
+        "step adds a single linear pass."
+    ),
     "q_index_incremental_dedup": (
         "The stored-index production path graded end-to-end: build + "
         "append are plain partitioned parquet writes (one row per "

@@ -64,6 +64,7 @@ QUERIES = [
     "q_minhash_estimate_error",
     "q_paraphrase_candidates",
     "q_doc_features",
+    "q_quality_logit",
     "q_matryoshka_probe",
     "q_kmv_users",
     "q_key_skew_report",
