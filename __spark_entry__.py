@@ -134,8 +134,7 @@ _PRIORITY = [
     "q_index_incremental_dedup",  # stored dedup index: build+append+query
     "q_index_ann",  # stored ANN index: build+append+probe
     "q_quality_logit",  # fixed-weight logistic filter + threshold ablation
-    # -- r4-certified placeholder: further round-6 additions swap in --
-    "q_running_total",
+    "q_url_dedup",  # URL canonicalization dedup (cheapest crawl signal)
 ]
 # Rotated out to make room: the 49 queries driver-certified in round 5
 # (CORRECTNESS_r05.json, all-green) plus the r4-certified multi-record

@@ -79,6 +79,7 @@ HEADLINE = [
     "q_doc_keywords",
     # deduplication
     "q_exact_dedup",
+    "q_url_dedup",
     "q_minhash_dedup",
     "q_simhash_pairs",
     "q_decontaminate",

@@ -135,6 +135,161 @@ FROM documents GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization dedup — the cheapest high-frequency dedup signal in
+# a real crawl pipeline: most exact duplicates share a URL up to scheme/
+# host case, `www.`, default ports, tracking query params, param order,
+# trailing slashes, and fragments. Canonicalize first, THEN group — one
+# linear projection (all JVM regex, whole-stage codegen) plus one hash
+# aggregate on the canonical key; runs before any content hashing because
+# it needs no text bytes at all.
+#
+# The documents table carries no URL column, so the graded query derives
+# a deterministic "messy" URL per row (scheme-case / www / :443 / tracking
+# params / fragment variants keyed on doc_id; content identity from
+# (source, lang, doc_id % 20, sort-param flag)) and the canonicalizer
+# collapses the noise — identical construction in the DuckDB oracle. The
+# reusable operator is :func:`canonicalize_url`; point it at any real URL
+# column unchanged.
+# ---------------------------------------------------------------------------
+
+# Scheme://host[:port] prefix (authority has no /, ?, or #).
+_URL_PREFIX_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+# Tracking params dropped by canonicalization (explicit classes, no \s —
+# the Java-vs-RE2 contract pinned in round 5).
+URL_TRACKING_PARAM_RE = (
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|igshid|mc_eid|ref|session[A-Za-z0-9_]*)="
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL: fragment stripped; scheme+host lowercased;
+    leading ``www.`` and default ports (:80 http / :443 https) removed;
+    tracking query params (``URL_TRACKING_PARAM_RE``) dropped; remaining
+    params sorted; trailing path slashes collapsed (root stays ``/``).
+    Pure JVM expression — safe in the scan projection of a 100 TB pass."""
+    u = F.regexp_replace(url, "#.*$", "")
+    pfx_raw = F.regexp_extract(u, _URL_PREFIX_RE, 0)
+    rest = F.substr(u, F.length(pfx_raw) + F.lit(1))
+    pfx = F.lower(pfx_raw)
+    pfx = F.regexp_replace(pfx, "^(https?://)www\\.", "$1")
+    pfx = F.regexp_replace(pfx, "^(http://[^:/]+):80$", "$1")
+    pfx = F.regexp_replace(pfx, "^(https://[^:/]+):443$", "$1")
+    path = F.regexp_replace(rest, "\\?.*$", "")
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: ~p.rlike(URL_TRACKING_PARAM_RE) & (p != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        pfx, path, F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept))
+    )
+
+
+def _canonicalize_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonicalize_url` over a VARCHAR expression."""
+    u = f"regexp_replace({expr}, '#.*$', '')"
+    pfx_raw = f"regexp_extract({u}, '{_URL_PREFIX_RE}', 0)"
+    rest = f"substring({u}, length({pfx_raw}) + 1)"
+    pfx = f"lower({pfx_raw})"
+    pfx = f"regexp_replace({pfx}, '^(https?://)www\\.', '\\1')"
+    pfx = f"regexp_replace({pfx}, '^(http://[^:/]+):80$', '\\1')"
+    pfx = f"regexp_replace({pfx}, '^(https://[^:/]+):443$', '\\1')"
+    path = f"regexp_replace(regexp_replace({rest}, '\\?.*$', ''), '/+$', '')"
+    path = f"(CASE WHEN {path} = '' THEN '/' ELSE {path} END)"
+    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    # COALESCE guard: DuckDB array_to_string on an EMPTY list returns
+    # NULL where Spark's array_join returns '' — without it every URL
+    # whose params are all tracking params canonicalizes to NULL
+    # (caught by the oracle gate; pinned by the differential test).
+    kept = (
+        f"COALESCE(array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> NOT regexp_matches(p, '{URL_TRACKING_PARAM_RE}') AND p <> '')), '&'), '')"
+    )
+    return (
+        f"({pfx} || {path} || "
+        f"(CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END))"
+    )
+
+
+URL_DEDUP_PAGE_MOD = 20  # doc_id % 20 → page slot (content identity)
+
+
+def _messy_url_col() -> Column:
+    d = F.col("doc_id")
+    scheme = F.when(d % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://"))
+    host = F.concat(
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 5 == 0, F.lit(".Example.COM:443")).otherwise(
+            F.lit(".example.com")
+        ),
+    )
+    path = F.concat(
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (d % URL_DEDUP_PAGE_MOD).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.concat(
+        F.lit("?utm_source=feed&session="),
+        d.cast("string"),
+        F.when(d % 7 == 0, F.lit("&sort=asc")).otherwise(F.lit("")),
+    )
+    frag = F.when(
+        d % 2 == 1, F.concat(F.lit("#sec-"), (d % 6).cast("string"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, host, path, query, frag)
+
+
+_MESSY_URL_SQL = f"""(
+  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+  || source
+  || (CASE WHEN doc_id % 5 = 0 THEN '.Example.COM:443' ELSE '.example.com' END)
+  || '/' || lang || '/page-' || CAST(doc_id % {URL_DEDUP_PAGE_MOD} AS VARCHAR)
+  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+  || '?utm_source=feed&session=' || CAST(doc_id AS VARCHAR)
+  || (CASE WHEN doc_id % 7 = 0 THEN '&sort=asc' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 1 THEN '#sec-' || CAST(doc_id % 6 AS VARCHAR)
+      ELSE '' END)
+)""".strip()
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id", canonicalize_url(_messy_url_col()).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+def _oracle_url_dedup() -> str:
+    return f"""
+SELECT {_canonicalize_url_sql(_MESSY_URL_SQL)} AS canonical_url,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs, lang-blocked (the quadratic baseline
 # that validates the LSH path).
 # ---------------------------------------------------------------------------
@@ -1146,6 +1301,7 @@ FROM pd WHERE dup_windows > 0
 
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
+    "q_url_dedup": q_url_dedup,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_dedup": q_minhash_dedup,
@@ -1164,6 +1320,7 @@ QUERIES = {
 
 ORACLES = {
     "q_exact_dedup": ORACLE_EXACT_DEDUP,
+    "q_url_dedup": _oracle_url_dedup(),
     "q_decontaminate": ORACLE_DECONTAMINATE,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_minhash_dedup": _oracle_minhash(),

@@ -582,6 +582,78 @@ def test_text_primitives_match_duckdb_on_adversarial_strings(spark):
         assert got[i][1] == fp, (c, got[i][1], fp)
 
 
+def _canonicalize_url_py(url: str) -> str:
+    """Pure-Python reference for canonicalize_url's contract."""
+    import re
+
+    u = re.sub(r"#.*$", "", url)
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", u)
+    pfx_raw = m.group(0) if m else ""
+    rest = u[len(pfx_raw):]
+    pfx = pfx_raw.lower()
+    pfx = re.sub(r"^(https?://)www\.", r"\1", pfx)
+    pfx = re.sub(r"^(http://[^:/]+):80$", r"\1", pfx)
+    pfx = re.sub(r"^(https://[^:/]+):443$", r"\1", pfx)
+    path = re.sub(r"/+$", "", re.sub(r"\?.*$", "", rest))
+    if path == "":
+        path = "/"
+    mq = re.search(r"\?(.*)$", rest)
+    query = mq.group(1) if mq else ""
+    kept = sorted(
+        p
+        for p in query.split("&")
+        if p != "" and not re.match(D.URL_TRACKING_PARAM_RE, p)
+    )
+    return pfx + path + (("?" + "&".join(kept)) if kept else "")
+
+
+def test_canonicalize_url_matches_python_reference_and_duckdb(spark):
+    """Three-way differential on adversarial URLs the synthetic messy-URL
+    builder never produces: non-default ports, double '?', fragments
+    containing '?', params without '=', duplicate params, schemeless
+    strings, uppercase tracking keys (case-SENSITIVE by contract, so
+    kept), other schemes, empty/root paths, slash runs. Also pins the
+    DuckDB empty-list gotcha: array_to_string([]) is NULL there, ''
+    in Spark's array_join — the twin must COALESCE."""
+    import duckdb
+
+    cases = [
+        "https://src.example.com/a/b?utm_source=x&z=1&a=2#frag",
+        "HTTPS://WWW.EXAMPLE.COM:443/Path/?session=9",
+        "http://example.com:80/",
+        "http://example.com:8080/x",
+        "https://example.com",
+        "https://example.com/?",
+        "https://example.com/a??b=1",
+        "https://example.com/a?x=1&x=1",
+        "https://e.com/p?flag&utm_x=1",
+        "ftp://Example.Com/Dir/",
+        "www.example.com/x?utm_source=1",
+        "",
+        "https://e.com/a///",
+        "https://e.com/a#f?x=1",
+        "https://e.com/p?UTM_SOURCE=x",
+        "https://WWW.e.com:443/p?b=2&a=1&utm_campaign=z&ref=r",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, u string")
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", D.canonicalize_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        ref = _canonicalize_url_py(c)
+        assert got[i] == ref, (c, got[i], ref)
+        duck = con.execute(
+            f"WITH t(u) AS (SELECT ?::VARCHAR) "
+            f"SELECT {D._canonicalize_url_sql('u')} FROM t",
+            [c],
+        ).fetchone()[0]
+        assert duck == ref, (c, duck, ref)
+
+
 def test_round_tie_semantics_match_duckdb(spark):
     """Every oracle leans on round(x, 6) agreeing across engines.
     Both must round DOUBLE ties half-AWAY-from-zero (Spark HALF_UP,

@@ -301,6 +301,14 @@ COMMENTARY: dict[str, str] = {
         "linear in the batch plus its true collisions, however large the "
         "corpus."
     ),
+    "q_url_dedup": (
+        "URL canonicalization dedup: the canonicalizer is a chain of "
+        "JVM regex/array expressions in the scan projection (whole-stage "
+        "codegen, no Python, no join), followed by ONE map-side-combined "
+        "hash aggregate on the canonical key. The cheapest dedup signal "
+        "in a crawl pipeline — it reads zero text bytes, so at 100 TB it "
+        "runs first and shrinks everything downstream."
+    ),
     "q_quality_logit": (
         "Model-based filter apply: the logistic scorer is a pure "
         "projection over the feature frame (weights are plan literals — "

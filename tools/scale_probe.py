@@ -46,6 +46,7 @@ QUERIES = [
     "q_asof_join",
     "q_range_join_banded",
     "q_exact_dedup",
+    "q_url_dedup",
     "q_minhash_dedup",
     "q_ngram_jaccard",
     "q_dedup_clusters",
