@@ -21,6 +21,19 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+if not os.path.isdir(SF_DIR):
+    # CI / laptop fallback: the driver's read-only fixtures are absent —
+    # materialize deterministic schema-compatible tables once per checkout
+    # (tools/make_testdata.py, seed 42) so the suite runs anywhere.
+    _gen_dir = os.path.join(_root, ".pytest_fixtures", "sf0.001")
+    if not os.path.isdir(_gen_dir):
+        sys.path.insert(0, os.path.join(_root, "tools"))
+        from make_testdata import write_dir  # noqa: E402
+
+        write_dir(_gen_dir, 0.001)
+    SF_DIR = _gen_dir
+    os.environ["SPARK_GRAFT_TEST_SF_DIR"] = SF_DIR
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -201,7 +201,45 @@ def best_of(fn, reps=3):
     return min(runs)
 
 
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _current_round() -> int:
+    """Round number for the SCALE_r{N}.json artifact: explicit override,
+    else one past the newest driver CORRECTNESS record (the probe runs
+    before that round's record lands)."""
+    import re
+
+    if os.environ.get("SPARK_GRAFT_ROUND"):
+        return int(os.environ["SPARK_GRAFT_ROUND"])
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(_repo_root())
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", fn))
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def _prior_scale_record() -> tuple[int, dict] | None:
+    import json
+    import re
+
+    recs = sorted(
+        (int(m.group(1)), fn)
+        for fn in os.listdir(_repo_root())
+        if (m := re.match(r"SCALE_r(\d+)\.json$", fn))
+    )
+    if not recs:
+        return None
+    n, fn = recs[-1]
+    with open(os.path.join(_repo_root(), fn)) as f:
+        return n, json.load(f)
+
+
 def main() -> None:
+    import json
+
     spark = get_spark("scale-probe")
     build(spark)
     qs = entrymod.queries()
@@ -219,13 +257,53 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     # interleave scales per-query to decorrelate hypervisor stall bursts
+    record: dict[str, dict] = {}
     for name in QUERIES:
         base_t = best_of(lambda: qs[name](spark, BASE).count())
         big_t = best_of(lambda: qs[name](spark, BIG).count())
         ratio = big_t / base_t if base_t > 0 else float("inf")
+        record[name] = {
+            "base_sec": round(base_t, 3),
+            "big_sec": round(big_t, 3),
+            "ratio": round(ratio, 2),
+        }
         lines.append(f"| {name} | {base_t:.2f} | {big_t:.2f} | {ratio:.1f}× |")
         print(lines[-1], file=sys.stderr)
 
+    # Persist the machine-readable record and diff the RATIOS against the
+    # prior round's: a plan-shape regression shows up as a ratio jump
+    # even when sf0.1 wall-time looks flat (VERDICT r5 next-round #4).
+    rnd = _current_round()
+    prior = _prior_scale_record()  # read BEFORE writing this round's file
+    scale_path = os.path.join(_repo_root(), f"SCALE_r{rnd:02d}.json")
+    with open(scale_path, "w") as f:
+        json.dump({"k": K, "queries": record}, f, indent=2)
+    print(f"wrote {scale_path}")
+    cmp_lines: list[str] = []
+    if prior is not None and prior[0] != rnd:
+        pn, prec = prior
+        pq = prec.get("queries", {})
+        jumps = []
+        for name, r in record.items():
+            if name in pq and pq[name]["ratio"] > 0:
+                delta = r["ratio"] / pq[name]["ratio"]
+                if delta >= 1.5:  # ratio (not wall-time) jump → shape change
+                    jumps.append(
+                        f"{name} {pq[name]['ratio']:.1f}×→{r['ratio']:.1f}×"
+                    )
+        shared = [n for n in record if n in pq]
+        cmp_lines = [
+            "",
+            f"## vs round {pn} (SCALE_r{pn:02d}.json, {len(shared)} shared queries)",
+            "",
+            (
+                "Ratio jumps ≥1.5× round-over-round (plan-shape regression "
+                "candidates): " + ("; ".join(jumps) if jumps else "NONE")
+                + "."
+            ),
+        ]
+
+    lines += cmp_lines
     lines += [
         "",
         "## Notes (root causes for past outliers, kept current)",
