@@ -94,6 +94,14 @@ _PRIORITY = [
     "q_hll_users",  # rows-only (sketch estimates are engine-specific)
     # -- changed in round 6, re-grade mandatory --
     "q_stream_incremental_dedup",  # verdict sink path made cluster-safe (ADVICE)
+    # fingerprint() gained the explicit mixed-script case-fold contract
+    # (İ/Σ fold + ASCII-space trim) — every fingerprint consumer's plan
+    # changed, so they re-enter the window:
+    "q_exact_dedup",
+    "q_doc_fingerprint",
+    "q_corpus_clean",
+    "q_leakage_safe_split",
+    "q_doc_features",
     # -- last driver-graded in round 4 (oldest single-record tail) --
     "q_anomaly_zscore",
     "q_bpe_merge_candidates",
@@ -117,11 +125,6 @@ _PRIORITY = [
     "q_results_zip",
     "q_revenue_by_nation",
     "q_semdedup",
-    "q_sql_correlated_scalar",
-    "q_sql_exists_semi",
-    "q_sql_in_agg",
-    "q_sql_not_exists_anti",
-    "q_sql_scalar_having",
     "q_status_summary",
     "q_substring_dedup",
     "q_text_stats",
@@ -136,12 +139,17 @@ _PRIORITY = [
     "q_quality_logit",  # fixed-weight logistic filter + threshold ablation
     "q_url_dedup",  # URL canonicalization dedup (cheapest crawl signal)
 ]
-# Rotated out to make room: the 49 queries driver-certified in round 5
-# (CORRECTNESS_r05.json, all-green) plus the r4-certified multi-record
-# set (q_doc_fingerprint, q_domain_cap, q_rolling_hash, q_sequence_pack,
-# q_simhash_pairs also hold r2/r3 records) and four r4-only SQL-surface
-# entries (q_cube, q_grouping_sets, q_set_ops, q_ntile); the local
-# full-surface gate still covers them every round.
+# Rotated out to make room: the round-5-certified set
+# (CORRECTNESS_r05.json, all-green, minus the fingerprint consumers
+# re-entered above), the r4-certified multi-record set (q_domain_cap,
+# q_rolling_hash, q_sequence_pack, q_simhash_pairs also hold r2/r3
+# records), and nine r4-only SQL-surface entries (q_cube,
+# q_grouping_sets, q_set_ops, q_ntile, q_topk, q_union_dedup,
+# q_lead_lag, q_running_total ceded placeholder slots to round-6
+# additions; q_sql_correlated_scalar, q_sql_exists_semi, q_sql_in_agg,
+# q_sql_not_exists_anti, q_sql_scalar_having ceded theirs to the
+# changed-plan fingerprint consumers); the local full-surface gate
+# still covers all of them every round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/

@@ -71,6 +71,43 @@ def _hash60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+# Explicit cross-engine case-fold contract for the fingerprint (round-6
+# differential findings on mixed-script input):
+#   - Java lowercases İ (U+0130) to 'i'+U+0307 (1→2 chars) while
+#     DuckDB's utf8proc maps it to plain 'i';
+#   - Java applies the context-sensitive final-sigma rule (Σ→ς at word
+#     end) while DuckDB maps Σ→σ unconditionally;
+#   - DuckDB's trim() strips U+00A0 (and other unicode spaces) while
+#     Spark's trims ASCII space only.
+# The contract: fold the two divergent codepoints to fixed lowercase
+# targets BEFORE lower(), and spell trim as an explicit ASCII-space
+# regex — after which both engines agree byte-for-byte (pinned by
+# tests/test_operators.py::test_text_primitives_match_duckdb...).
+_FOLD_FIXUPS = (("İ", "i̇"), ("Σ", "σ"))
+_EDGE_SPACE_PATTERN = "^ +| +$"
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text
+    (divergence-free across Spark/DuckDB — see ``_FOLD_FIXUPS``)."""
+    t = text
+    for src, dst in _FOLD_FIXUPS:
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    t = F.regexp_replace(t, WS_RUN_PATTERN, " ")
+    t = F.regexp_replace(t, _EDGE_SPACE_PATTERN, "")
+    return F.md5(F.lower(t))
+
+
+def fingerprint_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fingerprint` over a VARCHAR expression."""
+    t = expr
+    for src, dst in _FOLD_FIXUPS:
+        t = f"replace({t}, '{src}', '{dst}')"
+    t = f"regexp_replace({t}, '{WS_RUN_PATTERN}', ' ', 'g')"
+    t = f"regexp_replace({t}, '{_EDGE_SPACE_PATTERN}', '', 'g')"
+    return f"md5(lower({t}))"
+
+
 def shingles(text: Column, k: int = SHINGLE_SIZE) -> Column:
     """Distinct word k-gram shingles (assumes ≥k words per doc; the
     ``greatest`` guard degrades shorter docs to a single partial shingle)."""
@@ -127,7 +164,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EXACT_DEDUP = f"""
-SELECT md5(lower(trim(regexp_replace(text, '{WS_RUN_PATTERN}', ' ', 'g')))) AS fingerprint,
+SELECT {fingerprint_sql("text")} AS fingerprint,
        MIN(doc_id) AS canonical_doc_id,
        COUNT(*) AS n_copies
 FROM documents GROUP BY 1

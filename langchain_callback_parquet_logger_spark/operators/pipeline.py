@@ -33,6 +33,7 @@ from .text import (
     TOKEN_PATTERN,
     WS_RUN_PATTERN,
     fingerprint,
+    fingerprint_sql,
     predicted_lang,
     stopword_count,
     token_count_bpe,
@@ -337,7 +338,7 @@ WITH s AS (
              AS punct_ratio,
          least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
          len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
-         md5(lower(trim(regexp_replace(text, '{WS_RUN_PATTERN}', ' ', 'g')))) AS fp
+         {fingerprint_sql("text")} AS fp
   FROM documents
 ),
 q AS (
@@ -561,7 +562,7 @@ def _oracle_leakage_safe_split() -> str:
     return f"""
 WITH keyed AS (
   SELECT doc_id, lang,
-         md5(lower(trim(regexp_replace(text, '{WS_RUN_PATTERN}', ' ', 'g')))) AS fp
+         {fingerprint_sql("text")} AS fp
   FROM documents
 ),
 canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM keyed GROUP BY fp),

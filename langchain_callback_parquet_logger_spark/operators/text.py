@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..plans.session import load_table
 
-from .dedup import PUNCT_PATTERN, WS_RUN_PATTERN
+from .dedup import PUNCT_PATTERN, WS_RUN_PATTERN, fingerprint, fingerprint_sql
 
 # BPE-ish word/number/punctuation token pattern, shared verbatim with the
 # oracle's regexp_extract_all.
@@ -87,9 +87,10 @@ def stopword_count(text: Column) -> Column:
     return F.size(F.filter(words_col(text), lambda w: F.array_contains(sw, w)))
 
 
-def fingerprint(text: Column) -> Column:
-    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(text, WS_RUN_PATTERN, " "))))
+# fingerprint / fingerprint_sql are defined beside the other shared
+# cross-engine primitives in dedup.py (they carry the round-6 mixed-
+# script case-fold contract) and re-exported here for all existing
+# importers.
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -254,7 +255,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOC_FINGERPRINT = f"""
 SELECT doc_id,
-       md5(lower(trim(regexp_replace(text, '{WS_RUN_PATTERN}', ' ', 'g')))) AS fingerprint,
+       {fingerprint_sql("text")} AS fingerprint,
        md5(text) AS raw_md5
 FROM documents
 """
@@ -1444,7 +1445,7 @@ WITH base AS (
          least(length(text)::DOUBLE / 500.0, 1.0) AS len_score,
          1 - len(list_distinct(string_split(text, ' ')))::DOUBLE
              / len(string_split(text, ' ')) AS rep,
-         md5(lower(trim(regexp_replace(text, '{WS_RUN_PATTERN}', ' ', 'g')))) AS fp
+         {fingerprint_sql("text")} AS fp
   FROM documents
 ),
 dup AS (SELECT fp, COUNT(*) AS n_copies FROM base GROUP BY 1),

@@ -543,8 +543,8 @@ def test_text_primitives_match_duckdb_on_adversarial_strings(spark):
 
     from langchain_callback_parquet_logger_spark.operators.text import (
         TOKEN_PATTERN,
-        WS_RUN_PATTERN,
         fingerprint,
+        fingerprint_sql,
         token_count_bpe,
     )
 
@@ -559,6 +559,14 @@ def test_text_primitives_match_duckdb_on_adversarial_strings(spark):
         "a-b_c.d,e;f",
         "",
         " ",
+        # round-6 mixed-script findings, each a REAL engine divergence
+        # without the explicit fold/trim contract in fingerprint():
+        "İstanbul İİ",  # Java İ→'i'+U+0307 (1→2); utf8proc İ→'i'
+        "ΑΣ ΣΟΦΟΣ ΣΙΣΥΦΟΣ",  # Java final-sigma Σ→ς; utf8proc Σ→σ always
+        " nbsp edges ",  # DuckDB trim strips U+00A0; Spark doesn't
+        "ẞ ß strasse",  # U+1E9E capital sharp s
+        "ǅungla ǄǄ ǆ",  # titlecase digraphs
+        "中文 Кириллица mixed ＴＥＳＴ",
     ]
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cases)], "i int, t string"
@@ -574,12 +582,61 @@ def test_text_primitives_match_duckdb_on_adversarial_strings(spark):
     con = duckdb.connect()
     for i, c in enumerate(cases):
         n, fp = con.execute(
-            f"SELECT len(regexp_extract_all(?, '{TOKEN_PATTERN}')), "
-            f"md5(lower(trim(regexp_replace(?, '{WS_RUN_PATTERN}', ' ', 'g'))))",
-            [c, c],
+            f"WITH t(s) AS (SELECT ?::VARCHAR) "
+            f"SELECT len(regexp_extract_all(s, '{TOKEN_PATTERN}')), "
+            f"{fingerprint_sql('s')} FROM t",
+            [c],
         ).fetchone()
         assert got[i][0] == n, (c, got[i][0], n)
         assert got[i][1] == fp, (c, got[i][1], fp)
+
+
+def test_hash60_conv_matches_duckdb_at_range_edges(spark):
+    """hash60 = conv(15 hex md5 chars, 16, 10)::bigint. 15 hex digits is
+    60 bits, safely inside int64 — pin that BOTH engines agree with
+    Python's int(h, 16) at the extremes of that range and on mixed-case
+    digits (Spark's conv is case-insensitive; DuckDB goes through a
+    '0x'-literal cast), and that the full md5 pipeline agrees end-to-end
+    on adversarial input strings."""
+    import duckdb
+    import hashlib
+
+    hexes = [
+        "fffffffffffffff",  # 2^60 - 1, the max
+        "000000000000000",
+        "000000000000001",
+        "7ffffffffffffff",
+        "800000000000000",
+        "AbCdEf012345678",
+        "deadbeefcafe123",
+    ]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hexes)], "i int, h string")
+    got = {
+        r.i: r.v
+        for r in df.select(
+            "i", F.conv(F.col("h"), 16, 10).cast("bigint").alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, h in enumerate(hexes):
+        want = int(h, 16)
+        duck = con.execute("SELECT ('0x' || ?)::BIGINT", [h]).fetchone()[0]
+        assert got[i] == want, (h, got[i], want)
+        assert duck == want, (h, duck, want)
+
+    strs = ["", " ", "unicode ✓ ☃", "a" * 10_000, "\x00byte", "İΣ mixed"]
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(strs)], "i int, s string")
+    got2 = {
+        r.i: r.v for r in sdf.select("i", D.hash60(F.col("s")).alias("v")).collect()
+    }
+    for i, s in enumerate(strs):
+        want = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        duck = con.execute(
+            f"WITH t(s) AS (SELECT ?::VARCHAR) SELECT {D._hash60_sql('s')} FROM t",
+            [s],
+        ).fetchone()[0]
+        assert got2[i] == want, (s, got2[i], want)
+        assert duck == want, (s, duck, want)
 
 
 def _canonicalize_url_py(url: str) -> str:
