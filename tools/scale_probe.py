@@ -187,11 +187,12 @@ def build(spark) -> None:
     open(os.path.join(BIG, "_OK"), "w").close()
 
 
-def best_of(fn, reps=3):
+def best_of(fn, reps=int(os.environ.get("SCALE_REPS", "3"))):
     """Min of ``reps`` cold-cache runs. Three, not two: this VM stalls for
     30-130 s at random (firecracker CPU steal), and a stall spanning both
     of two back-to-back reps once inflated a probed ratio 3.6×→18.9× —
-    with three spread-out reps the min survives a single stall window."""
+    with three spread-out reps the min survives a single stall window.
+    SCALE_REPS overrides when wall-clock is tight."""
     runs = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -256,7 +257,16 @@ def main() -> None:
         "| query | base s | big s | ratio (target ≲{}) |".format(K),
         "|---|---|---|---|",
     ]
-    # interleave scales per-query to decorrelate hypervisor stall bursts
+    # Persist the machine-readable record and diff the RATIOS against the
+    # prior round's: a plan-shape regression shows up as a ratio jump
+    # even when sf0.1 wall-time looks flat (VERDICT r5 next-round #4).
+    rnd = _current_round()
+    prior = _prior_scale_record()  # read BEFORE writing this round's file
+    scale_path = os.path.join(_repo_root(), f"SCALE_r{rnd:02d}.json")
+
+    # interleave scales per-query to decorrelate hypervisor stall bursts;
+    # flush the JSON record after every query so a multi-hour run that
+    # dies partway still leaves a usable (partial) artifact.
     record: dict[str, dict] = {}
     for name in QUERIES:
         base_t = best_of(lambda: qs[name](spark, BASE).count())
@@ -269,15 +279,12 @@ def main() -> None:
         }
         lines.append(f"| {name} | {base_t:.2f} | {big_t:.2f} | {ratio:.1f}× |")
         print(lines[-1], file=sys.stderr)
-
-    # Persist the machine-readable record and diff the RATIOS against the
-    # prior round's: a plan-shape regression shows up as a ratio jump
-    # even when sf0.1 wall-time looks flat (VERDICT r5 next-round #4).
-    rnd = _current_round()
-    prior = _prior_scale_record()  # read BEFORE writing this round's file
-    scale_path = os.path.join(_repo_root(), f"SCALE_r{rnd:02d}.json")
+        with open(scale_path, "w") as f:
+            json.dump(
+                {"k": K, "complete": False, "queries": record}, f, indent=2
+            )
     with open(scale_path, "w") as f:
-        json.dump({"k": K, "queries": record}, f, indent=2)
+        json.dump({"k": K, "complete": True, "queries": record}, f, indent=2)
     print(f"wrote {scale_path}")
     cmp_lines: list[str] = []
     if prior is not None and prior[0] != rnd:
