@@ -140,9 +140,16 @@ def _ann_frames(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
         norm,
     )
 
-    emb = vecs.select(
-        "vec_id", _as_double(F.col("embedding")).alias("emb")
-    ).withColumn("nrm", norm(F.col("emb")))
+    # The normalized frame feeds BOTH the emb write and the band-key
+    # derivation — cache it so the cast+norm scan runs once per call
+    # (released via release_caches()). At warehouse scale the equivalent
+    # is writing the emb table first and deriving bands from a re-read
+    # of it, not caching a 100 TB frame.
+    emb = cache_tracked(
+        vecs.select(
+            "vec_id", _as_double(F.col("embedding")).alias("emb")
+        ).withColumn("nrm", norm(F.col("emb")))
+    )
     bands = emb.select(
         "vec_id",
         F.posexplode(
@@ -188,11 +195,10 @@ def knn_against_index(
     corpus_bands = spark.read.parquet(bands_dir).select(
         F.col("vec_id").alias("nb_id"), "band_idx", "band_val"
     )
+    # _ann_frames caches the normalized probe frame, which feeds both
+    # the band computation and the re-rank leg (released via
+    # release_caches()).
     q_emb, q_bands = _ann_frames(queries.withColumnRenamed("query_id", "vec_id"))
-    # q_emb feeds both the band computation and the re-rank leg — cache
-    # it so the normalization runs once (released via release_caches());
-    # q_bands has a single consumer and needs none.
-    q_emb = cache_tracked(q_emb)
     cand = (
         q_bands
         .select(F.col("vec_id").alias("query_id"), "band_idx", "band_val")

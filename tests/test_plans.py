@@ -18,6 +18,7 @@ guard-rail.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from langchain_callback_parquet_logger_spark.operators import (
     dedup,
@@ -234,6 +235,76 @@ def test_incremental_dedup_plan_is_band_join_with_cached_index(spark, sf_dir):
         assert "EvalPython" not in plan, plan
     finally:
         release_caches()
+
+
+def test_url_dedup_is_two_phase_aggregate_no_python(spark, sf_dir):
+    """The canonicalizer must stay in the scan projection (pure JVM —
+    regex/array expressions, no Python eval) and the dedup itself one
+    two-phase hash aggregate on the canonical key: exactly one exchange,
+    no join, no sort."""
+    plan = _initial_plan(dedup.q_url_dedup(spark, sf_dir))
+    assert "HashAggregate" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # partial→final agg only
+
+
+def test_quality_logit_is_bounded_broadcast_rollup(spark, sf_dir):
+    """The apply step must add only a projection + the 4-row threshold
+    broadcast + one hash aggregate on top of the feature frame — no
+    Python, no cartesian blowup beyond the bounded threshold dim."""
+    from langchain_callback_parquet_logger_spark.operators import text as T
+
+    plan = _initial_plan(T.q_quality_logit(spark, sf_dir))
+    assert "HashAggregate" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "logit_q" in plan, plan
+
+
+def test_index_dedup_query_leg_is_band_equi_join(spark, sf_dir, tmp_path):
+    """Serving from the STORED index must be an equi-join of the batch's
+    band keys against the stored band-table scan (no cartesian, no
+    Python, no hard broadcast hint on the corpus-sized index side)."""
+    from langchain_callback_parquet_logger_spark.operators import indexes as I
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new = F.col("doc_id") % dedup.INCREMENTAL_BATCH_MOD == 0
+    index_dir = str(tmp_path / "plan_dedup_index")
+    I.materialize_dedup_index(docs.filter(~is_new), index_dir)
+    df = I.dedup_against_index(spark, index_dir, docs.filter(is_new))
+    plan = _initial_plan(df)
+    assert "band_key" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    analyzed = _analyzed_plan(df)
+    assert "hint" not in analyzed.lower(), analyzed
+
+
+def test_index_ann_query_leg_is_banded_with_window_topk(spark, sf_dir, tmp_path):
+    """The stored-ANN serve leg: band-key equi-join candidates, exact
+    re-rank on candidates only, top-K as a row_number window keyed on
+    query_id — no cartesian, no Python, no hard broadcast hints."""
+    from langchain_callback_parquet_logger_spark.operators import indexes as I
+    from langchain_callback_parquet_logger_spark.operators import similarity as S
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        load_table,
+        release_caches,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_dir = str(tmp_path / "plan_ann_index")
+    I.materialize_ann_index(vecs, index_dir)
+    probes = vecs.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    try:
+        df = I.knn_against_index(spark, index_dir, probes, S.ANN_JOIN_K)
+        plan = _initial_plan(df)
+    finally:
+        release_caches()
+    assert "band_idx" in plan, plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
 
 
 def test_substring_dedup_is_hash_aggregate_shaped(spark, sf_dir):
