@@ -711,6 +711,77 @@ def test_canonicalize_url_matches_python_reference_and_duckdb(spark):
         assert duck == ref, (c, duck, ref)
 
 
+def test_canonicalize_url_duckdb_fuzz_matches_python():
+    """Seeded fuzz over URL-ish strings (no JVM — DuckDB vs the Python
+    reference): random case, schemes, ports, '?'/'&'/'='/'#' soup,
+    unicode hosts, repeated separators. Catches RE2-vs-Python-re
+    divergences the hand-picked cases miss."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(99)
+    frags = [
+        "http://", "https://", "HTTPS://", "ftp://", "", "www.", "WWW.",
+        "example", "Ex-Ample", "münchen", ".com", ".ORG", ":443", ":80",
+        ":8080", "/", "//", "/Path", "/a/b", "?", "&", "=", "#", "#frag",
+        "utm_source=x", "session=1", "ref=r", "a=1", "b", "x y", "%20",
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 10)))
+        for _ in range(300)
+    ]
+    con = duckdb.connect()
+    sql = (
+        "WITH t(u) AS (SELECT ?::VARCHAR) "
+        f"SELECT {D._canonicalize_url_sql('u')} FROM t"
+    )
+    for c in cases:
+        ref = _canonicalize_url_py(c)
+        duck = con.execute(sql, [c]).fetchone()[0]
+        assert duck == ref, (c, duck, ref)
+
+
+def test_fingerprint_duckdb_fuzz_matches_python():
+    """Seeded fuzz for the fingerprint contract (no JVM — DuckDB twin vs
+    a Python reference built from the same _FOLD_FIXUPS constants):
+    mixed scripts, the divergent codepoints, every whitespace char,
+    edge runs. The Spark side is pinned by the adversarial-cases test;
+    this drives the SQL twin across a much wider input space."""
+    import hashlib
+    import random
+    import re
+
+    import duckdb
+
+    def fp_py(s: str) -> str:
+        for a, b in D._FOLD_FIXUPS:
+            s = s.replace(a, b)
+        s = re.sub(f"[{D.WS_CHARS}]+", " ", s)
+        s = re.sub(D._EDGE_SPACE_PATTERN, "", s)
+        return hashlib.md5(s.lower().encode("utf-8")).hexdigest()
+
+    rng = random.Random(7)
+    frags = [
+        "word", "WORD", "İ", "Σ", "ς", "σ", "ß", "ẞ", "ǅ", "中文",
+        "Кирил", "café", " ", "\t", "\n", "\x0b", "\f", "\r", "\xa0",
+        "  ", "!!!", "123", "​", "ﬁ",
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
+        for _ in range(300)
+    ]
+    con = duckdb.connect()
+    sql = (
+        "WITH t(s) AS (SELECT ?::VARCHAR) "
+        f"SELECT {D.fingerprint_sql('s')} FROM t"
+    )
+    for c in cases:
+        ref = fp_py(c)
+        duck = con.execute(sql, [c]).fetchone()[0]
+        assert duck == ref, (repr(c), duck, ref)
+
+
 def test_round_tie_semantics_match_duckdb(spark):
     """Every oracle leans on round(x, 6) agreeing across engines.
     Both must round DOUBLE ties half-AWAY-from-zero (Spark HALF_UP,
