@@ -711,14 +711,8 @@ def test_canonicalize_url_matches_python_reference_and_duckdb(spark):
         assert duck == ref, (c, duck, ref)
 
 
-def test_canonicalize_url_duckdb_fuzz_matches_python():
-    """Seeded fuzz over URL-ish strings (no JVM — DuckDB vs the Python
-    reference): random case, schemes, ports, '?'/'&'/'='/'#' soup,
-    unicode hosts, repeated separators. Catches RE2-vs-Python-re
-    divergences the hand-picked cases miss."""
+def _url_fuzz_cases(n: int = 300) -> list[str]:
     import random
-
-    import duckdb
 
     rng = random.Random(99)
     frags = [
@@ -727,19 +721,44 @@ def test_canonicalize_url_duckdb_fuzz_matches_python():
         ":8080", "/", "//", "/Path", "/a/b", "?", "&", "=", "#", "#frag",
         "utm_source=x", "session=1", "ref=r", "a=1", "b", "x y", "%20",
     ]
-    cases = [
+    return [
         "".join(rng.choice(frags) for _ in range(rng.randint(1, 10)))
-        for _ in range(300)
+        for _ in range(n)
     ]
+
+
+def test_canonicalize_url_duckdb_fuzz_matches_python():
+    """Seeded fuzz over URL-ish strings (no JVM — DuckDB vs the Python
+    reference): random case, schemes, ports, '?'/'&'/'='/'#' soup,
+    unicode hosts, repeated separators. Catches RE2-vs-Python-re
+    divergences the hand-picked cases miss."""
+    import duckdb
+
     con = duckdb.connect()
     sql = (
         "WITH t(u) AS (SELECT ?::VARCHAR) "
         f"SELECT {D._canonicalize_url_sql('u')} FROM t"
     )
-    for c in cases:
+    for c in _url_fuzz_cases():
         ref = _canonicalize_url_py(c)
         duck = con.execute(sql, [c]).fetchone()[0]
         assert duck == ref, (c, duck, ref)
+
+
+def test_canonicalize_url_spark_fuzz_matches_python(spark):
+    """The same fuzz corpus through the SPARK expression, one batched
+    collect — pins Java-regex semantics across the whole space, not just
+    the hand-picked adversarial cases."""
+    cases = _url_fuzz_cases()
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, u string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", D.canonicalize_url(F.col("u")).alias("c")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == _canonicalize_url_py(c), (c, got[i])
 
 
 def test_fingerprint_duckdb_fuzz_matches_python():
@@ -780,6 +799,42 @@ def test_fingerprint_duckdb_fuzz_matches_python():
         ref = fp_py(c)
         duck = con.execute(sql, [c]).fetchone()[0]
         assert duck == ref, (repr(c), duck, ref)
+
+
+def test_fingerprint_spark_fuzz_matches_python(spark):
+    """The same fingerprint fuzz corpus through the SPARK expression,
+    one batched collect — pins the Java lower/regex semantics across
+    the whole mixed-script space."""
+    import hashlib
+    import random
+    import re
+
+    def fp_py(s: str) -> str:
+        for a, b in D._FOLD_FIXUPS:
+            s = s.replace(a, b)
+        s = re.sub(f"[{D.WS_CHARS}]+", " ", s)
+        s = re.sub(D._EDGE_SPACE_PATTERN, "", s)
+        return hashlib.md5(s.lower().encode("utf-8")).hexdigest()
+
+    rng = random.Random(7)
+    frags = [
+        "word", "WORD", "İ", "Σ", "ς", "σ", "ß", "ẞ", "ǅ", "中文",
+        "Кирил", "café", " ", "\t", "\n", "\x0b", "\f", "\r", "\xa0",
+        "  ", "!!!", "123", "​", "ﬁ",
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, s string"
+    )
+    got = {
+        r.i: r.fp
+        for r in df.select("i", X.fingerprint(F.col("s")).alias("fp")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == fp_py(c), (repr(c), got[i])
 
 
 def test_round_tie_semantics_match_duckdb(spark):
