@@ -132,7 +132,8 @@ _PRIORITY = [
     "q_udtf_trigrams",
     "q_unigram_logprob",
     "q_user_value_p90",
-    "q_value_histogram",
+    # -- new in round 6 (continued) --
+    "q_bigram_logprob",  # interpolated bigram surprisal (CCNet-style LM)
     # -- new in round 6: first driver certification --
     "q_index_incremental_dedup",  # stored dedup index: build+append+query
     "q_index_ann",  # stored ANN index: build+append+probe

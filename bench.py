@@ -70,6 +70,7 @@ HEADLINE = [
     "q_tfidf_top_terms",
     "q_top_terms",
     "q_unigram_logprob",
+    "q_bigram_logprob",
     "q_doc_features",
     "q_quality_logit",
     "q_length_quality_corr",

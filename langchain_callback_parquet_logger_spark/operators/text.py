@@ -1558,6 +1558,105 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# Interpolated bigram surprisal — the CCNet-fidelity upgrade of the
+# unigram filter: per-doc mean −ln P under a corpus-fit bigram model
+# with unigram backoff, P(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/N
+# (Jelinek-Mercer smoothing; the lambda is a module literal so both
+# engines share the exact double). Wenzek et al.'s CCNet uses a 5-gram
+# KenLM for exactly this per-doc score; a bigram JM model is the
+# largest order whose counts stay join-shaped (no backoff recursion).
+#
+# Scale: two explodes (tokens, bigrams) + three hash aggregates (vocab,
+# bigram counts, per-doc tf) + equi-joins on word/bigram keys — the
+# model frames grow with the VOCABULARY, not the corpus, and carry no
+# broadcast hints (AQE decides); the only hinted broadcast is the
+# single-row total. Per-bigram surprisal quantizes to 1e-6 nats as
+# BIGINT before the doc sum, so shuffle combine order cannot move the
+# 6-dp mean. Docs with <2 words have no bigrams and drop out — in both
+# engines, via the shared guarded bigram helpers (round-5 contract).
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.75  # weight on the bigram MLE; 1-λ backs off to unigram
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bg = docs.select(
+        "doc_id", F.explode(bigrams_col(F.col("text"))).alias("bg")
+    )
+    tf = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    tok = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n_total"))  # 1 row: broadcast is exact
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+    arr = F.split(F.col("bg"), " ")
+    m = (
+        bgc.withColumn("w1", arr.getItem(0))
+        .withColumn("w2", arr.getItem(1))
+        .join(vocab.select(F.col("word").alias("w1"), F.col("cnt").alias("c1")), "w1")
+        .join(vocab.select(F.col("word").alias("w2"), F.col("cnt").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.lit(BIGRAM_LAMBDA) * (
+        F.col("cb").cast("double") / F.col("c1").cast("double")
+    ) + F.lit(1.0 - BIGRAM_LAMBDA) * (
+        F.col("c2").cast("double") / F.col("n_total").cast("double")
+    )
+    model = m.select(
+        "bg", F.round((-F.log(p)) * 1e6).cast("bigint").alias("qnll")
+    )
+    per_doc = (
+        tf.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("qnll")).alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("s") / (F.col("n_bigrams") * F.lit(1e6)), 6).alias("avg_nll"),
+    )
+
+
+def _oracle_bigram_logprob() -> str:
+    lam = repr(BIGRAM_LAMBDA)
+    one_minus = repr(1.0 - BIGRAM_LAMBDA)
+    return f"""
+WITH bg AS (
+  SELECT doc_id,
+         unnest({bigrams_sql("string_split(text, ' ')")}) AS bg
+  FROM documents
+),
+tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bg GROUP BY 1, 2),
+tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+bgc AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY 1),
+m AS (
+  SELECT bgc.bg,
+         CAST(round(-ln(({lam})::DOUBLE * (cb::DOUBLE / v1.cnt::DOUBLE)
+                        + ({one_minus})::DOUBLE
+                          * (v2.cnt::DOUBLE / tot.n_total::DOUBLE)) * 1e6)
+              AS BIGINT) AS qnll
+  FROM bgc
+  JOIN vocab v1 ON v1.word = string_split(bgc.bg, ' ')[1]
+  JOIN vocab v2 ON v2.word = string_split(bgc.bg, ' ')[2]
+  CROSS JOIN tot
+),
+pd AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+         CAST(SUM(tf.tf * m.qnll) AS BIGINT) AS s
+  FROM tf JOIN m USING (bg) GROUP BY 1
+)
+SELECT doc_id, n_bigrams, round(s / (n_bigrams * 1e6), 6) AS avg_nll FROM pd
+"""
+
+
+# ---------------------------------------------------------------------------
 # Model-based quality filter — the APPLY step q_doc_features was built to
 # train (the Dolma/RefinedWeb "model-based filtering" stage): a
 # fixed-weight logistic scorer over the per-doc feature frame, evaluated
@@ -1702,6 +1801,7 @@ QUERIES = {
     "q_bpe_merge_candidates": q_bpe_merge_candidates,
     "q_bpe_apply": q_bpe_apply,
     "q_unigram_logprob": q_unigram_logprob,
+    "q_bigram_logprob": q_bigram_logprob,
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_pmi_collocations": q_pmi_collocations,
     "q_filter_funnel": q_filter_funnel,
@@ -1727,6 +1827,7 @@ ORACLES = {
     "q_bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "q_bpe_apply": _oracle_bpe_apply(),
     "q_unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "q_bigram_logprob": _oracle_bigram_logprob(),
     "q_ccnet_buckets": ORACLE_CCNET_BUCKETS,
     "q_pmi_collocations": ORACLE_PMI_COLLOCATIONS,
     "q_filter_funnel": ORACLE_FILTER_FUNNEL,

@@ -343,6 +343,58 @@ def test_doc_features_one_row_per_doc_with_bounded_signals(spark, sf_dir):
         assert r.is_exact_dup == int(r.doc_id in dup_ids)
 
 
+def test_bigram_logprob_matches_python_reference(spark, sf_dir):
+    """Spark's interpolated bigram surprisal equals a pure-Python
+    reference computed from raw counts over the real corpus: same λ,
+    same quantization, same guarded bigram semantics (docs with <2
+    words absent). Pins the join/backoff arithmetic end-to-end."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from langchain_callback_parquet_logger_spark.operators import text as T2
+
+    def round_half_up(x: float, nd: int) -> float:
+        # Spark round() and DuckDB round() are half-AWAY-from-zero
+        # (pinned by test_round_tie_semantics_match_duckdb); Python's
+        # built-in round is banker's — the one place the reference
+        # implementation must NOT use it.
+        q = Decimal(1).scaleb(-nd)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    uni: Counter = Counter()
+    bic: Counter = Counter()
+    doc_bgs: dict[int, list[str]] = {}
+    for d, t in docs.items():
+        ws = t.split(" ")
+        uni.update(ws)
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])] if len(ws) >= 2 else []
+        bic.update(bgs)
+        doc_bgs[d] = bgs
+    n_total = sum(uni.values())
+    lam = T2.BIGRAM_LAMBDA
+
+    def qnll(bg: str) -> int:
+        w1, w2 = bg.split(" ")
+        p = lam * (bic[bg] / uni[w1]) + (1.0 - lam) * (uni[w2] / n_total)
+        return int(round_half_up(-math.log(p) * 1e6, 0))
+
+    want = {}
+    for d, bgs in doc_bgs.items():
+        if bgs:
+            s = sum(qnll(bg) for bg in bgs)
+            want[d] = (len(bgs), round_half_up(s / (len(bgs) * 1e6), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in T2.q_bigram_logprob(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_quality_logit_ablation_is_monotone(spark, sf_dir):
     """Raising the probability threshold can only shrink the kept set,
     and a stricter cut never lowers the kept cohort's mean quality below

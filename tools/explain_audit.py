@@ -392,6 +392,15 @@ COMMENTARY: dict[str, str] = {
         "to 1e-6 nats as bigint so the doc sum is exactly associative "
         "under any combine order."
     ),
+    "q_bigram_logprob": (
+        "Bigram JM surprisal: two explodes and three hash aggregates "
+        "(all map-side combined), then equi-joins on the bigram/word "
+        "keys — the model frames are VOCABULARY-sized, so they carry no "
+        "broadcast hint (web-scale vocabularies grow with the corpus; "
+        "AQE decides). The only hinted broadcast is the single-row "
+        "token total. Per-bigram nll quantizes to 1e-6 nats as bigint "
+        "before the doc rollup, making the mean combine-order exact."
+    ),
     "q_training_order": (
         "The final publish stage: salted-hash order key + shard = hash "
         "mod N computed in the scan projection, one map-side-combined "

@@ -71,6 +71,7 @@ QUERIES = [
     "q_key_skew_report",
     "q_length_quality_corr",
     "q_ngram_novelty",
+    "q_bigram_logprob",
     "q_cms_heavy_hitters",
     "q_diversity_sample",
     "q_length_histogram",
