@@ -29,6 +29,9 @@ from langchain_callback_parquet_logger_spark.operators import dedup as _dedup
 from langchain_callback_parquet_logger_spark.operators import graph as _graph
 from langchain_callback_parquet_logger_spark.operators import indexes as _indexes
 from langchain_callback_parquet_logger_spark.operators import (
+    maintenance as _maintenance,
+)
+from langchain_callback_parquet_logger_spark.operators import (
     multimodal as _multimodal,
 )
 from langchain_callback_parquet_logger_spark.operators import (
@@ -59,6 +62,7 @@ _MODULES = [
     _pipeline,
     _graph,
     _indexes,
+    _maintenance,
     _streaming,
     _stateful,
 ]
@@ -71,86 +75,78 @@ GRADING_WINDOW = 50
 
 # The driver grades the FIRST GRADING_WINDOW registry entries (insertion
 # order).  Order the registry explicitly so that, across rounds, EVERY
-# query earns a driver-graded CORRECTNESS record.  Round-6 rotation
-# (VERDICT r5 next-round #1): the 9 queries that ceded their round-5
-# slots (newest driver records r2/r3) take the front, followed by the
-# rows-only sketch entry (which can never earn a hash record and
-# therefore always sits in-window), the queries whose plans change this
-# round, and the round-4-certified tail (oldest single-record entries
-# first).  The 49 queries freshly certified in round 5 rotate out; the
-# local full-surface gate still covers them every round.
+# query earns a driver-graded CORRECTNESS record.  Round-7 rotation
+# (VERDICT r6 next-round #2): the stalest driver records take the front —
+# the 9 queries whose newest record is r3, then the 18 never-re-graded
+# r4-certified entries the verdict names — followed by the permanent
+# rows-only resident, this round's new queries, and a fill of the
+# oldest round-5 records (all 17 single-record r5 entries, the two
+# 2-record ones, and the alphabetically-first 3-record one).  The 49
+# queries freshly certified in round 6 rotate out; the local
+# full-surface gate still covers them every round.
 _PRIORITY = [
-    # -- newest driver record is r2/r3: re-certify first (VERDICT #1) --
-    "q_multimodal_meta",
-    "q_multimodal_framesample",
-    "q_knn_per_label",
-    "q_salted_rollup",
-    "q_embedding_quantize",
-    "q_hash_sample",
-    "q_knn_ivf",
-    "q_lang_rollup",
-    "q_asof_join",
+    # -- newest driver record is r3: stalest, re-certify first --
+    "q_anti_join_checkpoint",
+    "q_batch_map",
+    "q_custom_id_extract",
+    "q_date_partition_agg",
+    "q_filter_event_type",
+    "q_json_extract",
+    "q_scan_project",
+    "q_token_rollup",
+    "q_user_value_median",
+    # -- r4-certified, never re-graded (VERDICT r6 #2 explicit list) --
+    "q_cube",
+    "q_domain_cap",
+    "q_grouping_sets",
+    "q_lead_lag",
+    "q_ntile",
+    "q_rolling_hash",
+    "q_running_total",
+    "q_sequence_pack",
+    "q_set_ops",
+    "q_simhash_pairs",
+    "q_sql_correlated_scalar",
+    "q_sql_exists_semi",
+    "q_sql_in_agg",
+    "q_sql_not_exists_anti",
+    "q_sql_scalar_having",
+    "q_topk",
+    "q_union_dedup",
+    "q_value_histogram",
     # -- permanent window resident --
     "q_hll_users",  # rows-only (sketch estimates are engine-specific)
-    # -- changed in round 6, re-grade mandatory --
-    "q_stream_incremental_dedup",  # verdict sink path made cluster-safe (ADVICE)
-    # fingerprint() gained the explicit mixed-script case-fold contract
-    # (İ/Σ fold + ASCII-space trim) — every fingerprint consumer's plan
-    # changed, so they re-enter the window:
-    "q_exact_dedup",
-    "q_doc_fingerprint",
-    "q_corpus_clean",
-    "q_leakage_safe_split",
-    "q_doc_features",
-    # -- last driver-graded in round 4 (oldest single-record tail) --
-    "q_anomaly_zscore",
-    "q_bpe_merge_candidates",
-    "q_checkpoint_resume",
-    "q_cohort_retention",
-    "q_dedup_keep_last",
-    "q_diversity_sample",
-    "q_ensemble_dedup",
-    "q_event_pivot",
-    "q_event_runs",
-    "q_funnel",
-    "q_hierarchy_join",
-    "q_incremental_dedup",
-    "q_length_histogram",
-    "q_percentiles",
-    "q_pq_quantize",
-    "q_pricing_summary",
-    "q_priority_rollup",
-    "q_quality_score",
-    "q_repetition_ratio",
-    "q_results_zip",
-    "q_revenue_by_nation",
-    "q_semdedup",
-    "q_status_summary",
-    "q_substring_dedup",
-    "q_text_stats",
-    "q_tfidf_top_terms",
-    "q_udtf_trigrams",
-    "q_unigram_logprob",
-    "q_user_value_p90",
-    # -- new in round 6 (continued) --
-    "q_bigram_logprob",  # interpolated bigram surprisal (CCNet-style LM)
-    # -- new in round 6: first driver certification --
-    "q_index_incremental_dedup",  # stored dedup index: build+append+query
-    "q_index_ann",  # stored ANN index: build+append+probe
-    "q_quality_logit",  # fixed-weight logistic filter + threshold ablation
-    "q_url_dedup",  # URL canonicalization dedup (cheapest crawl signal)
+    # -- new in round 7: first driver certification --
+    "q_substring_clean",  # duplicated-span REMOVAL (Lee et al. §4)
+    "q_log_compaction",  # log-table maintenance lifecycle (read-identity)
+    # -- round-5 records, single-record entries first --
+    "q_ann_join",
+    "q_bpe_apply",
+    "q_ccnet_buckets",
+    "q_cms_heavy_hitters",
+    "q_doc_keywords",
+    "q_dsir_weights",
+    "q_filter_funnel",
+    "q_key_skew_report",
+    "q_kmv_users",
+    "q_length_quality_corr",
+    "q_matryoshka_probe",
+    "q_minhash_estimate_error",
+    "q_ngram_novelty",
+    "q_paraphrase_candidates",
+    "q_pmi_collocations",
+    "q_training_order",
+    "q_vocab_coverage",
+    # -- round-5 records, 2-record entries --
+    "q_cross_source_dupes",
+    "q_source_mixture_weights",
+    # -- round-5 record, 3-record fill (alphabetically first) --
+    "q_decontaminate",
 ]
-# Rotated out to make room: the round-5-certified set
-# (CORRECTNESS_r05.json, all-green, minus the fingerprint consumers
-# re-entered above), the r4-certified multi-record set (q_domain_cap,
-# q_rolling_hash, q_sequence_pack, q_simhash_pairs also hold r2/r3
-# records), and nine r4-only SQL-surface entries (q_cube,
-# q_grouping_sets, q_set_ops, q_ntile, q_topk, q_union_dedup,
-# q_lead_lag, q_running_total ceded placeholder slots to round-6
-# additions; q_sql_correlated_scalar, q_sql_exists_semi, q_sql_in_agg,
-# q_sql_not_exists_anti, q_sql_scalar_having ceded theirs to the
-# changed-plan fingerprint consumers); the local full-surface gate
-# still covers all of them every round.
+# Rotated out to make room: the round-6-certified set
+# (CORRECTNESS_r06.json, all-green) and the remaining 3-or-more-record
+# round-5 entries; the local full-surface gate still covers all of them
+# every round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/

@@ -1311,6 +1311,126 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span REMOVAL: the production leg of ``q_substring_dedup``
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", §4 ExactSubstr) — emit the corpus with every duplicated
+    SPAN_WINDOW-token window cut out of the text.
+
+    Contract (deterministic, order-free, cross-engine):
+    - tokens = single-space split (the :func:`shingles` contract); docs
+      shorter than SPAN_WINDOW tokens have no windows and pass through
+      verbatim (no partial-window fallback — removal must never fire on
+      a window shorter than the evidence threshold);
+    - a window is *duplicated* iff its occurrence count across the corpus
+      is ≥ 2, counted per POSITION (within-doc repetition counts, unlike
+      the distinct-per-doc report in ``q_substring_dedup`` where within-doc
+      repeats are q_repetition_ratio's signal);
+    - every token covered by ≥1 duplicated window is removed from EVERY
+      occurrence.  Lee et al. keep one canonical copy; keeping one
+      requires an arbitrary global tie-break on occurrences, so the graded
+      transform takes the conservative remove-all contract and documents
+      the keep-one variant as a one-line filter on a (doc_id, pos) rank.
+
+    Scale: the position explode is linear in corpus tokens, the duplicate
+    test is one hash-aggregate on the 60-bit window hash re-joined on the
+    same key (shared partitioning), the covered-index explode is ≤ w× the
+    duplicated windows, and the text rebuild is a per-row JVM higher-order
+    function after one doc_id equi-join (AQE-decided, both sides corpus-
+    cardinality — no broadcast hints).  No suffix array, no driver state.
+    """
+    w = SPAN_WINDOW
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n = F.size("ws")
+    # element j of this array is the window starting at 0-based token j
+    wins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.array_join(F.slice("ws", i + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select(
+        "doc_id", F.posexplode(wins).alias("pos", "win")
+    ).select("doc_id", "pos", hash60(F.col("win")).alias("whash"))
+    per_hash = occ.groupBy("whash").agg(F.count("*").alias("n_occ"))
+    dup_pos = occ.join(per_hash, "whash").filter(F.col("n_occ") >= 2)
+    covered = (
+        dup_pos.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (w - 1))
+            ).alias("ti"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("ti").alias("cov"))
+    )
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    clean = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.when(
+                ~F.array_contains(cov, i), F.element_at("ws", i + 1)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.join(covered, "doc_id", "left").select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (n - F.size(clean)).cast("bigint").alias("removed_tokens"),
+        F.array_join(clean, " ").alias("clean_text"),
+    )
+
+
+def _oracle_substring_clean() -> str:
+    w = SPAN_WINDOW
+    whash = _hash60_sql(f"array_to_string(ws[pos+1:pos+{w}], ' ')")
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+px AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(len(ws) - {w - 1}, 0))) AS pos
+  FROM d
+),
+hx AS (
+  SELECT doc_id, pos, {whash} AS whash FROM px
+),
+ph AS (SELECT whash, COUNT(*) AS n_occ FROM hx GROUP BY whash),
+dp AS (
+  SELECT doc_id, pos FROM hx JOIN ph USING (whash) WHERE n_occ >= 2
+),
+cv AS (
+  SELECT doc_id, list(DISTINCT ti) AS cov
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, {w}), k -> pos + k)) AS ti
+    FROM dp
+  )
+  GROUP BY doc_id
+),
+fin AS (
+  SELECT d.doc_id, d.ws,
+         list_filter(
+           list_transform(
+             range(0, len(d.ws)),
+             i -> CASE WHEN NOT list_contains(COALESCE(cv.cov, []), i)
+                       THEN d.ws[i+1] END),
+           x -> x IS NOT NULL) AS ck
+  FROM d LEFT JOIN cv USING (doc_id)
+)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       len(ws) - len(ck) AS removed_tokens,
+       COALESCE(array_to_string(ck, ' '), '') AS clean_text
+FROM fin
+"""
+
+
 def _oracle_substring_dedup() -> str:
     w = SPAN_WINDOW
     return f"""
@@ -1349,6 +1469,7 @@ QUERIES = {
     "q_incremental_dedup": q_incremental_dedup,
     "q_ensemble_dedup": q_ensemble_dedup,
     "q_substring_dedup": q_substring_dedup,
+    "q_substring_clean": q_substring_clean,
     "q_minhash_estimate_error": q_minhash_estimate_error,
     "q_paraphrase_candidates": q_paraphrase_candidates,
     "q_key_skew_report": q_key_skew_report,
@@ -1368,6 +1489,7 @@ ORACLES = {
     "q_incremental_dedup": _oracle_incremental_dedup(),
     "q_ensemble_dedup": _oracle_ensemble_dedup(),
     "q_substring_dedup": _oracle_substring_dedup(),
+    "q_substring_clean": _oracle_substring_clean(),
     "q_minhash_estimate_error": _oracle_minhash_estimate_error(),
     "q_paraphrase_candidates": _oracle_paraphrase_candidates(),
     "q_key_skew_report": ORACLE_KEY_SKEW_REPORT,

@@ -1,0 +1,141 @@
+"""Graded log-table maintenance lifecycle (VERDICT r6 next-round #3).
+
+``sinks.compact_logs`` (small-file compaction) and
+``sinks.retain_partitions`` (retention/vacuum) are the nightly ops a
+real deployment runs against the log warehouse the reference's flush
+cadence produces (one parquet file per buffer fill —
+/root/reference/langchain_callback_parquet_logger/logger.py:418-470).
+This module gives that path a driver-gradeable correctness row, exactly
+the way ``operators/indexes.py`` graded the stored-index lifecycle in
+round 6: the query drives fragment → retain → compact → read-back
+end-to-end and the oracle is read-identity — the rollup over the
+maintained tree must equal the same rollup computed directly from the
+``events`` table with the retention predicate applied, plus the
+file-count contract (the compaction's deterministic output-file target)
+carried as a value column.
+
+Scale design:
+- retention is directory manipulation only (no data read, no shuffle) and
+  runs FIRST so compaction never rewrites expiring bytes;
+- compaction is ONE range-shuffle on (date, timestamp) — the sampled range
+  partitioner has no driver bottleneck — and writes TIMESTAMP_MICROS so
+  parquet min/max stats keep file-skipping alive;
+- the read-back rollup groups on the partition column, so at warehouse
+  scale the verification scan is partition-pruned and the aggregate is
+  one partial+final hash aggregate.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.session import load_table
+from ..sinks import compact_logs, retain_partitions, write_log
+from .indexes import _scratch_root
+
+# Module constants shared verbatim by the oracle — changing either is a
+# contract change (the graded values depend on both).
+RETENTION_MIN_DATE = "2024-01-08"  # drop the first week of the log
+COMPACT_TARGET_ROWS = 5_000  # rows per output file target
+_FRAGMENT_FILES = 24  # flush files per date dir, reference cadence
+
+
+def q_log_compaction(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Maintenance lifecycle: write ``events`` as a fragmented
+    date-partitioned log tree (repartition(24) ≈ the reference's
+    per-buffer flush files), run retention (drop dates before
+    RETENTION_MIN_DATE), compact to COMPACT_TARGET_ROWS-row files, then
+    read the maintained tree back and emit the per-date rollup with the
+    compaction's file target as a value column.
+
+    Correctness contract: the rollup equals the events-table rollup
+    under the retention predicate (read-identity — compaction must not
+    create, drop, or mutate rows), and ``expected_files`` equals
+    ``ceil(retained_rows / COMPACT_TARGET_ROWS)`` (the deterministic
+    range-partition count ``compact_logs`` returns). The physical
+    file-count bound (≤ expected_files + surviving dates, and strictly
+    fewer files than the fragmented tree) is asserted in-process — a
+    violation raises and fails the grade.
+    """
+    if work_dir is None:
+        work_dir = os.path.join(_scratch_root(), "loglake")
+    path = os.path.join(work_dir, "logs")
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("timestamp"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    write_log(events.repartition(_FRAGMENT_FILES), path, mode="overwrite")
+    frag_files = _parquet_files(path)
+
+    retain_partitions(spark, path, RETENTION_MIN_DATE)
+    n_files = compact_logs(
+        spark, path, target_rows_per_file=COMPACT_TARGET_ROWS
+    )
+
+    maintained = spark.read.parquet(path)
+    n_dates = maintained.select("date").distinct().count()
+    out_files = _parquet_files(path)
+    if not (len(out_files) <= n_files + n_dates):
+        raise AssertionError(
+            f"compaction file contract violated: {len(out_files)} files > "
+            f"{n_files} range partitions + {n_dates} dates"
+        )
+    if len(out_files) >= len(frag_files):
+        raise AssertionError(
+            f"compaction did not reduce files: {len(frag_files)} -> "
+            f"{len(out_files)}"
+        )
+
+    vq = F.round(F.col("value") * 1e6).cast("bigint")  # fixed-point 1e-6
+    return (
+        maintained.groupBy(F.col("date").alias("log_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(vq) / 1e6, 2).alias("sum_value"),
+            F.min("timestamp").alias("min_ts"),
+            F.max("timestamp").alias("max_ts"),
+        )
+        .withColumn("expected_files", F.lit(n_files).cast("bigint"))
+    )
+
+
+def _parquet_files(root: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    ]
+
+
+def _oracle_log_compaction() -> str:
+    return f"""
+WITH ret AS (
+  SELECT * FROM events
+  WHERE CAST(ts AS DATE) >= DATE '{RETENTION_MIN_DATE}'
+)
+SELECT CAST(ts AS DATE) AS log_date,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       round(SUM(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 2) AS sum_value,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts,
+       (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {COMPACT_TARGET_ROWS}.0)
+                               AS BIGINT))
+        FROM ret) AS expected_files
+FROM ret GROUP BY 1
+"""
+
+
+QUERIES = {"q_log_compaction": q_log_compaction}
+ORACLES = {"q_log_compaction": _oracle_log_compaction()}

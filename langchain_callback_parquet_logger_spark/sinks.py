@@ -352,6 +352,42 @@ def compact_logs(
     return n_files
 
 
+def retain_partitions(
+    spark: SparkSession,
+    path: str,
+    min_date: str,
+    partition_col: str = "date",
+) -> int:
+    """Retention pass for a date-partitioned log tree: drop every
+    ``<partition_col>=<value>`` directory whose value sorts below
+    ``min_date`` (ISO dates sort lexically). Returns the number of
+    partitions dropped.
+
+    Scale notes: runs BEFORE compaction in the nightly maintenance job —
+    deleting expired partitions first means the compaction rewrite never
+    pays for bytes that are about to be dropped. The operation is pure
+    directory manipulation on the Hadoop FileSystem API (one listing of
+    the partition level, one recursive delete per expired partition); no
+    data is read, no executor work is scheduled, and partition pruning
+    on the surviving tree is untouched. At warehouse scale the same pass
+    is a table format's `DELETE WHERE date < cutoff` + vacuum; the
+    directory form matches the reference's plain-parquet world
+    (/root/reference logger.py flushes straight to date dirs)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    prefix = f"{partition_col}="
+    dropped = 0
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            if name[len(prefix):] < min_date:
+                fs.delete(status.getPath(), True)
+                dropped += 1
+    return dropped
+
+
 def swap_dirs(spark: SparkSession, src_path: str, dst_path: str) -> None:
     """Promote ``src_path`` to ``dst_path`` via rename, staging the old
     tree aside and rolling back on failure. Works on any Hadoop scheme.

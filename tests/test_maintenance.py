@@ -114,3 +114,74 @@ def test_date_partition_join_prunes_dynamically(spark, fragmented_logs):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() == 1
+
+
+def test_retain_partitions_drops_only_expired_dates(spark, fragmented_logs):
+    from langchain_callback_parquet_logger_spark.sinks import retain_partitions
+
+    out, n_rows = fragmented_logs
+    dates = sorted(
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(out, "date=*"))
+    )
+    assert len(dates) > 2
+    cutoff = dates[1]  # drop exactly the first partition
+    expected_kept = (
+        spark.read.parquet(out)
+        .filter(F.col("date") >= cutoff)
+        .count()
+    )
+    dropped = retain_partitions(spark, out, cutoff)
+    assert dropped == 1
+    kept_dirs = sorted(
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(out, "date=*"))
+    )
+    assert kept_dirs == dates[1:]
+    after = spark.read.parquet(out)
+    assert after.count() == expected_kept < n_rows
+    # idempotent: nothing else is below the cutoff now
+    assert retain_partitions(spark, out, cutoff) == 0
+
+
+def test_q_log_compaction_read_identity_and_file_contract(spark, sf_dir, tmp_path):
+    """The graded lifecycle equals the events-table rollup under the
+    retention predicate, and the emitted file target matches the
+    ceil(retained/target) contract."""
+    from langchain_callback_parquet_logger_spark.operators import (
+        maintenance as MN,
+    )
+
+    got = {
+        r.log_date: r
+        for r in MN.q_log_compaction(spark, sf_dir, str(tmp_path)).collect()
+    }
+    events = load_table(spark, sf_dir, "events").filter(
+        F.to_date("ts") >= MN.RETENTION_MIN_DATE
+    )
+    vq = F.round(F.col("value") * 1e6).cast("bigint")
+    ref = {
+        r.log_date: r
+        for r in events.groupBy(F.to_date("ts").alias("log_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(vq) / 1e6, 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    retained = events.count()
+    want_files = max(1, -(-retained // MN.COMPACT_TARGET_ROWS))
+    for d, r in got.items():
+        e = ref[d]
+        assert (
+            r.n_events,
+            r.n_users,
+            r.sum_value,
+            r.min_ts,
+            r.max_ts,
+        ) == (e.n_events, e.n_users, e.sum_value, e.min_ts, e.max_ts), d
+        assert r.expected_files == want_files

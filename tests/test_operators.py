@@ -137,6 +137,98 @@ def test_substring_dedup_flags_exactly_docs_sharing_a_window(spark, sf_dir):
     assert {r.doc_id for r in rows} == expected
 
 
+def _substring_clean_py(docs: list[tuple[int, str]], w: int = D.SPAN_WINDOW):
+    """Pure-Python reference for the q_substring_clean contract."""
+    occ: dict[str, int] = {}
+    wins: dict[int, list[str]] = {}
+    for did, t in docs:
+        ws = t.split(" ")
+        ww = (
+            [" ".join(ws[i : i + w]) for i in range(len(ws) - w + 1)]
+            if len(ws) >= w
+            else []
+        )
+        wins[did] = ww
+        for x in ww:
+            occ[x] = occ.get(x, 0) + 1
+    out: dict[int, tuple[int, int, str]] = {}
+    for did, t in docs:
+        ws = t.split(" ")
+        cov: set[int] = set()
+        for i, x in enumerate(wins[did]):
+            if occ[x] >= 2:
+                cov.update(range(i, i + w))
+        kept = [tok for i, tok in enumerate(ws) if i not in cov]
+        out[did] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def _substring_clean_edge_docs() -> list[tuple[int, str]]:
+    """Span-boundary adversarial corpus: doc-initial/final duplicated
+    spans, overlapping windows, within-doc repetition, sub-window docs,
+    exact-window docs, a fully-removed doc, and seeded fragment soup
+    engineered to collide across docs."""
+    import random
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"  # one exact SPAN_WINDOW window
+    long_span = span + " s9 s10"  # 3 overlapping duplicated windows
+    docs = [
+        (0, span),  # doc == exactly one window (fully removed)
+        (1, f"{span} tail1 tail2"),  # doc-initial span
+        (2, f"head1 head2 {span}"),  # doc-final span
+        (3, f"pre {long_span} post"),  # interior, overlapping windows
+        (4, long_span),  # the overlap partner
+        (5, f"{span} {span}"),  # within-doc repetition (+ bridge windows)
+        (6, "short doc under window"),  # < w tokens: untouched
+        (7, "u1 u2 u3 u4 u5 u6 u7 u8"),  # unique window: untouched
+        (8, ""),  # empty text → [''] token, untouched
+    ]
+    rng = random.Random(77)
+    frag = ["f1 f2 f3 f4", "g1 g2 g3 g4", "h1 h2 h3 h4", "k1 k2 k3 k4"]
+    for i in range(9, 40):
+        docs.append(
+            (i, " ".join(rng.choice(frag) for _ in range(rng.randint(1, 5))))
+        )
+    return docs
+
+
+def test_substring_clean_three_way_differential(spark, tmp_path):
+    """Spark plan, DuckDB oracle, and the Python reference agree on the
+    span-boundary edge corpus (VERDICT r6 #4: overlapping windows,
+    doc-initial/final spans, full-doc removal, within-doc repeats)."""
+    import duckdb
+
+    docs = _substring_clean_edge_docs()
+    ref = _substring_clean_py(docs)
+    # doc 0 is exactly one duplicated window (shared with docs 1/2/5):
+    # full removal → empty clean_text exercises the COALESCE('') contract
+    assert ref[0] == (8, 8, "")
+    assert ref[6][1] == 0 and ref[7][1] == 0 and ref[8] == (1, 0, "")
+    assert ref[3][1] > 0 and ref[3][2] == "pre post"  # overlap merged
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id int, text string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
+        for r in D.q_substring_clean(spark, sf_dir).collect()
+    }
+    assert got == ref
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest(?) AS doc_id, "
+        "unnest(?) AS text",
+        [[i for i, _ in docs], [t for _, t in docs]],
+    )
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(D.ORACLES["q_substring_clean"]).fetchall()
+    }
+    assert duck == ref
+
+
 def test_semdedup_prunes_higher_id_against_lower(spark, sf_dir):
     """Every pruned vector has ≥1 lower-id same-cluster partner at or
     above the cosine threshold; cluster ids come from the k-means fit."""
