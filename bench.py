@@ -90,6 +90,7 @@ HEADLINE = [
     "q_ensemble_dedup",
     "q_diversity_sample",
     "q_substring_dedup",
+    "q_substring_clean",
     "q_minhash_estimate_error",
     "q_paraphrase_candidates",
     "q_key_skew_report",
@@ -121,6 +122,8 @@ HEADLINE = [
     "q_training_order",
     "q_ccnet_buckets",
     "q_dsir_weights",
+    # maintenance lifecycle
+    "q_log_compaction",
     # streaming
     "q_stream_hourly_counts",
     "q_stream_join",

@@ -372,6 +372,30 @@ COMMENTARY: dict[str, str] = {
         "per-doc rollup shuffles one row per (doc, window) with map-side "
         "combine; nothing is quadratic in duplicate density."
     ),
+    "q_substring_clean": (
+        "Duplicated-span REMOVAL (the production write leg of "
+        "q_substring_dedup): occurrence-level window explode stays "
+        "linear in corpus tokens, the duplicate test is one hash "
+        "aggregate on whash re-joined on the same key (shared "
+        "partitioning), covered-token indices explode at most w rows "
+        "per duplicated window into a collect_set aggregate, and the "
+        "text rebuild is a per-row codegen'd higher-order function "
+        "after ONE doc_id equi-join — AQE-decided, both sides corpus-"
+        "cardinality, no broadcast hints, no suffix array, no driver "
+        "state. Remove-all contract keeps the transform order-free."
+    ),
+    "q_log_compaction": (
+        "Maintenance lifecycle graded end-to-end: retention is Hadoop-FS "
+        "directory deletion (no data read, no shuffle) and runs FIRST so "
+        "the compaction never rewrites expiring bytes; compaction is ONE "
+        "range shuffle on (date, timestamp) via the sampled range "
+        "partitioner (no driver bottleneck) writing TIMESTAMP_MICROS so "
+        "parquet min/max stats keep file-skipping alive; the read-back "
+        "verification groups on the partition column — partition-pruned "
+        "scan plus one map-side-combined hash aggregate. The graded "
+        "values pin read-identity and the ceil(rows/target) file "
+        "contract."
+    ),
     "q_semdedup": (
         "SemDeDup with data-adaptive K (n / target cluster size): the "
         "centroid assignment is a K-row broadcast cross join whose argmin "

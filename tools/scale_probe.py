@@ -96,6 +96,8 @@ QUERIES = [
     "q_user_value_p90",
     "q_stream_hourly_counts",
     "q_substring_dedup",
+    "q_substring_clean",
+    "q_log_compaction",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
