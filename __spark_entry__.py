@@ -118,7 +118,9 @@ _PRIORITY = [
     "q_hll_users",  # rows-only (sketch estimates are engine-specific)
     # -- new in round 7: first driver certification --
     "q_substring_clean",  # duplicated-span REMOVAL (Lee et al. §4)
+    "q_substring_keepone",  # keep-one ExactSubstr variant (canonical survives)
     "q_log_compaction",  # log-table maintenance lifecycle (read-identity)
+    "q_index_compaction",  # stored-index compaction pass (read-identity)
     # -- round-5 records, single-record entries first --
     "q_ann_join",
     "q_bpe_apply",
@@ -137,11 +139,10 @@ _PRIORITY = [
     "q_pmi_collocations",
     "q_training_order",
     "q_vocab_coverage",
-    # -- round-5 records, 2-record entries --
+    # -- round-5 records, 2-record fill (q_source_mixture_weights and
+    # the 3-record q_decontaminate ceded their slots to the round-7
+    # additions; the local full-surface gate still covers them) --
     "q_cross_source_dupes",
-    "q_source_mixture_weights",
-    # -- round-5 record, 3-record fill (alphabetically first) --
-    "q_decontaminate",
 ]
 # Rotated out to make room: the round-6-certified set
 # (CORRECTNESS_r06.json, all-green) and the remaining 3-or-more-record

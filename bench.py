@@ -91,6 +91,7 @@ HEADLINE = [
     "q_diversity_sample",
     "q_substring_dedup",
     "q_substring_clean",
+    "q_substring_keepone",
     "q_minhash_estimate_error",
     "q_paraphrase_candidates",
     "q_key_skew_report",
@@ -124,6 +125,7 @@ HEADLINE = [
     "q_dsir_weights",
     # maintenance lifecycle
     "q_log_compaction",
+    "q_index_compaction",
     # streaming
     "q_stream_hourly_counts",
     "q_stream_join",

@@ -1382,6 +1382,120 @@ def q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span removal, KEEP-ONE variant — the literal Lee et al.
+    2021 §4 ExactSubstr semantics: for every duplicated SPAN_WINDOW-token
+    window, one canonical occurrence survives and every other occurrence
+    is cut.  The canonical occurrence is the (doc_id, pos)-minimal one —
+    a deterministic global tie-break (the paper leaves the choice free;
+    ``q_substring_clean`` documents the remove-all alternative).
+
+    Plan shape: unlike the remove-all variant's aggregate+join pair,
+    occurrence count and canonical rank here come from ONE window pass —
+    ``count(*) over (partition by whash)`` and ``row_number() over
+    (partition by whash order by doc_id, pos)`` share a single whash
+    exchange, so duplicate detection costs one shuffle total.  Ordering
+    is on exact integers (doc_id, pos), so the rank is deterministic
+    across engines and partitionings.  Everything downstream (covered-
+    index explode, collect_set, array_except rebuild) is the
+    q_substring_clean machinery unchanged.
+    """
+    from pyspark.sql import Window
+
+    w = SPAN_WINDOW
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n = F.size("ws")
+    wins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.array_join(F.slice("ws", i + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select(
+        "doc_id", F.posexplode(wins).alias("pos", "win")
+    ).select("doc_id", "pos", hash60(F.col("win")).alias("whash"))
+    by_hash = Window.partitionBy("whash")
+    ranked = occ.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(by_hash).alias("n_occ"),
+        F.row_number()
+        .over(by_hash.orderBy("doc_id", "pos"))
+        .alias("rn"),
+    )
+    cut_pos = ranked.filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
+    covered = (
+        cut_pos.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (w - 1))
+            ).alias("ti"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("ti").alias("cov"))
+    )
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept_idx = F.array_except(F.sequence(F.lit(0), n - 1), cov)
+    clean = F.transform(kept_idx, lambda i: F.element_at("ws", i + 1))
+    return docs.join(covered, "doc_id", "left").select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        (n - F.size(clean)).cast("bigint").alias("removed_tokens"),
+        F.array_join(clean, " ").alias("clean_text"),
+    )
+
+
+def _oracle_substring_keepone() -> str:
+    w = SPAN_WINDOW
+    whash = _hash60_sql(f"array_to_string(ws[pos+1:pos+{w}], ' ')")
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+px AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(len(ws) - {w - 1}, 0))) AS pos
+  FROM d
+),
+hx AS (
+  SELECT doc_id, pos, {whash} AS whash FROM px
+),
+rk AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY whash) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn
+  FROM hx
+),
+cv AS (
+  SELECT doc_id, list(DISTINCT ti) AS cov
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, {w}), k -> pos + k)) AS ti
+    FROM rk WHERE n_occ >= 2 AND rn > 1
+  )
+  GROUP BY doc_id
+),
+fin AS (
+  SELECT d.doc_id, d.ws,
+         list_filter(
+           list_transform(
+             range(0, len(d.ws)),
+             i -> CASE WHEN NOT list_contains(COALESCE(cv.cov, []), i)
+                       THEN d.ws[i+1] END),
+           x -> x IS NOT NULL) AS ck
+  FROM d LEFT JOIN cv USING (doc_id)
+)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       len(ws) - len(ck) AS removed_tokens,
+       COALESCE(array_to_string(ck, ' '), '') AS clean_text
+FROM fin
+"""
+
+
 def _oracle_substring_clean() -> str:
     w = SPAN_WINDOW
     whash = _hash60_sql(f"array_to_string(ws[pos+1:pos+{w}], ' ')")
@@ -1467,6 +1581,7 @@ QUERIES = {
     "q_ensemble_dedup": q_ensemble_dedup,
     "q_substring_dedup": q_substring_dedup,
     "q_substring_clean": q_substring_clean,
+    "q_substring_keepone": q_substring_keepone,
     "q_minhash_estimate_error": q_minhash_estimate_error,
     "q_paraphrase_candidates": q_paraphrase_candidates,
     "q_key_skew_report": q_key_skew_report,
@@ -1487,6 +1602,7 @@ ORACLES = {
     "q_ensemble_dedup": _oracle_ensemble_dedup(),
     "q_substring_dedup": _oracle_substring_dedup(),
     "q_substring_clean": _oracle_substring_clean(),
+    "q_substring_keepone": _oracle_substring_keepone(),
     "q_minhash_estimate_error": _oracle_minhash_estimate_error(),
     "q_paraphrase_candidates": _oracle_paraphrase_candidates(),
     "q_key_skew_report": ORACLE_KEY_SKEW_REPORT,

@@ -308,6 +308,104 @@ def _oracle_index_incremental_dedup() -> str:
     return _oracle_incremental_dedup()
 
 
+INDEX_COMPACT_TARGET_ROWS = 2_000  # rows per index file after compaction
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_rows_per_file: int = INDEX_COMPACT_TARGET_ROWS,
+) -> tuple[int, int]:
+    """Nightly maintenance for the stored dedup index: every append adds
+    a small file set, so after N ingest batches the band/shingle scans
+    pay N× the footer overhead — the same small-files story as the log
+    table, with the same fix.  The band table compacts range-clustered
+    on (band_id, band_key): post-compaction each file covers a tight
+    band-key range, so parquet min/max stats let the serving equi-join
+    skip files wholesale.  The shingle table clusters on doc_id.
+    Returns the two range-partition counts."""
+    bands_dir, sh_dir = _parts(index_dir)
+    from ..sinks import compact_logs
+
+    nb = compact_logs(
+        spark,
+        bands_dir,
+        partition_col=None,
+        cluster_by=("band_id", "band_key"),
+        target_rows_per_file=target_rows_per_file,
+    )
+    ns = compact_logs(
+        spark,
+        sh_dir,
+        partition_col=None,
+        cluster_by=("doc_id",),
+        target_rows_per_file=target_rows_per_file,
+    )
+    return nb, ns
+
+
+def q_index_compaction(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
+    """The stored dedup index's FULL maintenance lifecycle: build from
+    half the corpus, append the other half deliberately fragmented (a
+    16-way repartition stands in for 16 nightly ingest batches), COMPACT
+    both index tables, then serve the ingest batch from the compacted
+    tables.  Verdicts must be byte-identical to ``q_incremental_dedup``
+    (compaction is read-identity — it may only change file layout), so
+    the query carries that full value oracle; the file-count contract
+    (compaction strictly reduced the file census) is asserted in-process
+    and a violation fails the grade.
+
+    This closes the loop the round-6 verdict opened: round 6 graded
+    build→append→serve, round 7 grades the compaction pass a real
+    nightly deployment runs between the two.
+    """
+    import glob as _glob
+
+    from ..plans.session import load_table, spread
+
+    from .dedup import INCREMENTAL_BATCH_MOD
+
+    if index_dir is None:
+        index_dir = os.path.join(_scratch_root(), "dedup_index_compacted")
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    is_new = F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0
+    corpus = docs.filter(~is_new)
+    half = F.col("doc_id") % 2 == 0
+    materialize_dedup_index(corpus.filter(half), index_dir)
+    append_to_dedup_index(corpus.filter(~half).repartition(16), index_dir)
+
+    def _census() -> int:
+        return len(
+            [
+                p
+                for p in _glob.glob(
+                    os.path.join(index_dir, "**", "*.parquet"), recursive=True
+                )
+                if os.path.isfile(p)
+            ]
+        )
+
+    before = _census()
+    compact_dedup_index(spark, index_dir)
+    after = _census()
+    if after >= before:
+        raise AssertionError(
+            f"index compaction did not reduce files: {before} -> {after}"
+        )
+    return dedup_against_index(spark, index_dir, docs.filter(is_new))
+
+
+def _oracle_index_compaction() -> str:
+    # Compaction is read-identity on the stored tables, and the serve
+    # leg is dedup_against_index unchanged — the oracle is therefore
+    # q_incremental_dedup's, exactly as for q_index_incremental_dedup.
+    from .dedup import _oracle_incremental_dedup
+
+    return _oracle_incremental_dedup()
+
+
 INDEX_ANN_QUERY_MOD = 10  # vec_id % 10 == 0 → probe batch (~10%)
 
 
@@ -353,9 +451,11 @@ WHERE vec_id % {INDEX_ANN_QUERY_MOD} = 0
 QUERIES = {
     "q_index_incremental_dedup": q_index_incremental_dedup,
     "q_index_ann": q_index_ann,
+    "q_index_compaction": q_index_compaction,
 }
 
 ORACLES = {
     "q_index_incremental_dedup": _oracle_index_incremental_dedup(),
     "q_index_ann": _oracle_index_ann(),
+    "q_index_compaction": _oracle_index_compaction(),
 }

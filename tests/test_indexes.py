@@ -83,3 +83,16 @@ def test_knn_against_stored_ann_index_matches_ann_join(spark, sf_dir, tmp_path):
     finally:
         release_caches()
     assert got == want and got
+
+
+def test_index_compaction_preserves_verdicts(spark, sf_dir, tmp_path):
+    """Compacting the stored index tables must be read-identity: the
+    serve leg's verdicts equal the in-session recompute, and the file
+    census strictly shrinks (asserted inside q_index_compaction)."""
+    index_dir = str(tmp_path / "compact_index")
+    try:
+        got = _rows(I.q_index_compaction(spark, sf_dir, index_dir))
+        want = _rows(D.q_incremental_dedup(spark, sf_dir))
+    finally:
+        release_caches()
+    assert got == want and got

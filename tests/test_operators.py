@@ -192,6 +192,78 @@ def _substring_clean_edge_docs() -> list[tuple[int, str]]:
     return docs
 
 
+def _substring_keepone_py(docs: list[tuple[int, str]], w: int = D.SPAN_WINDOW):
+    """Pure-Python reference for the q_substring_keepone contract: the
+    (doc_id, pos)-minimal occurrence of each duplicated window survives."""
+    occ_positions: dict[str, list[tuple[int, int]]] = {}
+    wins: dict[int, list[str]] = {}
+    for did, t in sorted(docs):
+        ws = t.split(" ")
+        ww = (
+            [" ".join(ws[i : i + w]) for i in range(len(ws) - w + 1)]
+            if len(ws) >= w
+            else []
+        )
+        wins[did] = ww
+        for i, x in enumerate(ww):
+            occ_positions.setdefault(x, []).append((did, i))
+    out: dict[int, tuple[int, int, str]] = {}
+    for did, t in docs:
+        ws = t.split(" ")
+        cov: set[int] = set()
+        for i, x in enumerate(wins[did]):
+            all_occ = occ_positions[x]
+            if len(all_occ) >= 2 and min(all_occ) != (did, i):
+                cov.update(range(i, i + w))
+        kept = [tok for i, tok in enumerate(ws) if i not in cov]
+        out[did] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def test_substring_keepone_three_way_differential(spark, tmp_path):
+    """Keep-one variant: Spark plan, DuckDB oracle, and the Python
+    reference agree on the same span-boundary edge corpus; the
+    (doc_id, pos)-minimal occurrence survives, every other is cut."""
+    import duckdb
+
+    docs = _substring_clean_edge_docs()
+    ref = _substring_keepone_py(docs)
+    # doc 0 holds the canonical occurrence of the shared window: kept
+    assert ref[0] == (8, 0, docs[0][1])
+    # docs 1/2 hold later occurrences: their copy of the span is cut
+    assert ref[1][1] == 8 and ref[1][2] == "tail1 tail2"
+    assert ref[2][1] == 8 and ref[2][2] == "head1 head2"
+    # doc 5 repeats the span twice, both occurrences non-canonical
+    assert ref[5][1] >= 16
+    # untouched classes unchanged
+    assert ref[6][1] == 0 and ref[7][1] == 0 and ref[8] == (1, 0, "")
+    # keep-one never removes more than remove-all
+    ra = _substring_clean_py(docs)
+    assert all(ref[d][1] <= ra[d][1] for d, _ in docs)
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id int, text string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
+        for r in D.q_substring_keepone(spark, sf_dir).collect()
+    }
+    assert got == ref
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest(?) AS doc_id, "
+        "unnest(?) AS text",
+        [[i for i, _ in docs], [t for _, t in docs]],
+    )
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(D.ORACLES["q_substring_keepone"]).fetchall()
+    }
+    assert duck == ref
+
+
 def test_substring_clean_three_way_differential(spark, tmp_path):
     """Spark plan, DuckDB oracle, and the Python reference agree on the
     span-boundary edge corpus (VERDICT r6 #4: overlapping windows,

@@ -384,6 +384,28 @@ COMMENTARY: dict[str, str] = {
         "cardinality, no broadcast hints, no suffix array, no driver "
         "state. Remove-all contract keeps the transform order-free."
     ),
+    "q_substring_keepone": (
+        "Keep-one ExactSubstr (the literal Lee et al. semantics): "
+        "occurrence count AND canonical rank come from ONE window pass — "
+        "count(*) over (partition by whash) and row_number() over "
+        "(partition by whash order by doc_id, pos) share a single whash "
+        "exchange, so duplicate detection costs one shuffle total (vs "
+        "the remove-all variant's aggregate+join pair). Rank order is "
+        "exact integers, deterministic across engines and "
+        "partitionings; the rebuild is the shared array_except HOF "
+        "after one doc_id equi-join."
+    ),
+    "q_index_compaction": (
+        "Stored-index maintenance pass: fragmented appends (one file "
+        "set per nightly batch) compact via ONE range shuffle per index "
+        "table, clustered on (band_id, band_key) so post-compaction "
+        "parquet min/max stats let the serving equi-join skip files "
+        "wholesale — the 100 TB read path gets faster while the "
+        "verdicts stay byte-identical (read-identity oracle, file-"
+        "census reduction asserted in-process). The serve leg is the "
+        "stored-band equi-join + collision-only Jaccard verify, "
+        "unchanged."
+    ),
     "q_log_compaction": (
         "Maintenance lifecycle graded end-to-end: retention is Hadoop-FS "
         "directory deletion (no data read, no shuffle) and runs FIRST so "

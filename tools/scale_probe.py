@@ -97,6 +97,7 @@ QUERIES = [
     "q_stream_hourly_counts",
     "q_substring_dedup",
     "q_substring_clean",
+    "q_substring_keepone",
     "q_log_compaction",
     "q_semdedup",
     "q_unigram_logprob",
