@@ -1332,6 +1332,13 @@ def q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
       transform takes the conservative remove-all contract and documents
       the keep-one variant as a one-line filter on a (doc_id, pos) rank.
 
+    Output is the DELTA REPORT: only docs with ≥1 span cut (an affected
+    doc always loses ≥ SPAN_WINDOW tokens).  That is the production
+    write shape at 100 TB — the rewrite job touches changed rows only
+    and anti-joins the untouched corpus through unchanged — and it makes
+    the result cardinality depend on the dedup pipeline itself, so a
+    row-count action cannot prune the operator away.
+
     Scale: the position explode is linear in corpus tokens, the duplicate
     test is one hash-aggregate on the 60-bit window hash re-joined on the
     same key (shared partitioning), the covered-index explode is ≤ w× the
@@ -1367,14 +1374,13 @@ def q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("ti").alias("cov"))
     )
-    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
     # array_except is hash-based (O(n + |cov|) per doc, vs O(n·|cov|)
     # for an array_contains filter — matters on long boilerplate-heavy
     # docs), keeps first-array order, and the index sequence is already
     # distinct so the dedup in its contract is a no-op.
-    kept_idx = F.array_except(F.sequence(F.lit(0), n - 1), cov)
+    kept_idx = F.array_except(F.sequence(F.lit(0), n - 1), F.col("cov"))
     clean = F.transform(kept_idx, lambda i: F.element_at("ws", i + 1))
-    return docs.join(covered, "doc_id", "left").select(
+    return docs.join(covered, "doc_id").select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         (n - F.size(clean)).cast("bigint").alias("removed_tokens"),
@@ -1397,7 +1403,8 @@ def q_substring_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, so duplicate detection costs one shuffle total.  Ordering
     is on exact integers (doc_id, pos), so the rank is deterministic
     across engines and partitionings.  Everything downstream (covered-
-    index explode, collect_set, array_except rebuild) is the
+    index explode, collect_set, array_except rebuild, delta-report
+    inner join — affected docs only, see q_substring_clean) is the
     q_substring_clean machinery unchanged.
     """
     from pyspark.sql import Window
@@ -1437,10 +1444,9 @@ def q_substring_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("ti").alias("cov"))
     )
-    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
-    kept_idx = F.array_except(F.sequence(F.lit(0), n - 1), cov)
+    kept_idx = F.array_except(F.sequence(F.lit(0), n - 1), F.col("cov"))
     clean = F.transform(kept_idx, lambda i: F.element_at("ws", i + 1))
-    return docs.join(covered, "doc_id", "left").select(
+    return docs.join(covered, "doc_id").select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         (n - F.size(clean)).cast("bigint").alias("removed_tokens"),
@@ -1483,10 +1489,10 @@ fin AS (
          list_filter(
            list_transform(
              range(0, len(d.ws)),
-             i -> CASE WHEN NOT list_contains(COALESCE(cv.cov, []), i)
+             i -> CASE WHEN NOT list_contains(cv.cov, i)
                        THEN d.ws[i+1] END),
            x -> x IS NOT NULL) AS ck
-  FROM d LEFT JOIN cv USING (doc_id)
+  FROM d JOIN cv USING (doc_id)
 )
 SELECT doc_id,
        len(ws) AS n_tokens,
@@ -1529,10 +1535,10 @@ fin AS (
          list_filter(
            list_transform(
              range(0, len(d.ws)),
-             i -> CASE WHEN NOT list_contains(COALESCE(cv.cov, []), i)
+             i -> CASE WHEN NOT list_contains(cv.cov, i)
                        THEN d.ws[i+1] END),
            x -> x IS NOT NULL) AS ck
-  FROM d LEFT JOIN cv USING (doc_id)
+  FROM d JOIN cv USING (doc_id)
 )
 SELECT doc_id,
        len(ws) AS n_tokens,

