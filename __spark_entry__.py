@@ -158,7 +158,14 @@ _PRIORITY = [
 # exemption expires the moment the next driver grade lands, so the
 # following session cannot ship without rotating these in (value = round
 # the query was added).
-_PENDING_CERTIFICATION: dict[str, int] = {}
+_PENDING_CERTIFICATION: dict[str, int] = {
+    # Round-7 mid-round additions (window already holds the four
+    # round-7 headliners + the stale-record rotation): certified by the
+    # local full-surface gate this round, MUST rotate into _PRIORITY in
+    # round 8.
+    "q_lsh_pair_audit": 7,
+    "q_token_budget_plan": 7,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -93,6 +93,7 @@ HEADLINE = [
     "q_substring_clean",
     "q_substring_keepone",
     "q_minhash_estimate_error",
+    "q_lsh_pair_audit",
     "q_paraphrase_candidates",
     "q_key_skew_report",
     "q_ngram_novelty",
@@ -123,6 +124,7 @@ HEADLINE = [
     "q_training_order",
     "q_ccnet_buckets",
     "q_dsir_weights",
+    "q_token_budget_plan",
     # maintenance lifecycle
     "q_log_compaction",
     "q_index_compaction",

@@ -535,6 +535,70 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 """
 
 
+def q_lsh_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end banding audit: pair-level precision/recall of the
+    MinHash+LSH pipeline (``q_minhash_dedup``) against the exact
+    inverted-index Jaccard baseline (``q_ngram_jaccard``) at the shared
+    threshold — the number a pipeline owner reads before trusting a
+    (bands, rows) configuration at 100 TB (the MMDS S-curve says 4×4
+    bands catch J≥0.6 with ~0.97 probability; this measures it on the
+    actual corpus, end-to-end, not per-signature like
+    ``q_minhash_estimate_error``).
+
+    Recall < 1 counts true near-dup pairs the banding missed (tune bands
+    up); precision < 1 can only come from blocking-scope differences
+    (the exact baseline is lang-blocked, candidates are not) since LSH
+    pairs are already exact-Jaccard-verified.  One FULL OUTER equi-join
+    of two pair lists (both linear in corpus + true near-dups) into a
+    single-row aggregate — the same fusion shape as q_ensemble_dedup.
+    """
+    exact = q_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("e")
+    )
+    lsh = q_minhash_dedup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("l")
+    )
+    fused = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    agg = fused.agg(
+        F.count("e").alias("n_exact"),
+        F.count("l").alias("n_lsh"),
+        F.count(F.when(F.col("e").isNotNull() & F.col("l").isNotNull(), 1)).alias(
+            "n_common"
+        ),
+    )
+    return agg.select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.when(
+            F.col("n_lsh") > 0,
+            F.round(F.col("n_common") / F.col("n_lsh"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(F.col("n_common") / F.col("n_exact"), 6),
+        ).alias("recall"),
+    )
+
+
+def _oracle_lsh_pair_audit() -> str:
+    return f"""
+WITH e AS (SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD}) t),
+l AS (SELECT doc_a, doc_b FROM ({_oracle_minhash()}) t),
+m AS (
+  SELECT (SELECT COUNT(*) FROM e) AS n_exact,
+         (SELECT COUNT(*) FROM l) AS n_lsh,
+         (SELECT COUNT(*) FROM e JOIN l USING (doc_a, doc_b)) AS n_common
+)
+SELECT n_exact, n_lsh, n_common,
+       CASE WHEN n_lsh > 0
+            THEN round(n_common::DOUBLE / n_lsh, 6) END AS precision,
+       CASE WHEN n_exact > 0
+            THEN round(n_common::DOUBLE / n_exact, 6) END AS recall
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints + hamming near-dup pairs.
 # ---------------------------------------------------------------------------
@@ -1589,6 +1653,7 @@ QUERIES = {
     "q_substring_clean": q_substring_clean,
     "q_substring_keepone": q_substring_keepone,
     "q_minhash_estimate_error": q_minhash_estimate_error,
+    "q_lsh_pair_audit": q_lsh_pair_audit,
     "q_paraphrase_candidates": q_paraphrase_candidates,
     "q_key_skew_report": q_key_skew_report,
     "q_ngram_novelty": q_ngram_novelty,
@@ -1610,6 +1675,7 @@ ORACLES = {
     "q_substring_clean": _oracle_substring_clean(),
     "q_substring_keepone": _oracle_substring_keepone(),
     "q_minhash_estimate_error": _oracle_minhash_estimate_error(),
+    "q_lsh_pair_audit": _oracle_lsh_pair_audit(),
     "q_paraphrase_candidates": _oracle_paraphrase_candidates(),
     "q_key_skew_report": ORACLE_KEY_SKEW_REPORT,
     "q_ngram_novelty": ORACLE_NGRAM_NOVELTY,

@@ -701,8 +701,91 @@ SELECT doc_id, n_feats, round(s / (n_feats * 1e6), 6) AS dsir_logratio FROM pd
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget mixture planner — the DoReMi/LLaMA-style data plan: given
+# per-source TARGET weights and a total token budget, derive how many
+# tokens each source contributes, the sampling rate, and the epoch count
+# (rate > 1 → the source is traversed multiple times). This is the step
+# that turns "we want this mixture" into per-source reader configs;
+# q_source_mixture_weights is the uniform-equalization special case.
+#
+# Determinism: the budget is tot_tokens div 2 and planned tokens are
+# (budget × w) div Σw — EXACT integer division in both engines (Spark
+# `div`, DuckDB `//`); rates are one double division rounded 6dp; epochs
+# are a pure-integer ceiling ((planned + n - 1) div n). The per-source
+# weight stands in for a curated weights table and is derived
+# deterministically from the source name (1 + hash60(source) % 5) so the
+# plan works on any source set; production swaps in a real weights dim —
+# the plan shape (two-phase aggregate + single-row broadcast) is
+# unchanged.
+# ---------------------------------------------------------------------------
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "weight", (F.lit(1) + hash60(F.col("source")) % 5).cast("bigint")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum("weight").alias("w_sum"),
+    )
+    planned = F.expr("(tot_tokens div 2) * weight div w_sum")
+    epochs = F.expr(
+        "(((tot_tokens div 2) * weight div w_sum) + n_tokens - 1) div n_tokens"
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("natural_share"),
+        F.round(F.col("weight") / F.col("w_sum"), 6).alias("target_share"),
+        planned.cast("bigint").alias("planned_tokens"),
+        F.round(planned / F.col("n_tokens"), 6).alias("sample_rate"),
+        epochs.cast("bigint").alias("epochs"),
+    )
+
+
+ORACLE_TOKEN_BUDGET_PLAN = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(1 + {{h}} % 5 AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(SUM(weight) AS BIGINT) AS w_sum
+  FROM per
+)
+SELECT source, n_docs, n_tokens, weight,
+       round(n_tokens / tot_tokens, 6) AS natural_share,
+       round(weight / w_sum, 6) AS target_share,
+       CAST((tot_tokens // 2) * weight // w_sum AS BIGINT) AS planned_tokens,
+       round(((tot_tokens // 2) * weight // w_sum) / n_tokens, 6)
+           AS sample_rate,
+       CAST((((tot_tokens // 2) * weight // w_sum) + n_tokens - 1)
+            // n_tokens AS BIGINT) AS epochs
+FROM per CROSS JOIN tot
+"""
+
+
+def _oracle_token_budget_plan() -> str:
+    from .dedup import _hash60_sql
+
+    return ORACLE_TOKEN_BUDGET_PLAN.format(h=_hash60_sql("source"))
+
+
 QUERIES = {
     "q_corpus_clean": q_corpus_clean,
+    "q_token_budget_plan": q_token_budget_plan,
     "q_hash_sample": q_hash_sample,
     "q_mixture_sample": q_mixture_sample,
     "q_sequence_pack": q_sequence_pack,
@@ -716,6 +799,7 @@ QUERIES = {
 
 ORACLES = {
     "q_corpus_clean": _oracle_corpus_clean(),
+    "q_token_budget_plan": _oracle_token_budget_plan(),
     "q_hash_sample": ORACLE_HASH_SAMPLE,
     "q_mixture_sample": _oracle_mixture_sample(),
     "q_sequence_pack": ORACLE_SEQUENCE_PACK,

@@ -389,6 +389,26 @@ COMMENTARY: dict[str, str] = {
         "pipeline itself, so count()-style actions execute the real "
         "plan instead of pruning it to a scan."
     ),
+    "q_lsh_pair_audit": (
+        "Banding audit: both pair pipelines (exact inverted-index "
+        "Jaccard and banded MinHash, each linear in corpus + true "
+        "near-dups) fuse through ONE full-outer equi-join on the pair "
+        "key into a single-row aggregate — the q_ensemble_dedup shape "
+        "with a metrics head. Recall < 1 counts pairs the banding "
+        "missed (the MMDS S-curve tuning signal); precision < 1 here "
+        "can only expose the BASELINE's blocking blindness, since LSH "
+        "pairs are already exact-verified — at sf0.01 it surfaces 19 "
+        "cross-lang J≥0.95 pairs the lang-blocked baseline cannot see."
+    ),
+    "q_token_budget_plan": (
+        "Mixture planner: one two-phase aggregate over the corpus "
+        "(per-source token sums), a deterministic per-source weight, "
+        "and a single-row broadcast cross join; planned tokens are "
+        "EXACT integer arithmetic ((budget × w) div Σw — Spark `div` "
+        "== DuckDB `//`), so the plan is reproducible bit-for-bit "
+        "however the aggregate combines. The corpus is scanned once; "
+        "everything downstream is arithmetic on a 20-row frame."
+    ),
     "q_substring_keepone": (
         "Keep-one ExactSubstr (the literal Lee et al. semantics): "
         "occurrence count AND canonical rank come from ONE window pass — "
