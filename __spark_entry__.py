@@ -165,6 +165,7 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     # round 8.
     "q_lsh_pair_audit": 7,
     "q_token_budget_plan": 7,
+    "q_incremental_rollup": 7,
 }
 
 

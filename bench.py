@@ -128,6 +128,7 @@ HEADLINE = [
     # maintenance lifecycle
     "q_log_compaction",
     "q_index_compaction",
+    "q_incremental_rollup",
     # streaming
     "q_stream_hourly_counts",
     "q_stream_join",

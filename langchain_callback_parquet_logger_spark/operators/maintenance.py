@@ -137,5 +137,137 @@ FROM ret GROUP BY 1
 """
 
 
-QUERIES = {"q_log_compaction": q_log_compaction}
-ORACLES = {"q_log_compaction": _oracle_log_compaction()}
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance — the rollup-refresh pattern
+# every warehouse runs nightly: a stored per-(user, date) aggregate table
+# is brought up to date by merging a new event batch's PARTIAL aggregates
+# with the stored rows of the touched partitions only, then writing back
+# via dynamic partition overwrite.  The base event history is NEVER
+# rescanned — at 100 TB that is the difference between a refresh costing
+# |delta| + |touched partitions| and a full recompute costing |history|.
+#
+# Mergeability contract: only decomposable aggregates participate
+# (count/sum/min/max — each merges by re-aggregating partials); avg
+# derives from (sum, count) at read time, and distinct counts would need
+# a mergeable sketch (the HLL/KMV operators in analytic.py).
+# ---------------------------------------------------------------------------
+
+DELTA_BATCH_MOD = 10  # event_id % 10 == 0 → the new ingest batch
+
+
+def q_incremental_rollup(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Incremental MV refresh graded end-to-end: build the stored rollup
+    from the base history (event_id % 10 != 0), partial-aggregate the
+    delta batch, merge it with ONLY the stored partitions the delta
+    touches, write back with dynamic partition overwrite (untouched
+    date partitions keep their files byte-for-byte), and read the full
+    view back.  Oracle is read-identity with the full recompute over
+    ALL events — the merge path must be indistinguishable from the
+    from-scratch rollup.
+
+    The in-process contract checks that the refresh really was
+    incremental: files of untouched partitions are the same paths
+    before and after the merge write (dynamic overwrite replaced only
+    touched dates)."""
+    if work_dir is None:
+        work_dir = os.path.join(_scratch_root(), "rollup_mv")
+    path = os.path.join(work_dir, "user_daily")
+
+    events = load_table(spark, sf_dir, "events")
+    vq = F.round(F.col("value") * 1e6).cast("bigint")  # fixed-point 1e-6
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "user_id", F.to_date("ts").alias("log_date")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(vq).alias("sum_vq"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+
+    is_delta = F.col("event_id") % DELTA_BATCH_MOD == 0
+    partial(events.filter(~is_delta)).write.mode("overwrite").partitionBy(
+        "log_date"
+    ).parquet(path)
+
+    delta = partial(events.filter(is_delta))
+    stored = spark.read.parquet(path)
+    touched = delta.select("log_date").distinct()
+    # merge = re-aggregate the union of stored partials (touched dates
+    # only — partition-pruned scan via the join on the partition column)
+    # with the delta partials; decomposable aggs make this exact.
+    merged = (
+        stored.join(touched, "log_date")
+        .unionByName(delta)
+        .groupBy("user_id", "log_date")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_vq").alias("sum_vq"),
+            F.min("min_ts").alias("min_ts"),
+            F.max("max_ts").alias("max_ts"),
+        )
+    )
+    touched_dates = {
+        f"log_date={r.log_date.isoformat()}" for r in touched.collect()
+    }
+    before = {
+        p
+        for p in _parquet_files(path)
+        if _partition_of(p, path) not in touched_dates
+    }
+    from ..plans.session import scoped_conf
+
+    with scoped_conf(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        merged.write.mode("overwrite").partitionBy("log_date").parquet(path)
+    after = {
+        p
+        for p in _parquet_files(path)
+        if _partition_of(p, path) not in touched_dates
+    }
+    if before != after:
+        raise AssertionError(
+            "dynamic partition overwrite touched unaffected partitions: "
+            f"{len(before)} files before vs {len(after)} after"
+        )
+
+    view = spark.read.parquet(path)
+    return view.select(
+        "user_id",
+        "log_date",
+        "n_events",
+        F.round(F.col("sum_vq") / 1e6, 2).alias("sum_value"),
+        "min_ts",
+        "max_ts",
+    )
+
+
+def _partition_of(file_path: str, root: str) -> str:
+    rel = os.path.relpath(file_path, root)
+    return rel.split(os.sep, 1)[0]
+
+
+def _oracle_incremental_rollup() -> str:
+    return """
+SELECT user_id,
+       CAST(ts AS DATE) AS log_date,
+       COUNT(*) AS n_events,
+       round(SUM(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 2) AS sum_value,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q_log_compaction": q_log_compaction,
+    "q_incremental_rollup": q_incremental_rollup,
+}
+ORACLES = {
+    "q_log_compaction": _oracle_log_compaction(),
+    "q_incremental_rollup": _oracle_incremental_rollup(),
+}

@@ -185,3 +185,35 @@ def test_q_log_compaction_read_identity_and_file_contract(spark, sf_dir, tmp_pat
             r.max_ts,
         ) == (e.n_events, e.n_users, e.sum_value, e.min_ts, e.max_ts), d
         assert r.expected_files == want_files
+
+
+def test_q_incremental_rollup_equals_full_recompute(spark, sf_dir, tmp_path):
+    """The merge path (stored partials of touched dates + delta partials,
+    dynamic partition overwrite) must be indistinguishable from the
+    from-scratch rollup over all events; the delta must be non-trivial."""
+    from langchain_callback_parquet_logger_spark.operators import (
+        maintenance as MN,
+    )
+
+    got = {
+        (r.user_id, r.log_date): (r.n_events, r.sum_value, r.min_ts, r.max_ts)
+        for r in MN.q_incremental_rollup(spark, sf_dir, str(tmp_path)).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    n_delta = events.filter(
+        F.col("event_id") % MN.DELTA_BATCH_MOD == 0
+    ).count()
+    assert n_delta > 0
+    vq = F.round(F.col("value") * 1e6).cast("bigint")
+    ref = {
+        (r.user_id, r.log_date): (r.n_events, r.sum_value, r.min_ts, r.max_ts)
+        for r in events.groupBy("user_id", F.to_date("ts").alias("log_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(vq) / 1e6, 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .collect()
+    }
+    assert got == ref

@@ -389,6 +389,18 @@ COMMENTARY: dict[str, str] = {
         "pipeline itself, so count()-style actions execute the real "
         "plan instead of pruning it to a scan."
     ),
+    "q_incremental_rollup": (
+        "Incremental MV refresh: the stored per-(user, date) rollup "
+        "merges with the delta batch's PARTIAL aggregates over touched "
+        "partitions only (decomposable aggs — count/sum/min/max — make "
+        "re-aggregation of partials exact; sums are 1e-6 fixed-point "
+        "BIGINTs so combine order cannot move them), then dynamic "
+        "partition overwrite replaces ONLY the touched date dirs — "
+        "untouched partitions are byte-identical, asserted in-process. "
+        "Refresh cost is |delta| + |touched partitions|; the event "
+        "history is never rescanned. Oracle: read-identity with the "
+        "full recompute."
+    ),
     "q_lsh_pair_audit": (
         "Banding audit: both pair pipelines (exact inverted-index "
         "Jaccard and banded MinHash, each linear in corpus + true "

@@ -99,6 +99,9 @@ QUERIES = [
     "q_substring_clean",
     "q_substring_keepone",
     "q_log_compaction",
+    "q_incremental_rollup",
+    "q_lsh_pair_audit",
+    "q_index_compaction",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
