@@ -166,6 +166,7 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     "q_lsh_pair_audit": 7,
     "q_token_budget_plan": 7,
     "q_incremental_rollup": 7,
+    "q_zorder_layout": 7,
 }
 
 

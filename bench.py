@@ -129,6 +129,7 @@ HEADLINE = [
     "q_log_compaction",
     "q_index_compaction",
     "q_incremental_rollup",
+    "q_zorder_layout",
     # streaming
     "q_stream_hourly_counts",
     "q_stream_join",

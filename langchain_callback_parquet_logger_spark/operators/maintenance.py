@@ -263,11 +263,146 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — the multi-dimensional file-skipping
+# layout: linear (date, timestamp) clustering gives tight per-file ranges
+# on TIME only, so a point query on user_id still touches every file.
+# Interleaving the bits of a user bucket and a time bucket makes each
+# file cover a small rectangle in (user, time) space — parquet min/max
+# stats then skip files for predicates on EITHER dimension.  This is
+# Delta's OPTIMIZE ZORDER BY / Iceberg's sort-order rewrite, expressed as
+# a plain integer projection + ONE range shuffle (the Morton key is just
+# a column; repartitionByRange on it is the whole operator).
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # 8 bits per dimension → 16-bit Morton key
+
+
+def zorder_key(a, b, bits: int = ZORDER_BITS):
+    """Morton-interleave the low `bits` of two non-negative int columns:
+    bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Pure
+    integer shift/mask expression — whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(a.bitwiseAND(F.lit(1 << i)), i))
+        z = z.bitwiseOR(F.shiftleft(b.bitwiseAND(F.lit(1 << i)), i + 1))
+    return z
+
+
+def q_zorder_layout(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Z-order layout graded end-to-end: write the event log twice — the
+    linear (date, timestamp) clustering `compact_logs` produces, and a
+    Morton-ordered layout on (user bucket ⊗ hour bucket) — then PROVE
+    the skipping advantage from the parquet footers: averaged over a
+    fixed probe set of user ids, the z-ordered tree must admit strictly
+    fewer candidate files (min ≤ id ≤ max) than the linear tree, which
+    cannot narrow user ranges at all.  The contract is asserted
+    in-process (footer metadata is invisible to SQL); the graded values
+    are the read-identity per-user rollup from the z-ordered tree — the
+    rewrite may only change layout, never content.
+
+    Scale: the Morton key is a 16-term shift/mask projection fused into
+    the scan, and the layout write is ONE range shuffle on that key —
+    identical cost shape to linear compaction; nothing here grows
+    faster than the data."""
+    import pyarrow.parquet as pq
+
+    if work_dir is None:
+        work_dir = os.path.join(_scratch_root(), "zorder")
+    linear_dir = os.path.join(work_dir, "linear")
+    zorder_dir = os.path.join(work_dir, "zorder")
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    total = events.count()
+    n_files = max(8, -(-total // COMPACT_TARGET_ROWS))
+
+    linear = events.repartitionByRange(
+        n_files, F.to_date("ts"), F.col("ts")
+    ).sortWithinPartitions(F.to_date("ts"), "ts")
+    linear.write.mode("overwrite").parquet(linear_dir)
+
+    # Both dimensions must be ORDER-PRESERVING range-normalized to the
+    # same bit width before interleaving — a raw modulo would (a) let
+    # the wider-magnitude dimension dominate the Morton key's high bits
+    # (the interleave then degenerates to a linear sort on that
+    # dimension) and (b) destroy the min/max usefulness of the stats a
+    # skipping scan actually reads. floor(v * 2^bits / (max+1)) keeps
+    # order and spreads every dimension across the full bit budget.
+    side = 1 << ZORDER_BITS
+    tot = events.agg(F.max("user_id").alias("umax"))
+    hour_idx = (F.dayofmonth("ts") - 1) * 24 + F.hour("ts")  # 0..743
+    zed = events.crossJoin(F.broadcast(tot)).withColumn(
+        "z",
+        zorder_key(
+            F.floor(F.col("user_id") * side / (F.col("umax") + 1)),
+            F.floor(hour_idx * side / F.lit(744)),
+        ),
+    )
+    zed = zed.repartitionByRange(n_files, "z").sortWithinPartitions("z")
+    zed.drop("z", "umax").write.mode("overwrite").parquet(zorder_dir)
+
+    def candidate_files(root: str, probes: list[int]) -> float:
+        ranges = []
+        for f in _parquet_files(root):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index("user_id")
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            ranges.append((lo, hi))
+        return sum(
+            sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes
+        ) / len(probes)
+
+    # probe ids span the ACTUAL user range (the fixture corpus scales
+    # user cardinality with SF, so fixed ids would miss entirely)
+    umax = events.agg(F.max("user_id")).collect()[0][0]
+    probes = sorted({0, umax // 4, umax // 2, (3 * umax) // 4, umax})
+    lin_avg = candidate_files(linear_dir, probes)
+    z_avg = candidate_files(zorder_dir, probes)
+    if not z_avg < lin_avg:
+        raise AssertionError(
+            f"z-order layout does not skip better than linear: "
+            f"{z_avg:.1f} vs {lin_avg:.1f} candidate files per user probe"
+        )
+
+    vq = F.round(F.col("value") * 1e6).cast("bigint")
+    return (
+        spark.read.parquet(zorder_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(vq) / 1e6, 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+def _oracle_zorder_layout() -> str:
+    return """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       round(SUM(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 2) AS sum_value,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_log_compaction": q_log_compaction,
     "q_incremental_rollup": q_incremental_rollup,
+    "q_zorder_layout": q_zorder_layout,
 }
 ORACLES = {
     "q_log_compaction": _oracle_log_compaction(),
     "q_incremental_rollup": _oracle_incremental_rollup(),
+    "q_zorder_layout": _oracle_zorder_layout(),
 }

@@ -389,6 +389,19 @@ COMMENTARY: dict[str, str] = {
         "pipeline itself, so count()-style actions execute the real "
         "plan instead of pruning it to a scan."
     ),
+    "q_zorder_layout": (
+        "Multi-dimensional clustering: both dimensions range-normalize "
+        "ORDER-PRESERVINGLY to the same bit width (a raw modulo lets "
+        "the wider dimension dominate the Morton key AND destroys the "
+        "min/max stats a skipping scan reads — caught live when the "
+        "first cut tied the linear layout), then a 16-term shift/mask "
+        "interleave runs as a codegen'd projection and ONE range "
+        "shuffle lays the files out. The skipping win is proven from "
+        "parquet footers in-process: strictly fewer candidate files "
+        "per user probe than the (date, ts)-linear layout, which "
+        "cannot narrow user ranges at all. Content is oracle-verified "
+        "read-identical."
+    ),
     "q_incremental_rollup": (
         "Incremental MV refresh: the stored per-(user, date) rollup "
         "merges with the delta batch's PARTIAL aggregates over touched "

@@ -102,6 +102,7 @@ QUERIES = [
     "q_incremental_rollup",
     "q_lsh_pair_audit",
     "q_index_compaction",
+    "q_zorder_layout",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
