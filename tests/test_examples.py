@@ -18,6 +18,7 @@ EXAMPLES = [
     "tokenizer_design_example.py",
     "quality_features_example.py",
     "index_lifecycle_example.py",
+    "maintenance_lifecycle_example.py",
 ]
 
 
