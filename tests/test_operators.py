@@ -1687,3 +1687,24 @@ def test_stream_sessionize_matches_batch(spark, sf_dir):
         for r in q_stream_sessionize(spark, sf_dir).collect()
     }
     assert batch == stream
+
+
+def test_lsh_pair_audit_consistency(spark, sf_dir):
+    """The audit's counts must be mutually consistent and match the two
+    source pair frames it fuses."""
+    row = D.q_lsh_pair_audit(spark, sf_dir).collect()[0]
+    try:
+        n_exact = D.q_ngram_jaccard(spark, sf_dir).count()
+        n_lsh = D.q_minhash_dedup(spark, sf_dir).count()
+    finally:
+        from langchain_callback_parquet_logger_spark.plans.session import (
+            release_caches,
+        )
+
+        release_caches()
+    assert (row.n_exact, row.n_lsh) == (n_exact, n_lsh)
+    assert 0 <= row.n_common <= min(n_exact, n_lsh)
+    if n_lsh:
+        assert row.precision == round(row.n_common / n_lsh, 6)
+    if n_exact:
+        assert row.recall == round(row.n_common / n_exact, 6)

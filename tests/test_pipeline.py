@@ -252,3 +252,45 @@ def test_mixture_sample_rates_and_membership(spark, sf_dir):
 
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_integer_div_parity_spark_duckdb_python():
+    """q_token_budget_plan's planned-token arithmetic relies on Spark
+    `div` == DuckDB `//` == Python `//` for non-negative BIGINTs —
+    pin it on a seeded grid including budget-boundary edges."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(21)
+    cases = [(0, 1, 1), (1, 1, 1), (5, 3, 2), (10**12, 7, 210)] + [
+        (rng.randrange(0, 10**12), rng.randrange(1, 10**4), rng.randrange(1, 500))
+        for _ in range(200)
+    ]
+    con = duckdb.connect()
+    for tot, w, wsum in cases:
+        ref = (tot // 2) * w // wsum
+        duck = con.execute(
+            "SELECT (?::BIGINT // 2) * ?::BIGINT // ?::BIGINT", [tot, w, wsum]
+        ).fetchone()[0]
+        assert duck == ref, (tot, w, wsum, duck, ref)
+
+
+def test_token_budget_plan_invariants(spark, sf_dir):
+    """Planner outputs: planned tokens never exceed the budget in total
+    (floor division under-allocates only), rates are positive, epochs =
+    ceil(rate), and target shares sum to ~1."""
+    from langchain_callback_parquet_logger_spark.operators import (
+        pipeline as P,
+    )
+
+    rows = P.q_token_budget_plan(spark, sf_dir).collect()
+    assert rows
+    tot_tokens = sum(r.n_tokens for r in rows)
+    budget = tot_tokens // 2
+    assert sum(r.planned_tokens for r in rows) <= budget
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.planned_tokens >= 0 and r.sample_rate >= 0
+        want_epochs = -(-r.planned_tokens // r.n_tokens)
+        assert r.epochs == want_epochs, (r.source, r.epochs, want_epochs)
