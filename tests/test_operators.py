@@ -268,6 +268,47 @@ def test_substring_keepone_three_way_differential(spark, tmp_path):
     assert duck == delta
 
 
+def test_substring_removal_duckdb_property_matches_python():
+    """Property-based differential (hypothesis, no JVM): on arbitrary
+    tiny-vocab corpora — where 8-token windows collide constantly and
+    shrinking finds minimal counterexamples — both removal oracles must
+    reproduce their Python references exactly."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["a", "b", "c", ""])
+    doc = st.lists(token, min_size=0, max_size=18).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=8).map(
+        lambda ds: list(enumerate(ds))
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(corpus)
+    def check(docs):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT unnest(?) AS doc_id, "
+            "unnest(?) AS text",
+            [[i for i, _ in docs], [t for _, t in docs]],
+        )
+        for oracle, ref_fn in (
+            ("q_substring_clean", _substring_clean_py),
+            ("q_substring_keepone", _substring_keepone_py),
+        ):
+            ref = {
+                k: v for k, v in ref_fn(docs).items() if v[1] > 0
+            }
+            duck = {
+                r[0]: (r[1], r[2], r[3])
+                for r in con.execute(D.ORACLES[oracle]).fetchall()
+            }
+            assert duck == ref, (oracle, docs, duck, ref)
+        con.close()
+
+    check()
+
+
 def test_substring_clean_three_way_differential(spark, tmp_path):
     """Spark plan, DuckDB oracle, and the Python reference agree on the
     span-boundary edge corpus (VERDICT r6 #4: overlapping windows,
