@@ -210,6 +210,11 @@ def q_incremental_rollup(
             F.max("max_ts").alias("max_ts"),
         )
     )
+    # Bounded coordinator-side fetch (≤ one row per calendar date, never
+    # corpus-cardinality): maintenance jobs legitimately collect their
+    # PARTITION LIST — this is the same driver-side coordination a table
+    # format's OPTIMIZE/commit service performs; the data path itself
+    # stays fully distributed.
     touched_dates = {
         f"log_date={r.log_date.isoformat()}" for r in touched.collect()
     }
@@ -362,6 +367,10 @@ def q_zorder_layout(
 
     # probe ids span the ACTUAL user range (the fixture corpus scales
     # user cardinality with SF, so fixed ids would miss entirely)
+    # Single-scalar coordinator fetch (one aggregate row) — feeds the
+    # driver-side footer audit below, which is per-FILE metadata work a
+    # layout service does off the data path; the z-key normalization in
+    # the plan gets the same max via the broadcast `tot` row, not this.
     umax = events.agg(F.max("user_id")).collect()[0][0]
     probes = sorted({0, umax // 4, umax // 2, (3 * umax) // 4, umax})
     lin_avg = candidate_files(linear_dir, probes)
