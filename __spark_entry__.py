@@ -169,6 +169,7 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     "q_zorder_layout": 7,
     "q_format_roundtrip": 7,
     "q_ann_recall_audit": 7,
+    "q_dup_centrality": 7,
 }
 
 

@@ -86,6 +86,7 @@ HEADLINE = [
     "q_simhash_pairs",
     "q_decontaminate",
     "q_dedup_clusters",
+    "q_dup_centrality",
     "q_incremental_dedup",
     "q_index_incremental_dedup",
     "q_ensemble_dedup",

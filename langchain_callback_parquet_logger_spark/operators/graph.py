@@ -122,10 +122,128 @@ FROM comp GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# Integer PageRank over the near-dup graph — centrality-based canonical
+# selection. q_dedup_clusters picks the MIN doc_id as canonical (cheap,
+# arbitrary); real curation pipelines prefer the most CENTRAL member of a
+# duplicate cluster (the version most others are copies of). PageRank on
+# the symmetric near-dup pair graph measures exactly that.
+#
+# Determinism contract: the whole iteration is INTEGER arithmetic —
+# ranks live at a fixed scale of 1e9, per-edge contribution is
+# rank div degree (exact floor division), damping 0.85 is the exact
+# rational 17/20 applied as (17 * s) div 20, and the teleport term is
+# (3 * scale) div 20 — so five iterations produce bit-identical BIGINTs
+# in Spark, DuckDB (five unrolled CTEs), and Python, with no float in
+# sight until the final display rounding. Fixed iteration count (not
+# convergence-probed) keeps the oracle expressible as a static SQL text.
+#
+# Scale: each iteration is one equi-join of the edge list with the rank
+# frame plus a hash aggregate on the destination key — the GraphX/Pregel
+# message-passing shape; edges and degrees are computed once and cached.
+# Five iterations ≈ diameter×2 for clique-ish dup clusters.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 5
+PAGERANK_SCALE = 1_000_000_000
+_DAMP_NUM, _DAMP_DEN = 17, 20  # 0.85 as an exact rational
+_TELEPORT = (PAGERANK_SCALE * (_DAMP_DEN - _DAMP_NUM)) // _DAMP_DEN
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """(src, dst) undirected edge list → (node, degree, rank_q) after
+    `iters` integer PageRank steps at the 1e9 fixed-point scale. The
+    symmetric graph has no dangling nodes (every node has in-degree
+    ≥ 1), so no dangling-mass correction is needed."""
+    from ..plans.session import cache_tracked
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = cache_tracked(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    )
+    deg = cache_tracked(sym.groupBy("u").agg(F.count("*").alias("deg")))
+    ranks = deg.select(
+        "u", F.lit(PAGERANK_SCALE).cast("bigint").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            sym.join(ranks, "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("node"), F.expr("r div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("node").alias("u"),
+            (
+                F.lit(_TELEPORT)
+                + F.expr(f"({_DAMP_NUM} * s) div {_DAMP_DEN}")
+            ).cast("bigint").alias("r"),
+        )
+    return deg.join(ranks, "u").select(
+        F.col("u").alias("node"), "deg", F.col("r").alias("rank_q")
+    )
+
+
+def q_dup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality of every document in the near-dup graph: doc_id,
+    degree, and the 6-dp display rank after PAGERANK_ITERS integer
+    PageRank steps over the MinHash+LSH pair graph."""
+    pairs = q_minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    pr = pagerank_integer(pairs, src="doc_a", dst="doc_b")
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.round(F.col("rank_q") / F.lit(float(PAGERANK_SCALE)), 6).alias(
+            "centrality"
+        ),
+    )
+
+
+def _oracle_dup_centrality() -> str:
+    steps = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT e.v AS u,
+         CAST({_TELEPORT} + ({_DAMP_NUM} * SUM(r{i - 1}.r // deg.deg))
+              // {_DAMP_DEN} AS BIGINT) AS r
+  FROM edges e
+  JOIN r{i - 1} ON r{i - 1}.u = e.u
+  JOIN deg ON deg.u = e.u
+  GROUP BY e.v
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  {_oracle_minhash()}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+r0 AS (SELECT u, CAST({PAGERANK_SCALE} AS BIGINT) AS r FROM deg),
+{chain}
+SELECT d.u AS doc_id, d.deg AS degree,
+       round(r{PAGERANK_ITERS}.r / {float(PAGERANK_SCALE)!r}, 6) AS centrality
+FROM r{PAGERANK_ITERS} JOIN deg d USING (u)
+"""
+
+
 QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dup_centrality": q_dup_centrality,
 }
 
 ORACLES = {
     "q_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "q_dup_centrality": _oracle_dup_centrality(),
 }

@@ -41,3 +41,39 @@ def test_dedup_clusters_sizes(spark, sf_dir):
     # the canonical id is not shared between clusters
     assert all(r.cluster_size >= 2 for r in rows)
     assert len({r.canonical_doc_id for r in rows}) == len(rows)
+
+
+def test_pagerank_integer_star_graph_ranks_hub_highest(spark):
+    """On a star (0 joined to 1..5), the hub must out-rank every leaf,
+    all leaves tie exactly (integer arithmetic — no float jitter), and
+    the Spark result matches a pure-Python reference bit-for-bit."""
+    from langchain_callback_parquet_logger_spark.operators import graph as G
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+    )
+
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    try:
+        got = {
+            r.node: (r.deg, r.rank_q)
+            for r in G.pagerank_integer(df).collect()
+        }
+    finally:
+        release_caches()
+
+    # pure-Python twin of the integer contract
+    sym = set(edges) | {(b, a) for a, b in edges}
+    deg: dict[int, int] = {}
+    for u, _ in sym:
+        deg[u] = deg.get(u, 0) + 1
+    r = {u: G.PAGERANK_SCALE for u in deg}
+    for _ in range(G.PAGERANK_ITERS):
+        s: dict[int, int] = {u: 0 for u in deg}
+        for u, v in sym:
+            s[v] += r[u] // deg[u]
+        r = {u: G._TELEPORT + (G._DAMP_NUM * s[u]) // G._DAMP_DEN for u in deg}
+    assert got == {u: (deg[u], r[u]) for u in deg}
+    hub = got[0][1]
+    leaves = {got[i][1] for i in range(1, 6)}
+    assert len(leaves) == 1 and hub > leaves.pop()

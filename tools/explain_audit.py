@@ -389,6 +389,17 @@ COMMENTARY: dict[str, str] = {
         "pipeline itself, so count()-style actions execute the real "
         "plan instead of pruning it to a scan."
     ),
+    "q_dup_centrality": (
+        "Iterative graph algorithm with a FULL value oracle: integer "
+        "PageRank (1e9 fixed scale, rank div degree contributions, "
+        "damping as the exact rational 17/20) runs five Pregel-shaped "
+        "iterations — each ONE edge-to-rank equi-join plus a hash "
+        "aggregate on the destination key, edges and degrees cached "
+        "once. No float enters the fixpoint, so Spark, five unrolled "
+        "DuckDB CTEs, and the Python test twin agree bit-for-bit. "
+        "Production use: pick a duplicate cluster's canonical doc by "
+        "centrality instead of min-id."
+    ),
     "q_ann_recall_audit": (
         "Offline ANN tuning job: the exact leg is |probes| x corpus "
         "(linear for a fixed sample fraction — the documented audit "

@@ -105,6 +105,7 @@ QUERIES = [
     "q_zorder_layout",
     "q_format_roundtrip",
     "q_ann_recall_audit",
+    "q_dup_centrality",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
