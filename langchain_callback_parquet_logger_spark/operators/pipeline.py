@@ -732,6 +732,11 @@ def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = per.withColumn(
         "weight", (F.lit(1) + hash60(F.col("source")) % 5).cast("bigint")
     )
+    # `per` (≤ #sources rows) feeds BOTH the output and the totals row;
+    # without the cache the totals branch re-runs the whole corpus
+    # aggregate — a second full text scan at 100 TB for a planner that
+    # needs one (caught by tests/test_plans.py's single-scan pin).
+    per = cache_tracked(per)
     tot = per.agg(
         F.sum("n_tokens").alias("tot_tokens"),
         F.sum("weight").alias("w_sum"),

@@ -533,3 +533,64 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         joined = skewed.join(uniform, "k")
         plan = _executed_plan(joined)
     assert "skew=true" in plan, plan
+
+
+def test_dup_centrality_iterations_are_equi_joins_no_python(spark, sf_dir):
+    """Five integer-PageRank iterations must plan as equi-joins + hash
+    aggregates — no cartesian stage, no Python eval, no float in the
+    fixpoint (the only cast to double is the final display column)."""
+    from langchain_callback_parquet_logger_spark.operators import graph as G
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+    )
+
+    try:
+        plan = _initial_plan(G.q_dup_centrality(spark, sf_dir))
+    finally:
+        release_caches()
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_token_budget_plan_single_scan_bounded_broadcast(spark, sf_dir):
+    """The planner is one corpus aggregate + arithmetic on the tiny
+    per-source frame with a single-row broadcast — no Python, no second
+    corpus scan."""
+    from langchain_callback_parquet_logger_spark.operators import pipeline as P
+
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+    )
+
+    try:
+        plan = _initial_plan(P.q_token_budget_plan(spark, sf_dir))
+    finally:
+        release_caches()
+    # both the output branch and the totals row must read the CACHED
+    # per-source frame — the corpus text is scanned once, not per branch
+    # (the FileScan text below the InMemoryRelations is the cached
+    # relation's build plan, rendered once per consumer)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_ann_recall_audit_probe_side_carries_no_hint(spark, sf_dir):
+    """The exact audit leg joins a corpus-proportional probe sample
+    against the corpus — neither side may carry a hard broadcast hint
+    (AQE decides); the banded leg stays the q_ann_join plan."""
+    from langchain_callback_parquet_logger_spark.operators import similarity as S
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+    )
+
+    try:
+        df = S.q_ann_recall_audit(spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        plan = _initial_plan(df)
+    finally:
+        release_caches()
+    assert "EvalPython" not in plan, plan
+    # only _banded_emb's internal bounded hints may exist; the probe
+    # sample frame itself must not be hinted
+    assert "probe_id" in plan, plan
