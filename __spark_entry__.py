@@ -170,6 +170,10 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     "q_format_roundtrip": 7,
     "q_ann_recall_audit": 7,
     "q_dup_centrality": 7,
+    "q_winnow_matches": 7,
+    "q_scd2_dimension": 7,
+    "q_bitmap_distinct": 7,
+    "q_tokenizer_fertility": 7,
 }
 
 

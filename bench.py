@@ -60,10 +60,12 @@ HEADLINE = [
     "q_topk",
     # analytic / SQL surface
     "q_sessionize",
+    "q_scd2_dimension",
     "q_sql_moving_avg",
     "q_funnel",
     "q_user_value_median",
     "q_kmv_users",
+    "q_bitmap_distinct",
     "q_cms_heavy_hitters",
     # text analysis
     "q_lang_id",
@@ -79,6 +81,7 @@ HEADLINE = [
     "q_filter_funnel",
     "q_vocab_coverage",
     "q_doc_keywords",
+    "q_tokenizer_fertility",
     # deduplication
     "q_exact_dedup",
     "q_url_dedup",
@@ -87,6 +90,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_dedup_clusters",
     "q_dup_centrality",
+    "q_winnow_matches",
     "q_incremental_dedup",
     "q_index_incremental_dedup",
     "q_ensemble_dedup",

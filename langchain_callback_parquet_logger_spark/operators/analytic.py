@@ -685,6 +685,93 @@ FROM per_run GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Bitmap-index distinct counting — the Druid/ClickHouse groupBitmap
+# technique: pack each group's user-id SET into fixed-width bit words
+# (word w holds users [32w, 32w+32)), OR the words per group, and read
+# the EXACT distinct count off popcounts. Unlike the sketch family
+# (q_hll_users/q_kmv_users) this is exact AND mergeable: daily word
+# tables OR together into weekly/monthly rollups without rescanning raw
+# events — the classic pre-aggregated distinct-count serving layer.
+#
+# Scale design: two stacked hash aggregates, both map-side combinable —
+# (event_type, day, bucket)→bit_or is the only corpus-cardinality
+# shuffle and its output is bounded by |users|/32 words per group; the
+# popcount rollup is sublinear. The calibration join against the exact
+# COUNT(DISTINCT) runs on the same (event_type, day) key (exchange
+# reuse); at production scale the calibration leg is dropped and ONLY
+# the word table persists. 32-bit words inside BIGINTs keep every value
+# positive, so Java and DuckDB shift/popcount semantics agree exactly.
+# Reference has no aggregation surface at all (SURVEY §2.4); this is
+# north-star surface for the serving layer.
+# ---------------------------------------------------------------------------
+
+BITMAP_WORD_BITS = 32
+
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per (event_type, day) via a 32-bit bitmap
+    word table, with the bitmap count calibrated against the exact
+    distinct aggregate (equal by construction — the proof the bitmap
+    layer can replace the raw scan)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "user_id",
+        F.expr(f"user_id div {BITMAP_WORD_BITS}").alias("bucket"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BITMAP_WORD_BITS} AS INT))"
+        ).alias("bit"),
+    )
+    words = ev.groupBy("event_type", "day", "bucket").agg(
+        F.bit_or("bit").alias("word")
+    )
+    bitmap = words.groupBy("event_type", "day").agg(
+        F.sum(F.bit_count("word")).alias("n_users_bitmap"),
+        F.count("*").alias("n_words"),
+    )
+    exact = ev.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return bitmap.join(exact, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "n_users_bitmap",
+        "n_users_exact",
+        "n_words",
+        (F.col("n_users_bitmap") == F.col("n_users_exact")).alias("calibrated"),
+    )
+
+
+ORACLE_BITMAP_DISTINCT = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+         user_id // {BITMAP_WORD_BITS} AS bucket,
+         (1::BIGINT << (user_id % {BITMAP_WORD_BITS})::INT) AS bit
+  FROM events
+),
+words AS (
+  SELECT event_type, day, bucket, bit_or(bit) AS word
+  FROM ev GROUP BY 1, 2, 3
+),
+bitmap AS (
+  SELECT event_type, day,
+         CAST(SUM(bit_count(word)) AS BIGINT) AS n_users_bitmap,
+         COUNT(*) AS n_words
+  FROM words GROUP BY 1, 2
+),
+exact AS (
+  SELECT event_type, day, COUNT(DISTINCT user_id) AS n_users_exact
+  FROM ev GROUP BY 1, 2
+)
+SELECT b.event_type, b.day, b.n_users_bitmap, e.n_users_exact, b.n_words,
+       b.n_users_bitmap = e.n_users_exact AS calibrated
+FROM bitmap b JOIN exact e
+  ON b.event_type = e.event_type AND b.day = e.day
+"""
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_event_pivot": q_event_pivot,
@@ -703,6 +790,7 @@ QUERIES = {
     "q_hll_users": q_hll_users,
     "q_kmv_users": q_kmv_users,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
+    "q_bitmap_distinct": q_bitmap_distinct,
 }
 
 ORACLES = {
@@ -726,4 +814,5 @@ ORACLES = {
     # of the shared hash, so it DOES carry one.)
     "q_kmv_users": _oracle_kmv_users(),
     "q_cms_heavy_hitters": _oracle_cms_heavy_hitters(),
+    "q_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
 }

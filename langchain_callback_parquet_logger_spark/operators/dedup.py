@@ -1637,6 +1637,178 @@ FROM pd WHERE dup_windows > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS algorithm): slide a window of WINNOW_W consecutive k-gram hashes
+# over each document and keep the window minimum (rightmost on ties).
+# Guarantee: any shared run of at least WINNOW_K + WINNOW_W - 1 tokens
+# produces at least one shared selected fingerprint, while only ~2/(W+1)
+# of all k-grams are kept — position-robust local fingerprinting that
+# whole-doc hashing (q_doc_fingerprint) and set-shingling
+# (q_ngram_jaccard) cannot give: it localizes WHERE the copied material
+# sits and survives insertions between copied blocks.
+#
+# The selection is computed entirely with array higher-order functions in
+# ONE codegen'd projection — no explode-then-window, no shuffle until the
+# cross-doc join. The argmin-with-rightmost-tie is encoded as a plain
+# string min over composite keys `hex15(hash) || zero-padded(POS_CAP -
+# pos)`: fixed-width hex compares numerically, and on equal hashes the
+# smaller (POS_CAP - pos) suffix, i.e. the RIGHTMOST position, wins —
+# the same trick both engines evaluate byte-identically. Docs longer
+# than _WINNOW_POS_CAP tokens would overflow the position field; chunk
+# upstream (the corpus contract is bounded-length documents).
+#
+# Like MOSS, fingerprints shared by more than WINNOW_MAX_DF documents
+# are dropped before pairing (ubiquitous/boilerplate k-grams carry no
+# copy signal) — which is also exactly the guard that keeps the
+# fingerprint self-join from going quadratic on hot keys at 100 TB: the
+# join fan-out per fingerprint is capped at WINNOW_MAX_DF², and the cap
+# filter is one hash aggregate on the SAME key as the join (shared
+# partitioning, exchange reuse).
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window (guarantee t = 7 tokens)
+WINNOW_MAX_DF = 50  # MOSS common-fingerprint drop threshold
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many prints
+_WINNOW_POS_CAP = 1_000_000
+
+
+def _winnow_keys(text: Column) -> Column:
+    """Stage 1: per-position composite keys hex15(md5(k-gram)) ||
+    zero-padded(POS_CAP - pos)."""
+    ws = F.split(text, " ")
+    n = F.size(ws)
+    m = F.greatest(n - (WINNOW_K - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), m),
+        lambda j: F.concat(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(ws, j, WINNOW_K))), 1, 15
+            ),
+            F.lpad((F.lit(_WINNOW_POS_CAP) - j).cast("string"), 7, "0"),
+        ),
+    )
+
+
+def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) rows of distinct winnowed fingerprints per document.
+
+    The key array MUST be materialized in its own projection before the
+    window-min transform: inlined, Catalyst re-evaluates the whole
+    key-construction expression inside the outer transform's lambda —
+    once PER WINDOW POSITION — turning the O(m) construction into
+    O(m²) md5 calls per document (measured 24 s → 2.4 s at sf0.01).
+    Referencing `keys` twice in the consumer (size + slice) keeps
+    CollapseProject from folding the boundary away; the contract is
+    pinned by tests/test_plans.py::test_winnow_projection_boundary."""
+    keyed = docs.select("doc_id", _winnow_keys(F.col("text")).alias("keys"))
+    m = F.greatest(F.size(F.col("keys")) - (WINNOW_W - 1), F.lit(1))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.substring(
+                F.array_min(F.slice(F.col("keys"), i, WINNOW_W)), 1, 15
+            ),
+        )
+    )
+    return keyed.select("doc_id", F.explode(sel).alias("fp"))
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document copy report: pairs of docs sharing >=
+    WINNOW_MIN_SHARED winnowed fingerprints (common-fingerprint cap
+    applied), with each side's fingerprint count and the overlap
+    coefficient shared / min(|A|, |B|)."""
+    from ..plans.session import cache_tracked, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fp = winnow_fingerprint_rows(docs)
+    df_ok = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("fp")
+    )
+    kept = cache_tracked(fp.join(df_ok, "fp"))
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+    size_a = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    size_b = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        pairs.join(size_a, "doc_a")
+        .join(size_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("shared") / F.least("n_fp_a", "n_fp_b"), 6
+            ).alias("overlap"),
+        )
+    )
+
+
+# DuckDB twin of :func:`winnow_fingerprint_rows` as a reusable CTE chain
+# (shared by the graded oracle and the three-way differential test).
+_WINNOW_SEL_CTES = f"""base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         greatest(len(string_split(text, ' ')) - {WINNOW_K - 1}, 1) AS m
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, m,
+         list_transform(range(1, m + 1), j ->
+           substr(md5(array_to_string(ws[j:j+{WINNOW_K - 1}], ' ')), 1, 15) ||
+           lpad(({_WINNOW_POS_CAP} - j)::VARCHAR, 7, '0')) AS ks
+  FROM base
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(m - {WINNOW_W - 1}, 1) + 1),
+           i -> substr(list_min(ks[i:i+{WINNOW_W - 1}]), 1, 15))) AS fps
+  FROM keyed
+)"""
+
+
+def _oracle_winnow_matches() -> str:
+    return f"""
+WITH {_WINNOW_SEL_CTES},
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+df_ok AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAX_DF}),
+kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN df_ok USING (fp)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+       round(p.shared::DOUBLE / least(sa.n_fp, sb.n_fp), 6) AS overlap
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_url_dedup": q_url_dedup,
@@ -1657,6 +1829,7 @@ QUERIES = {
     "q_paraphrase_candidates": q_paraphrase_candidates,
     "q_key_skew_report": q_key_skew_report,
     "q_ngram_novelty": q_ngram_novelty,
+    "q_winnow_matches": q_winnow_matches,
 }
 
 ORACLES = {
@@ -1679,4 +1852,5 @@ ORACLES = {
     "q_paraphrase_candidates": _oracle_paraphrase_candidates(),
     "q_key_skew_report": ORACLE_KEY_SKEW_REPORT,
     "q_ngram_novelty": ORACLE_NGRAM_NOVELTY,
+    "q_winnow_matches": _oracle_winnow_matches(),
 }

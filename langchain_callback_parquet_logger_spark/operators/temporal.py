@@ -185,12 +185,115 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 dimension build — the slowly-changing-dimension type-2 table every
+# warehouse derives from an event log: for each entity (user), one row per
+# VERSION of a tracked attribute (the user's current event_type "state"),
+# with [valid_from, valid_to) validity intervals and an is_current flag.
+# The reference's log model stores raw immutable events
+# (logger.py:418-440 appends only); SCD2 is the standard read-side
+# derivation that turns that log into a point-in-time-joinable dimension.
+#
+# Versions are contiguous runs of the attribute under the deterministic
+# event order (ts, event_id) — the gaps-and-islands double-row_number
+# trick (same construction as q_event_runs, which rolls runs UP into
+# per-user stats; here the runs themselves are the output, with their
+# validity timestamps). valid_to of version k = valid_from of version
+# k+1 (half-open intervals tile the timeline exactly); the last version
+# is open (NULL) and flagged current.
+#
+# Scale design: one shuffle on user_id serves every window (the
+# (user_id, event_type) and (user_id, event_type, grp) partitions are
+# strict refinements sharing the user_id prefix, so Spark reuses the
+# exchange and only re-sorts); the version-level windows run on the
+# boundary rows only (one row per run — corpus-sublinear). Timestamps
+# are emitted as epoch microseconds (the q_asof_join convention) so the
+# cross-engine value hash is exact integers.
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension of each user's event_type state:
+    one row per (user, version) with half-open validity interval in epoch
+    micros, the version's event count, and the is_current flag."""
+    events = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    w_run = Window.partitionBy("user_id", "event_type", "grp").orderBy(
+        "ts", "event_id"
+    )
+    w_run_all = w_run.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    boundary = (
+        runs.withColumn("rn", F.row_number().over(w_run))
+        .withColumn("n_events", F.count("*").over(w_run_all))
+        .filter(F.col("rn") == 1)
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        boundary.withColumn("version", F.row_number().over(w_ver).cast("int"))
+        .withColumn("valid_from_us", F.unix_micros("ts"))
+        .withColumn("valid_to_us", F.lead(F.unix_micros("ts")).over(w_ver))
+        .select(
+            "user_id",
+            "version",
+            F.col("event_type").alias("state"),
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+    )
+
+
+ORACLE_SCD2_DIMENSION = """
+WITH runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM events
+),
+boundary AS (
+  SELECT user_id, event_type, ts, event_id, n_events FROM (
+    SELECT user_id, event_type, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type, grp
+                              ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id, event_type, grp) AS n_events
+    FROM runs
+  ) WHERE rn = 1
+),
+ver AS (
+  SELECT user_id, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)::INT
+             AS version,
+         epoch_us(ts) AS valid_from_us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to_us
+  FROM boundary
+)
+SELECT user_id, version, event_type AS state, valid_from_us, valid_to_us,
+       n_events, valid_to_us IS NULL AS is_current
+FROM ver
+"""
+
+
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_range_join_banded": q_range_join_banded,
+    "q_scd2_dimension": q_scd2_dimension,
 }
 
 ORACLES = {
     "q_asof_join": ORACLE_ASOF_JOIN,
     "q_range_join_banded": ORACLE_RANGE_JOIN,
+    "q_scd2_dimension": ORACLE_SCD2_DIMENSION,
 }

@@ -1786,6 +1786,87 @@ GROUP BY p_threshold
 """
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — the tokenizer-evaluation table (tokens emitted
+# per whitespace word, chars per token) per (lang, source) stratum,
+# under BOTH the regex pre-tokenizer and the learned BPE merges. This is
+# the metric a tokenizer designer reads NEXT TO q_vocab_coverage (what
+# the vocab covers) and q_bpe_merge_candidates (what to merge): fertility
+# >> 1 on a stratum means the tokenizer fragments that stratum's text,
+# which inflates its effective training cost and shrinks its effective
+# context window — the standard multilingual-tokenizer-bias measurement.
+#
+# Scale design: the BPE fold is the same single-reference-per-level
+# higher-order aggregate as q_bpe_apply (linear, codegen'd, no Python);
+# everything else is one partial+final hash aggregate on (lang, source).
+# Ratios divide exact integer sums, so the 6dp rounding is combine-order
+# free without fixed-point quantization.
+# ---------------------------------------------------------------------------
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    state = bpe_apply_state(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("chars"),
+        token_count_ws(F.col("text")).cast("bigint").alias("words"),
+        token_count_bpe(F.col("text")).cast("bigint").alias("pre_tokens"),
+        F.size(F.split(state, BPE_SEP)).cast("bigint").alias("bpe_tokens"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("words").alias("n_words"),
+        F.sum("pre_tokens").alias("n_pre_tokens"),
+        F.sum("bpe_tokens").alias("n_bpe_tokens"),
+        F.round(F.sum("bpe_tokens") / F.sum("words"), 6).alias("fertility"),
+        F.round(F.sum("chars") / F.sum("bpe_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def _oracle_tokenizer_fertility() -> str:
+    ctes = [
+        "s0 AS (SELECT lang, source, length(text) AS chars, "
+        "len(string_split(text, ' ')) AS n_words, "
+        f"len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS pre_tokens, "
+        "replace(text, ' ', chr(31)) AS st FROM documents)"
+    ]
+    for i, (a, b) in enumerate(BPE_MERGES, start=1):
+        lam = (
+            f"(acc, x) -> CASE WHEN x = '{b}' AND (acc = '{a}' OR "
+            f"right(acc, {len(a) + 1}) = chr(31) || '{a}') "
+            f"THEN left(acc, len(acc) - {len(a)}) || '{a}_{b}' "
+            f"ELSE acc || chr(31) || x END"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT lang, source, chars, n_words, pre_tokens, "
+            f"list_reduce(string_split(st, chr(31)), {lam}) AS st "
+            f"FROM s{i - 1})"
+        )
+    joined = ",\n".join(ctes)
+    last = f"s{len(BPE_MERGES)}"
+    return f"""
+WITH {joined},
+per AS (
+  SELECT lang, source, chars, n_words, pre_tokens,
+         len(string_split(st, chr(31))) AS bpe_tokens
+  FROM {last}
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(pre_tokens) AS BIGINT) AS n_pre_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       round(SUM(bpe_tokens)::DOUBLE / SUM(n_words), 6) AS fertility,
+       round(SUM(chars)::DOUBLE / SUM(bpe_tokens), 6) AS chars_per_token
+FROM per GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -1810,6 +1891,7 @@ QUERIES = {
     "q_doc_features": q_doc_features,
     "q_quality_logit": q_quality_logit,
     "q_length_quality_corr": q_length_quality_corr,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
 }
 
 ORACLES = {
@@ -1836,4 +1918,5 @@ ORACLES = {
     "q_doc_features": ORACLE_DOC_FEATURES,
     "q_quality_logit": _oracle_quality_logit(),
     "q_length_quality_corr": ORACLE_LENGTH_QUALITY_CORR,
+    "q_tokenizer_fertility": _oracle_tokenizer_fertility(),
 }

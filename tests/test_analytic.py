@@ -267,3 +267,47 @@ def test_kmeans_fit_partitions_all_vectors(spark, sf_dir):
     for r in ivf:
         if r.vec_id in exact:
             assert exact[r.vec_id] == r.sim
+
+
+def test_bitmap_distinct_is_exact_and_mergeable(spark, sf_dir):
+    """The bitmap count equals the exact distinct count on every row
+    (calibrated by construction), and the word table MERGES: OR-ing the
+    per-day words up to event_type level reproduces the event_type-level
+    distinct count without touching raw events."""
+    rows = A.q_bitmap_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.calibrated
+        assert r.n_users_bitmap == r.n_users_exact
+        assert r.n_words <= r.n_users_exact  # words are packed sets
+
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "user_id",
+        F.expr(f"user_id div {A.BITMAP_WORD_BITS}").alias("bucket"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(user_id % {A.BITMAP_WORD_BITS} AS INT))"
+        ).alias("bit"),
+    )
+    daily_words = ev.groupBy("event_type", "day", "bucket").agg(
+        F.bit_or("bit").alias("word")
+    )
+    merged = (
+        daily_words.groupBy("event_type", "bucket")
+        .agg(F.bit_or("word").alias("word"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("word")).alias("n_users"))
+    )
+    got = {r.event_type: r.n_users for r in merged.collect()}
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact

@@ -1749,3 +1749,133 @@ def test_lsh_pair_audit_consistency(spark, sf_dir):
         assert row.precision == round(row.n_common / n_lsh, 6)
     if n_exact:
         assert row.recall == round(row.n_common / n_exact, 6)
+
+
+def _py_winnow_fps(text: str) -> set[str]:
+    """Pure-Python Schleimer/Wilkerson/Aiken winnowing reference:
+    k-gram md5 hex15 hashes, window-min with RIGHTMOST tie selection,
+    built from the module constants (same guard contract as shingles:
+    short docs degrade to a single partial k-gram)."""
+    k, w, cap = D.WINNOW_K, D.WINNOW_W, D._WINNOW_POS_CAP
+    ws = text.split(" ")
+    m = max(len(ws) - (k - 1), 1)
+    keys = []
+    for j in range(1, m + 1):
+        gram = " ".join(ws[j - 1 : j - 1 + k])
+        h = hashlib.md5(gram.encode()).hexdigest()[:15]
+        keys.append(h + str(cap - j).zfill(7))
+    return {
+        min(keys[i - 1 : i - 1 + w])[:15]
+        for i in range(1, max(m - (w - 1), 1) + 1)
+    }
+
+
+def test_winnow_fingerprints_three_way_differential(spark):
+    """Spark, the DuckDB oracle CTEs, and the Python reference agree on
+    adversarial docs: 1/2-word docs (partial-k-gram guard), an
+    all-same-token doc (every window ties -> rightmost selection), block
+    repeats, and random soup."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "dd", "e"]
+    docs = [
+        "x",
+        "x y",
+        "a b c",
+        "a a a a a a a a a a",
+        "a b c d a b c d a b c d",
+    ] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for _ in range(60)
+    ]
+    expected = {i: _py_winnow_fps(d) for i, d in enumerate(docs)}
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, text string"
+    )
+    got_spark: dict[int, set[str]] = {i: set() for i in range(len(docs))}
+    for r in D.winnow_fingerprint_rows(df).collect():
+        got_spark[r.doc_id].add(r.fp)
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        "SELECT * FROM (SELECT unnest(range(0, ?)) AS doc_id) a "
+        "JOIN (SELECT unnest(?) AS text, unnest(range(0, ?)) AS doc_id) b "
+        "USING (doc_id)",
+        [len(docs), docs, len(docs)],
+    )
+    duck = {
+        r[0]: set(r[1])
+        for r in con.execute(
+            f"WITH {D._WINNOW_SEL_CTES} SELECT doc_id, fps FROM sel"
+        ).fetchall()
+    }
+    assert duck == expected
+
+
+def test_winnow_guarantee_shared_run_shares_a_fingerprint():
+    """The winnowing guarantee: two docs sharing a run of at least
+    WINNOW_K + WINNOW_W - 1 tokens share at least one fingerprint."""
+    t = D.WINNOW_K + D.WINNOW_W - 1
+    shared = " ".join(f"s{i}" for i in range(t))
+    a = "pre1 pre2 " + shared + " tail1"
+    b = "other0 " + shared + " other1 other2"
+    assert _py_winnow_fps(a) & _py_winnow_fps(b)
+
+
+def test_winnow_projection_boundary(spark, sf_dir):
+    """The key-construction projection must NOT be inlined into the
+    window-min transform: collapsed, Catalyst re-evaluates the whole
+    key array once per window position (O(m^2) md5 calls per doc —
+    measured 10x wall-clock). Pin: no optimized-plan line contains both
+    the md5 construction and the array_min selection."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = D.winnow_fingerprint_rows(docs)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    sel_lines = [ln for ln in plan.split("\n") if "array_min" in ln]
+    assert sel_lines, "selection transform missing from optimized plan"
+    assert all("md5" not in ln for ln in sel_lines), (
+        "winnow key construction was inlined into the selection lambda "
+        "(projection boundary collapsed -> O(m^2) per-doc hashing)"
+    )
+
+
+def test_winnow_matches_pairs_are_dup_groups(spark, sf_dir):
+    """On the fixture corpus, winnow match pairs must connect docs that
+    genuinely share long verbatim runs — every reported pair shares at
+    least one exact SPAN-length window of text."""
+    rows = D.q_winnow_matches(spark, sf_dir)
+    try:
+        pairs = [(r.doc_a, r.doc_b, r.shared, r.overlap) for r in rows.collect()]
+    finally:
+        from langchain_callback_parquet_logger_spark.plans.session import (
+            release_caches,
+        )
+
+        release_caches()
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    t = D.WINNOW_K + D.WINNOW_W - 1
+    for doc_a, doc_b, shared, overlap in pairs:
+        assert shared >= D.WINNOW_MIN_SHARED
+        assert 0 < overlap <= 1
+        wa = docs[doc_a].split(" ")
+        grams_a = {
+            " ".join(wa[i : i + D.WINNOW_K])
+            for i in range(max(len(wa) - D.WINNOW_K + 1, 1))
+        }
+        wb = docs[doc_b].split(" ")
+        grams_b = {
+            " ".join(wb[i : i + D.WINNOW_K])
+            for i in range(max(len(wb) - D.WINNOW_K + 1, 1))
+        }
+        assert grams_a & grams_b, (
+            f"pair ({doc_a},{doc_b}) shares no {D.WINNOW_K}-gram at all"
+        )

@@ -93,3 +93,40 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     plan = q_range_join_banded(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_scd2_dimension_intervals_tile(spark, sf_dir):
+    """SCD2 contract: per user, versions are 1..V consecutive, intervals
+    are half-open and tile the timeline exactly (valid_to(k) ==
+    valid_from(k+1)), adjacent versions change state, exactly one open
+    current version, and version event counts partition the user's
+    events."""
+    from collections import defaultdict
+
+    from langchain_callback_parquet_logger_spark.operators.temporal import (
+        q_scd2_dimension,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    rows = q_scd2_dimension(spark, sf_dir).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    counts = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_user) == set(counts)
+    for uid, vs in per_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(v.n_events for v in vs) == counts[uid]
+        assert sum(v.is_current for v in vs) == 1
+        assert vs[-1].is_current and vs[-1].valid_to_us is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.valid_from_us < a.valid_to_us or a.n_events >= 1
+            assert a.state != b.state

@@ -389,6 +389,52 @@ COMMENTARY: dict[str, str] = {
         "pipeline itself, so count()-style actions execute the real "
         "plan instead of pruning it to a scan."
     ),
+    "q_winnow_matches": (
+        "MOSS winnowing as a Spark plan: the k-gram key construction "
+        "and the window-min selection are TWO pinned projections (one "
+        "codegen'd stage, zero shuffles until the join) — inlined, "
+        "Catalyst re-evaluates the key array per window position, "
+        "O(m^2) md5s per doc, measured 10x (pinned by "
+        "test_winnow_projection_boundary). Argmin-with-rightmost-tie "
+        "is a plain string min over hex15(hash)||pad(POS_CAP-pos) "
+        "composite keys, so both engines agree byte-identically. The "
+        "MOSS common-fingerprint cap (df <= 50) is also the scale "
+        "guard: it bounds the fingerprint self-join fan-out per key at "
+        "df^2, and the cap aggregate shares the join's hash key "
+        "(exchange-reusable). Fingerprint rows cached once "
+        "(cache_tracked) across the size and pair legs."
+    ),
+    "q_scd2_dimension": (
+        "SCD type-2 build from the immutable event log: gaps-and-"
+        "islands double-row_number finds state runs, boundary rows "
+        "(one per run) carry valid_from; lead() over the boundary "
+        "frame closes the half-open intervals. EVERY window partition "
+        "key here is a refinement of user_id, so the whole dimension "
+        "build is ONE shuffle on user_id plus in-partition sorts; the "
+        "version-level windows run on corpus-sublinear boundary rows. "
+        "Epoch-micro integer outputs keep the cross-engine hash exact."
+    ),
+    "q_bitmap_distinct": (
+        "Bitmap-index distinct counting (Druid/ClickHouse "
+        "groupBitmap): two stacked map-side-combinable hash "
+        "aggregates — (type, day, id div 32) -> bit_or word, then "
+        "popcount sum. The word table is the serving artifact: exact "
+        "AND mergeable (OR-ing day words yields week/month distincts "
+        "with no raw rescan — pinned by "
+        "test_bitmap_distinct_is_exact_and_mergeable). 32-bit words "
+        "inside BIGINTs keep every value positive so JVM and DuckDB "
+        "shift/popcount agree; the calibration join runs on the same "
+        "(type, day) key as the rollup."
+    ),
+    "q_tokenizer_fertility": (
+        "Tokenizer-bias measurement: per-(lang, source) fertility "
+        "(BPE tokens per word) and chars-per-token. The BPE fold is "
+        "the linear single-reference-per-level higher-order aggregate "
+        "from q_bpe_apply (codegen'd, no Python, no shuffle); the "
+        "rollup is one partial+final hash aggregate. All ratios "
+        "divide exact integer sums — combine-order-free without "
+        "fixed-point quantization."
+    ),
     "q_dup_centrality": (
         "Iterative graph algorithm with a FULL value oracle: integer "
         "PageRank (1e9 fixed scale, rank div degree contributions, "

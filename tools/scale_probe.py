@@ -106,6 +106,10 @@ QUERIES = [
     "q_format_roundtrip",
     "q_ann_recall_audit",
     "q_dup_centrality",
+    "q_winnow_matches",
+    "q_scd2_dimension",
+    "q_bitmap_distinct",
+    "q_tokenizer_fertility",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
