@@ -174,6 +174,8 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     "q_scd2_dimension": 7,
     "q_bitmap_distinct": 7,
     "q_tokenizer_fertility": 7,
+    "q_interval_concurrency": 7,
+    "q_centroid_confusion": 7,
 }
 
 

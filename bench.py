@@ -60,6 +60,7 @@ HEADLINE = [
     "q_topk",
     # analytic / SQL surface
     "q_sessionize",
+    "q_interval_concurrency",
     "q_scd2_dimension",
     "q_sql_moving_avg",
     "q_funnel",
@@ -107,6 +108,7 @@ HEADLINE = [
     "q_knn_bruteforce",
     "q_knn_lsh",
     "q_kmeans_ivf",
+    "q_centroid_confusion",
     "q_embedding_dedup",
     "q_embedding_quantize",
     "q_pq_quantize",

@@ -1345,6 +1345,78 @@ FROM pp
 """
 
 
+# ---------------------------------------------------------------------------
+# Centroid confusion matrix — the clustering-evaluation table: run the
+# deterministic k-means fit (kmeans_fit, the q_kmeans_ivf machinery) and
+# cross-tabulate assigned cluster × ground-truth label. Per cell: count;
+# per cluster: total, majority flag, and integer-ppm purity (majority
+# share). Summing majority counts / total gives overall clustering
+# purity; the full matrix is the input to NMI/V-measure — this is the
+# eval step a production SemDeDup/IVF deployment runs after every refit
+# (does cluster structure still track the taxonomy?).
+#
+# Scale design: the fit/assign legs are the proven k-means plans
+# (broadcast K-row centroids, narrow argmin aggregate); everything after
+# is hash aggregates on K×|labels| cells — bounded by construction, NOT
+# corpus-cardinality. The label join is vec_id-keyed (AQE-decided; at
+# warehouse scale labels ride in the same table, making it a projection).
+# The majority/purity windows run over the K×|labels| cell frame.
+# Integer-div ppm keeps the value hash exact (Spark div == DuckDB //,
+# pinned by test_integer_div_parity).
+# ---------------------------------------------------------------------------
+
+
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-centroid confusion matrix with per-cluster majority flag
+    and integer-ppm purity, over the deterministic k-means fit."""
+    emb_tbl = load_table(spark, sf_dir, "embeddings")
+    emb = emb_tbl.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    centroids = kmeans_fit(emb)
+    assigned = kmeans_assign(emb, centroids).select("vec_id", "cid")
+    labeled = assigned.join(emb_tbl.select("vec_id", "label"), "vec_id")
+    cell = labeled.groupBy("cid", "label").agg(F.count("*").alias("n"))
+    w_cid = W.partitionBy("cid")
+    w_maj = W.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label").asc())
+    return (
+        cell.withColumn("cid_total", F.sum("n").over(w_cid))
+        .withColumn("rk", F.row_number().over(w_maj))
+        .withColumn("maj_n", F.first("n").over(w_maj))
+        .select(
+            "cid",
+            "label",
+            "n",
+            "cid_total",
+            (F.col("rk") == 1).alias("is_majority"),
+            F.expr("maj_n * 1000000 div cid_total").alias("purity_ppm"),
+        )
+    )
+
+
+def _oracle_centroid_confusion() -> str:
+    return f"""
+{_oracle_kmeans_prefix().lstrip()},
+lab AS (
+  SELECT a.vec_id, a.cid, em.label
+  FROM a3 a JOIN embeddings em ON a.vec_id = em.vec_id
+),
+cell AS (
+  SELECT cid, label, COUNT(*) AS n FROM lab GROUP BY cid, label
+),
+agg AS (
+  SELECT cid, label, n,
+         CAST(SUM(n) OVER (PARTITION BY cid) AS BIGINT) AS cid_total,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label ASC) AS rk,
+         FIRST_VALUE(n) OVER (PARTITION BY cid ORDER BY n DESC, label ASC)
+             AS maj_n
+  FROM cell
+)
+SELECT cid, label, n, cid_total,
+       rk = 1 AS is_majority,
+       CAST(maj_n AS BIGINT) * 1000000 // cid_total AS purity_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "q_knn_bruteforce": q_knn_bruteforce,
     "q_ann_recall_audit": q_ann_recall_audit,
@@ -1358,6 +1430,7 @@ QUERIES = {
     "q_semdedup": q_semdedup,
     "q_ann_join": q_ann_join,
     "q_matryoshka_probe": q_matryoshka_probe,
+    "q_centroid_confusion": q_centroid_confusion,
 }
 
 ORACLES = {
@@ -1373,4 +1446,5 @@ ORACLES = {
     "q_semdedup": _oracle_semdedup(),
     "q_ann_join": _oracle_ann_join(),
     "q_matryoshka_probe": _oracle_matryoshka_probe(),
+    "q_centroid_confusion": _oracle_centroid_confusion(),
 }

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans.session import load_table
+from ..plans.session import cache_tracked, load_table
 
 ASOF_LEFT_TYPE = "purchase"
 ASOF_RIGHT_TYPE = "click"
@@ -286,14 +286,158 @@ FROM ver
 """
 
 
+# ---------------------------------------------------------------------------
+# Interval concurrency — the sweep-line "how many sessions were open at
+# once" query: sessionize the event log (the q_sessionize gap rule),
+# treat each session as a half-open interval [first_us, last_us + 1),
+# and report, per day, every sweep position that achieves that day's
+# PEAK concurrent-session count. This is the capacity-planning read of
+# the log (max simultaneous conversations ≈ max simultaneous LLM
+# sessions the reference's callback stream implies).
+#
+# Scale design — the distributed prefix sum: a naive sweep is a running
+# sum over ALL boundary events in one global order, i.e. a
+# single-partition window (the one shape that cannot scale). Instead:
+#   1. net boundary deltas per position (hash aggregate, map-side
+#      combinable — starts +1, ends −1),
+#   2. running sum WITHIN each day partition (shuffle on day, local
+#      sort),
+#   3. carry-in offsets: one running sum over the per-day TOTALS — a
+#      frame with day-cardinality rows (bounded by the calendar, not
+#      the corpus), the only single-partition window in the plan,
+#   4. concurrency = carry + local running sum; per-day argmax filter.
+# Steps 1-2-4 are corpus-linear and partition-parallel; step 3 is the
+# classic two-phase scan trick (Blelloch prefix sum on a cluster).
+# The argmax filter also makes result CARDINALITY depend on the sweep
+# values, so a count()-only consumer cannot prune the running sum
+# (SURVEY round-7 pruning lesson).
+#
+# Determinism: positions are unique after the delta aggregate, so the
+# running sum needs no tie rule; everything is integer microseconds.
+# Half-open [s, e+1) keeps single-event sessions (s == e) occupying
+# their instant, and an end never cancels a start at the same position
+# before it is counted — DuckDB's global running sum and the
+# day-partitioned reconstruction agree exactly.
+# ---------------------------------------------------------------------------
+
+from .queries import SESSION_GAP_US  # shared gap rule (30 min)
+
+
+def session_intervals(events: DataFrame) -> DataFrame:
+    """events → one half-open interval per (user, session):
+    (user_id, sid, s_us, e_us) with e_us = last event + 1 µs."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(prev.isNull() | ((us - prev) > SESSION_GAP_US), 1).otherwise(0)
+    sid = F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            (F.max(F.unix_micros("ts")) + F.lit(1)).alias("e_us"),
+        )
+    )
+
+
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak concurrent sessions: every boundary position whose
+    running open-session count equals its day's maximum."""
+    events = load_table(spark, sf_dir, "events")
+    ivl = session_intervals(events)
+    # one pass over ivl: explode each interval into its ±1 boundary pair
+    # (a union of two projections would recompute the sessionize subtree)
+    bnd = ivl.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s_us").alias("pos"), F.lit(1).alias("d")),
+                F.struct(F.col("e_us").alias("pos"), F.lit(-1).alias("d")),
+            )
+        ).alias("b")
+    ).select("b.pos", "b.d")
+    # net feeds BOTH the per-day running sum and the carry pass — cache it
+    # so the sessionize pipeline runs once (released via release_caches)
+    net = cache_tracked(
+        bnd.groupBy("pos")
+        .agg(F.sum("d").alias("delta"))
+        .withColumn("day", F.to_date(F.timestamp_micros(F.col("pos"))))
+    )
+
+    w_day = Window.partitionBy("day").orderBy("pos")
+    local = net.withColumn("local_run", F.sum("delta").over(w_day))
+
+    day_tot = net.groupBy("day").agg(F.sum("delta").alias("day_delta"))
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # day-cardinality frame: the only single-partition window
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("day_delta").over(w_days), F.lit(0)).alias("carry")
+    )
+
+    run = local.join(F.broadcast(carry), "day").withColumn(
+        "concurrency", F.col("carry") + F.col("local_run")
+    )
+    w_peak = Window.partitionBy("day")
+    return (
+        run.withColumn("peak", F.max("concurrency").over(w_peak))
+        .filter(F.col("concurrency") == F.col("peak"))
+        .select("day", F.col("pos").alias("pos_us"), "concurrency")
+    )
+
+
+ORACLE_INTERVAL_CONCURRENCY = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+ivl AS (
+  SELECT user_id, sid, MIN(us) AS s_us, MAX(us) + 1 AS e_us
+  FROM sess GROUP BY user_id, sid
+),
+bnd AS (
+  SELECT s_us AS pos, 1 AS d FROM ivl
+  UNION ALL
+  SELECT e_us AS pos, -1 AS d FROM ivl
+),
+net AS (
+  SELECT pos, SUM(d) AS delta FROM bnd GROUP BY pos
+),
+run AS (
+  SELECT pos, CAST(make_timestamp(pos) AS DATE) AS day,
+         SUM(delta) OVER (ORDER BY pos) AS concurrency
+  FROM net
+)
+SELECT day, pos AS pos_us, CAST(concurrency AS BIGINT) AS concurrency
+FROM (
+  SELECT day, pos, concurrency,
+         MAX(concurrency) OVER (PARTITION BY day) AS peak
+  FROM run
+) WHERE concurrency = peak
+"""
+
+
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_range_join_banded": q_range_join_banded,
     "q_scd2_dimension": q_scd2_dimension,
+    "q_interval_concurrency": q_interval_concurrency,
 }
 
 ORACLES = {
     "q_asof_join": ORACLE_ASOF_JOIN,
     "q_range_join_banded": ORACLE_RANGE_JOIN,
     "q_scd2_dimension": ORACLE_SCD2_DIMENSION,
+    "q_interval_concurrency": ORACLE_INTERVAL_CONCURRENCY,
 }

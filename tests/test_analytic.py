@@ -311,3 +311,38 @@ def test_bitmap_distinct_is_exact_and_mergeable(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_centroid_confusion_invariants(spark, sf_dir):
+    """Confusion-matrix contract: cell counts partition the corpus,
+    exactly one majority cell per cluster (ties to the lowest label),
+    and purity_ppm is the integer-ppm majority share on every row of
+    its cluster."""
+    from collections import defaultdict
+
+    from langchain_callback_parquet_logger_spark.operators.similarity import (
+        KMEANS_K,
+        q_centroid_confusion,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    rows = q_centroid_confusion(spark, sf_dir).collect()
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == emb_n
+
+    by_cid = defaultdict(list)
+    for r in rows:
+        by_cid[r.cid].append(r)
+    assert 0 < len(by_cid) <= KMEANS_K
+    for cid, cells in by_cid.items():
+        total = cells[0].cid_total
+        assert sum(c.n for c in cells) == total
+        majors = [c for c in cells if c.is_majority]
+        assert len(majors) == 1
+        maj = majors[0]
+        assert maj.n == max(c.n for c in cells)
+        assert maj.label == min(c.label for c in cells if c.n == maj.n)
+        for c in cells:
+            assert c.cid_total == total
+            assert c.purity_ppm == maj.n * 1_000_000 // total
+            assert 0 < c.purity_ppm <= 1_000_000

@@ -594,3 +594,38 @@ def test_ann_recall_audit_probe_side_carries_no_hint(spark, sf_dir):
     # only _banded_emb's internal bounded hints may exist; the probe
     # sample frame itself must not be hinted
     assert "probe_id" in plan, plan
+
+
+def test_interval_concurrency_is_distributed_prefix_sum(spark, sf_dir):
+    """The sweep must be the two-phase scan: ONE sessionize pass behind
+    the cache boundary (not one per consumer — the union/double-consumer
+    shape recomputed it 4×), day-partitioned running sums, and a single-
+    partition window ONLY for the day-cardinality carry frame, attached
+    via broadcast. No Python, no cartesian."""
+    from langchain_callback_parquet_logger_spark.operators import temporal
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        plan = _initial_plan(temporal.q_interval_concurrency(spark, sf_dir))
+    finally:
+        release_caches()
+    assert "InMemoryTableScan" in plan, plan
+    # the sessionize pipeline runs ONCE (inside the cached subtree):
+    # one user_id window exchange + one (user_id, sid) aggregate
+    # exchange — the recomputed shape had four copies
+    assert plan.count("hashpartitioning(user_id") <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_centroid_confusion_post_assign_is_cell_frame_work(spark, sf_dir):
+    """After the k-means assign legs (K-row broadcast crossings), the
+    confusion matrix must be hash aggregates + windows on the cell
+    frame — no cartesian beyond the bounded centroid crossings, no
+    Python anywhere."""
+    plan = _initial_plan(similarity.q_centroid_confusion(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "row_number()" in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -130,3 +130,167 @@ def test_scd2_dimension_intervals_tile(spark, sf_dir):
             assert a.valid_to_us == b.valid_from_us
             assert a.valid_from_us < a.valid_to_us or a.n_events >= 1
             assert a.state != b.state
+
+
+# ---------------------------------------------------------------------------
+# q_interval_concurrency — sweep-line peak concurrency
+# ---------------------------------------------------------------------------
+
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _sweep_ref(evts, gap):
+    """Pure-Python sweep-line reference: (user_id, us, event_id) triples →
+    {(day, pos_us, concurrency)} argmax rows, same session gap rule and
+    half-open [s, e+1) interval semantics as the Spark plan / oracle."""
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, us, eid in evts:
+        per_user[u].append((us, eid))
+    intervals = []
+    for u, es in per_user.items():
+        es.sort()
+        start = prev = None
+        for us, _ in es:
+            if prev is None or us - prev > gap:
+                if start is not None:
+                    intervals.append((start, prev + 1))
+                start = us
+            prev = us
+        intervals.append((start, prev + 1))
+    delta = defaultdict(int)
+    for s, e in intervals:
+        delta[s] += 1
+        delta[e] -= 1
+    run = 0
+    rows = []
+    for pos in sorted(delta):
+        run += delta[pos]
+        day = (_EPOCH + dt.timedelta(microseconds=pos)).date()
+        rows.append((day, pos, run))
+    peaks = {}
+    for day, pos, c in rows:
+        peaks[day] = max(peaks.get(day, 0), c)
+    return {(day, pos, c) for day, pos, c in rows if c == peaks[day]}
+
+
+def test_interval_concurrency_matches_python_sweep(spark, sf_dir):
+    """The distributed two-phase prefix sum (per-day running sums + a
+    day-cardinality carry pass) must equal the sequential global sweep."""
+    from langchain_callback_parquet_logger_spark.operators.queries import (
+        SESSION_GAP_US,
+    )
+    from langchain_callback_parquet_logger_spark.operators.temporal import (
+        q_interval_concurrency,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+    )
+
+    evts = [
+        (r.user_id, r.us, r.event_id)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    ]
+    ref = _sweep_ref(evts, SESSION_GAP_US)
+    try:
+        got = {
+            (r.day, r.pos_us, r.concurrency)
+            for r in q_interval_concurrency(spark, sf_dir).collect()
+        }
+    finally:
+        release_caches()
+    assert got == ref
+
+
+def test_interval_concurrency_edge_semantics(spark, tmp_path):
+    """Half-open intervals: a single-event session occupies exactly its
+    instant; a session ending where another starts never double-counts;
+    simultaneous single-event sessions from different users stack."""
+    from langchain_callback_parquet_logger_spark.operators.queries import (
+        SESSION_GAP_US,
+    )
+    from langchain_callback_parquet_logger_spark.operators.temporal import (
+        q_interval_concurrency,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0, tzinfo=UTC)
+    us = lambda micros: base + dt.timedelta(microseconds=micros)
+    rows = [
+        # user 1: one session [0, gap] (events exactly gap apart stay joined)
+        (1, us(0), 1),
+        (1, us(SESSION_GAP_US), 2),
+        # user 1: second session starting gap+1 after the last event
+        (1, us(2 * SESSION_GAP_US + 1), 3),
+        # users 2+3: single-event sessions at the same instant
+        (2, us(100), 4),
+        (3, us(100), 5),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, "click", 0.0, "{}") for uid, ts, eid in rows],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+    )
+
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    try:
+        out = {
+            (r.pos_us, r.concurrency)
+            for r in q_interval_concurrency(spark, sf_dir).collect()
+        }
+    finally:
+        release_caches()
+    base_us = int((base.replace(tzinfo=None) - _EPOCH).total_seconds()) * 1_000_000
+    # peak = 3: user 1's long session plus both instant sessions at +100
+    assert out == {(base_us + 100, 3)}
+
+
+def test_interval_concurrency_duckdb_oracle_matches_python():
+    """JVM-free seeded-fuzz differential: the DuckDB oracle equals the
+    Python sweep on random event soups that hammer the gap boundary
+    (== gap joins, gap+1 splits) and same-instant collisions."""
+    import random
+
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.queries import (
+        SESSION_GAP_US,
+    )
+    from langchain_callback_parquet_logger_spark.operators.temporal import (
+        ORACLES,
+    )
+
+    rng = random.Random(742)
+    for trial in range(12):
+        evts = []
+        eid = 0
+        for u in range(rng.randint(1, 4)):
+            t = rng.randint(0, 3) * 86_400_000_000 + rng.randint(0, 10**6)
+            for _ in range(rng.randint(1, 12)):
+                eid += 1
+                evts.append((u, t, eid))
+                t += rng.choice(
+                    [0, 1, 17, SESSION_GAP_US, SESSION_GAP_US + 1,
+                     2 * SESSION_GAP_US, 86_399_999_999]
+                )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT unnest(?) AS user_id, "
+            "make_timestamp(unnest(?)) AS ts, unnest(?) AS event_id",
+            [[u for u, _, _ in evts], [t for _, t, _ in evts],
+             [e for _, _, e in evts]],
+        )
+        duck = {
+            (r[0], r[1], r[2])
+            for r in con.execute(ORACLES["q_interval_concurrency"]).fetchall()
+        }
+        con.close()
+        assert duck == _sweep_ref(evts, SESSION_GAP_US), (trial, evts)

@@ -435,6 +435,36 @@ COMMENTARY: dict[str, str] = {
         "divide exact integer sums — combine-order-free without "
         "fixed-point quantization."
     ),
+    "q_interval_concurrency": (
+        "Sweep-line peak concurrency as a DISTRIBUTED prefix sum: the "
+        "naive formulation is one global running sum — a single-"
+        "partition window over corpus-cardinality boundaries, the one "
+        "shape that cannot scale. Here: (1) net deltas per position "
+        "(map-side-combinable hash aggregate over the +1/-1 boundary "
+        "union), (2) running sums WITHIN day partitions, (3) carry-in "
+        "offsets from one running sum over per-day totals — the only "
+        "single-partition window, calendar-bounded (thousands of rows "
+        "at any corpus size), broadcast back onto the day partitions, "
+        "(4) per-day argmax filter. Blelloch's two-phase scan on a "
+        "cluster; sessionization shares q_sessionize's gap rule. "
+        "Boundary fan-out is one explode (a union of two projections "
+        "would recompute the sessionize subtree) and the net-delta "
+        "frame is cached once (cache_tracked) because both the day "
+        "partials and the carry pass consume it. The "
+        "argmax output keeps result cardinality sweep-dependent, so a "
+        "count()-only consumer cannot prune the running sums."
+    ),
+    "q_centroid_confusion": (
+        "Clustering-evaluation confusion matrix: the fit/assign legs "
+        "are the proven deterministic k-means plans (broadcast K-row "
+        "centroids, narrow map-side argmin aggregate); everything "
+        "downstream runs on the K x |labels| CELL frame — bounded by "
+        "construction, corpus-independent. Majority flag and integer-"
+        "ppm purity are two windows over that tiny frame; the label "
+        "join is a vec_id equi-join (AQE-decided; at warehouse scale "
+        "the label rides the same table and it collapses to a "
+        "projection). Integer-div ppm keeps the value hash exact."
+    ),
     "q_dup_centrality": (
         "Iterative graph algorithm with a FULL value oracle: integer "
         "PageRank (1e9 fixed scale, rank div degree contributions, "

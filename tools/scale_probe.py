@@ -110,6 +110,8 @@ QUERIES = [
     "q_scd2_dimension",
     "q_bitmap_distinct",
     "q_tokenizer_fertility",
+    "q_interval_concurrency",
+    "q_centroid_confusion",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
@@ -282,8 +284,16 @@ def main() -> None:
     # interleave scales per-query to decorrelate hypervisor stall bursts;
     # flush the JSON record after every query so a multi-hour run that
     # dies partway still leaves a usable (partial) artifact.
+    # SCALE_ONLY=q_a,q_b probes just those queries and MERGES into the
+    # current round's existing record (late-round additions don't force
+    # a full re-probe; the SCALING.md table is rebuilt from the merge).
     record: dict[str, dict] = {}
-    for name in QUERIES:
+    only = {s for s in os.environ.get("SCALE_ONLY", "").split(",") if s}
+    if only and os.path.exists(scale_path):
+        with open(scale_path) as f:
+            record = json.load(f).get("queries", {})
+    run_list = [q for q in QUERIES if q in only] if only else QUERIES
+    for name in run_list:
         base_t = best_of(lambda: qs[name](spark, BASE).count())
         big_t = best_of(lambda: qs[name](spark, BIG).count())
         ratio = big_t / base_t if base_t > 0 else float("inf")
@@ -292,8 +302,10 @@ def main() -> None:
             "big_sec": round(big_t, 3),
             "ratio": round(ratio, 2),
         }
-        lines.append(f"| {name} | {base_t:.2f} | {big_t:.2f} | {ratio:.1f}× |")
-        print(lines[-1], file=sys.stderr)
+        print(
+            f"| {name} | {base_t:.2f} | {big_t:.2f} | {ratio:.1f}× |",
+            file=sys.stderr,
+        )
         with open(scale_path, "w") as f:
             json.dump(
                 {"k": K, "complete": False, "queries": record}, f, indent=2
@@ -301,6 +313,13 @@ def main() -> None:
     with open(scale_path, "w") as f:
         json.dump({"k": K, "complete": True, "queries": record}, f, indent=2)
     print(f"wrote {scale_path}")
+    for name in QUERIES:
+        if name in record:
+            r = record[name]
+            lines.append(
+                f"| {name} | {r['base_sec']:.2f} | {r['big_sec']:.2f} "
+                f"| {r['ratio']:.1f}× |"
+            )
     cmp_lines: list[str] = []
     if prior is not None and prior[0] != rnd:
         pn, prec = prior
