@@ -100,6 +100,7 @@ QUERIES = [
     "q_substring_keepone",
     "q_log_compaction",
     "q_incremental_rollup",
+    "q_token_budget_plan",
     "q_lsh_pair_audit",
     "q_index_compaction",
     "q_zorder_layout",
