@@ -176,6 +176,8 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     "q_tokenizer_fertility": 7,
     "q_interval_concurrency": 7,
     "q_centroid_confusion": 7,
+    "q_dedup_threshold_sweep": 7,
+    "q_event_transitions": 7,
 }
 
 

@@ -61,6 +61,7 @@ HEADLINE = [
     # analytic / SQL surface
     "q_sessionize",
     "q_interval_concurrency",
+    "q_event_transitions",
     "q_scd2_dimension",
     "q_sql_moving_avg",
     "q_funnel",
@@ -92,6 +93,7 @@ HEADLINE = [
     "q_dedup_clusters",
     "q_dup_centrality",
     "q_winnow_matches",
+    "q_dedup_threshold_sweep",
     "q_incremental_dedup",
     "q_index_incremental_dedup",
     "q_ensemble_dedup",

@@ -772,6 +772,107 @@ FROM bitmap b JOIN exact e
 """
 
 
+# ---------------------------------------------------------------------------
+# Session transition matrix — the Markov "bigram model" of user behavior:
+# within each gap-delimited session (q_sessionize's rule), count every
+# consecutive event_type -> event_type transition, then per source type
+# emit the transition count, row total, integer-ppm transition
+# probability, and the rank of each destination. This is the
+# next-event-prediction baseline / funnel-discovery table (which step
+# follows which, with what probability) — the event-stream analogue of
+# the text bigram LM (q_bigram_logprob).
+#
+# Scale design: ONE shuffle on user_id serves sessionization AND the
+# within-session lead (the (user_id, sid) window is a refinement —
+# Spark reuses the exchange and re-sorts locally); the transition rollup
+# is a map-side-combinable hash aggregate onto |event_types|^2 cells,
+# and the probability/rank windows run on that bounded cell frame.
+# Integer-div ppm keeps the value hash exact.
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event_type transition matrix with integer-ppm
+    probabilities and per-source destination ranks."""
+    from .queries import SESSION_GAP_US
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sid = F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0))
+    sess = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "sid", sid
+    )
+    w_s = W.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    trans = sess.withColumn("to_type", F.lead("event_type").over(w_s)).filter(
+        F.col("to_type").isNotNull()
+    )
+    cell = trans.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count("*").alias("n_transitions"))
+    w_from = W.partitionBy("from_type")
+    w_rank = W.partitionBy("from_type").orderBy(
+        F.col("n_transitions").desc(), F.col("to_type").asc()
+    )
+    return (
+        cell.withColumn("from_total", F.sum("n_transitions").over(w_from))
+        .withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            "from_total",
+            F.expr("n_transitions * 1000000 div from_total").alias("prob_ppm"),
+            "rk",
+        )
+    )
+
+
+def _oracle_event_transitions() -> str:
+    from .queries import SESSION_GAP_US
+
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+trans AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS to_type
+  FROM sess
+),
+cell AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM trans WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+           AS from_total,
+       n_transitions * 1000000
+           // CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+           AS prob_ppm,
+       (ROW_NUMBER() OVER (PARTITION BY from_type
+                           ORDER BY n_transitions DESC, to_type ASC))::INT
+           AS rk
+FROM cell
+"""
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_event_pivot": q_event_pivot,
@@ -791,6 +892,7 @@ QUERIES = {
     "q_kmv_users": q_kmv_users,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_bitmap_distinct": q_bitmap_distinct,
+    "q_event_transitions": q_event_transitions,
 }
 
 ORACLES = {
@@ -815,4 +917,5 @@ ORACLES = {
     "q_kmv_users": _oracle_kmv_users(),
     "q_cms_heavy_hitters": _oracle_cms_heavy_hitters(),
     "q_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
+    "q_event_transitions": _oracle_event_transitions(),
 }

@@ -332,7 +332,9 @@ HAVING COUNT(*) >= 2
 # ---------------------------------------------------------------------------
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
     """Exact n-gram Jaccard self-join via the inverted-index (posting-list)
     plan: explode shingles, equi-join postings on (lang, shingle), count
     common shingles per pair, then `J = common / (na + nb - common)` —
@@ -342,7 +344,6 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the one skew risk is a stop-shingle whose posting list is
     huge — mitigated upstream by shingle-frequency capping, and at runtime
     by AQE skew-join splitting."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
     # Postings carry ONLY (doc_id, lang, shingle); the per-doc shingle count
     # lives in a separate tiny dim attached AFTER the pair aggregation via
     # broadcast joins. Carrying `size(shingles(text))` through the self-join
@@ -382,11 +383,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
-ORACLE_NGRAM_JACCARD = f"""
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(spread(load_table(spark, sf_dir, "documents")))
+
+
+def _ngram_jaccard_sql(threshold: float) -> str:
+    return f"""
 WITH sh AS (
   SELECT doc_id, lang, {_SHINGLES_SQL} AS sh FROM documents
 ),
@@ -403,7 +409,101 @@ common AS (
 SELECT doc_a, doc_b,
        round(common::DOUBLE / (na + nb - common), 6) AS jaccard
 FROM common
-WHERE common::DOUBLE / (na + nb - common) >= {JACCARD_THRESHOLD}
+WHERE common::DOUBLE / (na + nb - common) >= {threshold}
+"""
+
+
+ORACLE_NGRAM_JACCARD = _ngram_jaccard_sql(JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sweep — the calibration table an engineer builds BEFORE
+# committing a 100 TB dedup run to one Jaccard cutoff: for every
+# candidate threshold on a ppm grid, how many pairs would be flagged,
+# how many distinct documents are touched, and the mean similarity of
+# the flagged set. One pass over the exact-Jaccard pair list (floored at
+# the grid minimum so the output stays near-dup-sized, never
+# all-common-shingle-sized); each pair fans out only to the thresholds
+# it qualifies for via an array-filter explode — no per-threshold rescan
+# of the corpus, no pair×grid cross join.
+#
+# Scale design: the pair list is the proven posting-list plan
+# (ngram_jaccard_pairs — linear in postings + co-occurring pairs),
+# cached once because BOTH rollups (pair counts and distinct-doc
+# counts) consume it; everything downstream is hash aggregates on
+# |grid|-bounded keys. Quantities are integer ppm (round(j*1e6) BIGINT,
+# mean via exact-integer div) so the cross-engine hash is exact.
+# ---------------------------------------------------------------------------
+
+SWEEP_FLOOR = 0.1
+SWEEP_GRID_PPM = [100_000 * i for i in range(1, 10)]  # 0.1 .. 0.9
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate threshold (ppm grid): flagged pair count, distinct
+    documents touched, and mean flagged-pair Jaccard — the dedup-cutoff
+    calibration table."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = cache_tracked(
+        ngram_jaccard_pairs(docs, SWEEP_FLOOR).select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(round(jaccard * 1000000) AS BIGINT)").alias("j_ppm"),
+        )
+    )
+    grid = F.array(*[F.lit(t).cast("bigint") for t in SWEEP_GRID_PPM])
+    flagged = pairs.select(
+        F.explode(
+            F.filter(grid, lambda t: F.col("j_ppm") >= t)
+        ).alias("threshold_ppm"),
+        "doc_a",
+        "doc_b",
+        "j_ppm",
+    )
+    pair_agg = flagged.groupBy("threshold_ppm").agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("sum(j_ppm) div count(*)").alias("mean_j_ppm"),
+    )
+    docs_agg = (
+        flagged.select(
+            "threshold_ppm", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("threshold_ppm")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return pair_agg.join(docs_agg, "threshold_ppm").select(
+        "threshold_ppm", "n_pairs", "n_docs", "mean_j_ppm"
+    )
+
+
+def _oracle_dedup_threshold_sweep() -> str:
+    grid = ", ".join(str(t) for t in SWEEP_GRID_PPM)
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(round(jaccard * 1000000) AS BIGINT) AS j_ppm
+  FROM ({_ngram_jaccard_sql(SWEEP_FLOOR)}) t
+),
+grid AS (SELECT unnest([{grid}])::BIGINT AS threshold_ppm),
+flagged AS (
+  SELECT g.threshold_ppm, p.doc_a, p.doc_b, p.j_ppm
+  FROM grid g JOIN pairs p ON p.j_ppm >= g.threshold_ppm
+),
+pair_agg AS (
+  SELECT threshold_ppm, COUNT(*) AS n_pairs,
+         CAST(SUM(j_ppm) AS BIGINT) // COUNT(*) AS mean_j_ppm
+  FROM flagged GROUP BY threshold_ppm
+),
+docs_agg AS (
+  SELECT threshold_ppm, COUNT(DISTINCT d) AS n_docs
+  FROM (
+    SELECT threshold_ppm, doc_a AS d FROM flagged
+    UNION ALL
+    SELECT threshold_ppm, doc_b AS d FROM flagged
+  ) u GROUP BY threshold_ppm
+)
+SELECT p.threshold_ppm, p.n_pairs, d.n_docs, p.mean_j_ppm
+FROM pair_agg p JOIN docs_agg d ON p.threshold_ppm = d.threshold_ppm
 """
 
 
@@ -1814,6 +1914,7 @@ QUERIES = {
     "q_url_dedup": q_url_dedup,
     "q_decontaminate": q_decontaminate,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dedup_threshold_sweep": q_dedup_threshold_sweep,
     "q_minhash_dedup": q_minhash_dedup,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
@@ -1837,6 +1938,7 @@ ORACLES = {
     "q_url_dedup": _oracle_url_dedup(),
     "q_decontaminate": ORACLE_DECONTAMINATE,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "q_dedup_threshold_sweep": _oracle_dedup_threshold_sweep(),
     "q_minhash_dedup": _oracle_minhash(),
     "q_simhash": _oracle_simhash(),
     "q_simhash_pairs": _oracle_simhash_pairs(),

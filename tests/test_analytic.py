@@ -346,3 +346,55 @@ def test_centroid_confusion_invariants(spark, sf_dir):
             assert c.cid_total == total
             assert c.purity_ppm == maj.n * 1_000_000 // total
             assert 0 < c.purity_ppm <= 1_000_000
+
+
+def test_event_transitions_matches_python_reference(spark, sf_dir):
+    """Full differential vs a sequential Python reference: sessionize
+    with the shared gap rule, pair consecutive events per session, and
+    reproduce every (from, to) cell with counts, ppm probabilities, and
+    lowest-to_type-tie ranks."""
+    from collections import defaultdict
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        q_event_transitions,
+    )
+    from langchain_callback_parquet_logger_spark.operators.queries import (
+        SESSION_GAP_US,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    evts = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in evts:
+        per_user[r.user_id].append((r.us, r.event_id, r.event_type))
+    cells = defaultdict(int)
+    for u, es in per_user.items():
+        es.sort(key=lambda t: (t[0], t[1]))
+        prev_us = None
+        prev_type = None
+        for us, _, et in es:
+            if prev_us is not None and us - prev_us <= SESSION_GAP_US:
+                cells[(prev_type, et)] += 1
+            prev_us, prev_type = us, et
+    totals = defaultdict(int)
+    for (f_t, _), n in cells.items():
+        totals[f_t] += n
+    ranks = {}
+    for f_t in totals:
+        dests = sorted(
+            ((t, n) for (f, t), n in cells.items() if f == f_t),
+            key=lambda tn: (-tn[1], tn[0]),
+        )
+        for i, (t, _) in enumerate(dests, 1):
+            ranks[(f_t, t)] = i
+    ref = {
+        (f, t, n, totals[f], n * 1_000_000 // totals[f], ranks[(f, t)])
+        for (f, t), n in cells.items()
+    }
+    got = {
+        (r.from_type, r.to_type, r.n_transitions, r.from_total, r.prob_ppm, r.rk)
+        for r in q_event_transitions(spark, sf_dir).collect()
+    }
+    assert got == ref

@@ -1879,3 +1879,33 @@ def test_winnow_matches_pairs_are_dup_groups(spark, sf_dir):
         assert grams_a & grams_b, (
             f"pair ({doc_a},{doc_b}) shares no {D.WINNOW_K}-gram at all"
         )
+
+
+def test_dedup_threshold_sweep_is_monotone_and_agrees_with_jaccard(spark, sf_dir):
+    """Sweep contract: pair and doc counts are non-increasing in the
+    threshold, mean flagged similarity is at least the threshold, every
+    doc count is bounded by 2x pairs, and the row at the production
+    threshold (0.6) reproduces q_ngram_jaccard's pair count exactly
+    (round(j*1e6) >= 600000 <=> round(j, 6) >= 0.6)."""
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+    )
+
+    try:
+        rows = sorted(
+            D.q_dedup_threshold_sweep(spark, sf_dir).collect(),
+            key=lambda r: r.threshold_ppm,
+        )
+        jacc_n = D.q_ngram_jaccard(spark, sf_dir).count()
+    finally:
+        release_caches()
+    assert rows
+    assert {r.threshold_ppm for r in rows} <= set(D.SWEEP_GRID_PPM)
+    for r in rows:
+        assert r.mean_j_ppm >= r.threshold_ppm
+        assert 2 <= r.n_docs <= 2 * r.n_pairs
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_pairs >= hi.n_pairs
+        assert lo.n_docs >= hi.n_docs
+    at_prod = {r.threshold_ppm: r.n_pairs for r in rows}.get(600_000, 0)
+    assert at_prod == jacc_n

@@ -465,6 +465,28 @@ COMMENTARY: dict[str, str] = {
         "the label rides the same table and it collapses to a "
         "projection). Integer-div ppm keeps the value hash exact."
     ),
+    "q_dedup_threshold_sweep": (
+        "Threshold-calibration in ONE pass: the exact-Jaccard pair "
+        "list (the proven posting-list plan, floored at the grid "
+        "minimum so output stays near-dup-sized) is cached once, then "
+        "each pair explodes onto ONLY the grid thresholds it "
+        "qualifies for (array-filter explode — no pair x grid cross "
+        "join, no per-threshold corpus rescan). Both rollups (pair "
+        "counts + distinct docs) are hash aggregates on |grid|-"
+        "bounded keys; quantities are integer ppm with exact-integer "
+        "div means. This is the table that picks the cutoff BEFORE "
+        "the 100 TB dedup run commits to one."
+    ),
+    "q_event_transitions": (
+        "Markov transition matrix of user behavior: sessionize (the "
+        "q_sessionize gap rule) and the within-session lead share ONE "
+        "shuffle on user_id — the (user_id, sid) window is a strict "
+        "refinement, so Spark reuses the exchange and only re-sorts. "
+        "The transition rollup is a map-side-combinable hash "
+        "aggregate onto |event_types|^2 cells; probability and rank "
+        "windows run on that bounded cell frame. Integer-ppm "
+        "probabilities keep the cross-engine hash exact."
+    ),
     "q_dup_centrality": (
         "Iterative graph algorithm with a FULL value oracle: integer "
         "PageRank (1e9 fixed scale, rank div degree contributions, "

@@ -113,6 +113,8 @@ QUERIES = [
     "q_tokenizer_fertility",
     "q_interval_concurrency",
     "q_centroid_confusion",
+    "q_dedup_threshold_sweep",
+    "q_event_transitions",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
