@@ -178,6 +178,7 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     "q_centroid_confusion": 7,
     "q_dedup_threshold_sweep": 7,
     "q_event_transitions": 7,
+    "q_doc_chunking": 7,
 }
 
 

@@ -84,6 +84,7 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_doc_keywords",
     "q_tokenizer_fertility",
+    "q_doc_chunking",
     # deduplication
     "q_exact_dedup",
     "q_url_dedup",

@@ -1867,6 +1867,87 @@ FROM per GROUP BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# Context-window chunking — the splitting counterpart of q_sequence_pack:
+# long documents become overlapping fixed-width training windows
+# (CHUNK_WORDS words, stride CHUNK_STRIDE, so consecutive chunks share
+# CHUNK_WORDS − CHUNK_STRIDE words of context), each with its word
+# offset and length. This is the transform every context-window-bounded
+# training/embedding pipeline runs between curation and packing.
+#
+# Scale design: a PURE PROJECTION — one scan, zero shuffles. All chunks
+# of a doc are built inside one higher-order transform over the
+# materialized word array (the array is a bare column reference inside
+# the lambda — constructed once per doc in its own projection, the
+# winnowing boundary lesson), then exploded; the fanned rows carry only
+# the chunk payload, never the full word array. Output volume is the
+# inherent chunking overhead (~WORDS/STRIDE × corpus). The trailing
+# filter on chunk_text both drops degenerate all-empty-word chunks and
+# makes result cardinality depend on the reconstructed text, so a
+# count()-only consumer cannot prune the slice/join work.
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width word chunks per document: (doc_id,
+    chunk_id, start_tok, n_tok, chunk_text), stride CHUNK_STRIDE."""
+    from ..plans.session import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", words_col(F.col("text")).alias("ws")
+    ).select("doc_id", "ws", F.size("ws").alias("n"))
+    chunk = lambda ci: F.struct(
+        ci.cast("bigint").alias("chunk_id"),
+        (ci * CHUNK_STRIDE).cast("bigint").alias("start_tok"),
+        F.least(
+            F.lit(CHUNK_WORDS).cast("bigint"),
+            (F.col("n") - ci * CHUNK_STRIDE).cast("bigint"),
+        ).alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("ws"), ci * CHUNK_STRIDE + 1, CHUNK_WORDS), " "
+        ).alias("chunk_text"),
+    )
+    chunks_arr = F.transform(
+        F.expr(f"sequence(CAST(0 AS BIGINT), (n - 1) div {CHUNK_STRIDE})"),
+        chunk,
+    )
+    return (
+        base.select("doc_id", F.explode(chunks_arr).alias("c"))
+        .select("doc_id", "c.*")
+        .filter(F.col("chunk_text") != "")
+    )
+
+
+def _oracle_doc_chunking() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+c AS (
+  SELECT doc_id, ws, n,
+         unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS chunk_id
+  FROM n
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {CHUNK_STRIDE} AS start_tok,
+       LEAST({CHUNK_WORDS}, n - chunk_id * {CHUNK_STRIDE}) AS n_tok,
+       COALESCE(array_to_string(
+         ws[(chunk_id * {CHUNK_STRIDE} + 1)::INT
+            : (chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS})::INT], ' '), '')
+           AS chunk_text
+FROM c
+WHERE COALESCE(array_to_string(
+        ws[(chunk_id * {CHUNK_STRIDE} + 1)::INT
+           : (chunk_id * {CHUNK_STRIDE} + {CHUNK_WORDS})::INT], ' '), '')
+      <> ''
+"""
+
+
 QUERIES = {
     "q_udtf_trigrams": q_udtf_trigrams,
     "q_denylist_redact": q_denylist_redact,
@@ -1892,6 +1973,7 @@ QUERIES = {
     "q_quality_logit": q_quality_logit,
     "q_length_quality_corr": q_length_quality_corr,
     "q_tokenizer_fertility": q_tokenizer_fertility,
+    "q_doc_chunking": q_doc_chunking,
 }
 
 ORACLES = {
@@ -1919,4 +2001,5 @@ ORACLES = {
     "q_quality_logit": _oracle_quality_logit(),
     "q_length_quality_corr": ORACLE_LENGTH_QUALITY_CORR,
     "q_tokenizer_fertility": _oracle_tokenizer_fertility(),
+    "q_doc_chunking": _oracle_doc_chunking(),
 }

@@ -398,3 +398,127 @@ def test_event_transitions_matches_python_reference(spark, sf_dir):
         for r in q_event_transitions(spark, sf_dir).collect()
     }
     assert got == ref
+
+
+def test_event_transitions_duckdb_oracle_matches_python_fuzz():
+    """JVM-free seeded-fuzz differential for the transition-matrix
+    oracle: random event soups hammering the session-gap boundary and
+    same-instant ties must reproduce a sequential Python reference."""
+    import random
+
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        ORACLES,
+    )
+    from langchain_callback_parquet_logger_spark.operators.queries import (
+        SESSION_GAP_US,
+    )
+
+    rng = random.Random(1318)
+    for trial in range(10):
+        evts = []
+        eid = 0
+        for u in range(rng.randint(1, 4)):
+            t = rng.randint(0, 10**6)
+            for _ in range(rng.randint(1, 14)):
+                eid += 1
+                evts.append((u, t, eid, rng.choice(["x", "y", "z"])))
+                t += rng.choice([0, 1, SESSION_GAP_US, SESSION_GAP_US + 1])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT unnest(?) AS user_id, "
+            "make_timestamp(unnest(?)) AS ts, unnest(?) AS event_id, "
+            "unnest(?) AS event_type",
+            [[e[0] for e in evts], [e[1] for e in evts],
+             [e[2] for e in evts], [e[3] for e in evts]],
+        )
+        duck = {
+            tuple(r)
+            for r in con.execute(ORACLES["q_event_transitions"]).fetchall()
+        }
+        con.close()
+
+        from collections import defaultdict
+
+        cells = defaultdict(int)
+        per_user = defaultdict(list)
+        for u, t, e, ty in evts:
+            per_user[u].append((t, e, ty))
+        for u, es in per_user.items():
+            es.sort()
+            prev_t = prev_ty = None
+            for t, e, ty in es:
+                if prev_t is not None and t - prev_t <= SESSION_GAP_US:
+                    cells[(prev_ty, ty)] += 1
+                prev_t, prev_ty = t, ty
+        totals = defaultdict(int)
+        for (f, _), n in cells.items():
+            totals[f] += n
+        ref = set()
+        for f in totals:
+            dests = sorted(
+                ((t, n) for (ff, t), n in cells.items() if ff == f),
+                key=lambda tn: (-tn[1], tn[0]),
+            )
+            for i, (t, n) in enumerate(dests, 1):
+                ref.add((f, t, n, totals[f], n * 1_000_000 // totals[f], i))
+        assert duck == ref, (trial, evts)
+
+
+def test_bitmap_distinct_duckdb_oracle_matches_python_fuzz():
+    """JVM-free seeded-fuzz differential: the bitmap-word oracle's exact
+    distinct counts equal Python set counts on random soups with heavy
+    per-word collisions (user ids packed into few 32-bit buckets)."""
+    import random
+
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        BITMAP_WORD_BITS,
+        ORACLES,
+    )
+
+    rng = random.Random(9042)
+    for trial in range(10):
+        n = rng.randint(5, 60)
+        evts = [
+            (
+                rng.choice(["a", "b"]),
+                rng.randint(0, 1) * 86_400_000_000 + rng.randint(0, 10**6),
+                rng.randint(0, 70),  # spans >2 words, dense collisions
+            )
+            for _ in range(n)
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT unnest(?) AS event_type, "
+            "make_timestamp(unnest(?)) AS ts, unnest(?) AS user_id",
+            [[e[0] for e in evts], [e[1] for e in evts],
+             [e[2] for e in evts]],
+        )
+        duck = {
+            (r[0], r[1], r[2], r[3], r[4], r[5])
+            for r in con.execute(ORACLES["q_bitmap_distinct"]).fetchall()
+        }
+        con.close()
+
+        from collections import defaultdict
+        import datetime as dt
+
+        users = defaultdict(set)
+        for et, t, u in evts:
+            day = (dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=t)).date()
+            users[(et, day)].add(u)
+        ref = {
+            (
+                et,
+                day,
+                len(us),
+                len(us),
+                len({u // BITMAP_WORD_BITS for u in us}),
+                True,
+            )
+            for (et, day), us in users.items()
+        }
+        assert duck == ref, (trial, evts)

@@ -1909,3 +1909,149 @@ def test_dedup_threshold_sweep_is_monotone_and_agrees_with_jaccard(spark, sf_dir
         assert lo.n_docs >= hi.n_docs
     at_prod = {r.threshold_ppm: r.n_pairs for r in rows}.get(600_000, 0)
     assert at_prod == jacc_n
+
+
+def test_dedup_threshold_sweep_oracle_matches_python_on_jaccard_output():
+    """Hermetic JVM-free differential for the SWEEP layer: on random
+    tiny-vocab corpora (constant shingle collisions), the sweep oracle
+    must equal a Python fold over the floored Jaccard-pair oracle's own
+    output — isolating the grid/rollup logic from the (separately
+    pinned) jaccard layer."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(2718)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(10):
+        docs = [
+            (
+                i,
+                "en" if i % 2 == 0 else "de",
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))),
+            )
+            for i in range(rng.randint(2, 10))
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT unnest(?) AS doc_id, "
+            "unnest(?) AS lang, unnest(?) AS text",
+            [[d[0] for d in docs], [d[1] for d in docs], [d[2] for d in docs]],
+        )
+        pairs = con.execute(D._ngram_jaccard_sql(D.SWEEP_FLOOR)).fetchall()
+        duck = {
+            tuple(r)
+            for r in con.execute(D.ORACLES["q_dedup_threshold_sweep"]).fetchall()
+        }
+        con.close()
+
+        from collections import defaultdict
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def ppm(j):
+            return int(
+                Decimal(repr(j * 1_000_000)).quantize(0, rounding=ROUND_HALF_UP)
+            )
+
+        ref = set()
+        for t in D.SWEEP_GRID_PPM:
+            flagged = [(a, b, ppm(j)) for a, b, j in pairs if ppm(j) >= t]
+            if not flagged:
+                continue
+            n_pairs = len(flagged)
+            mean_j = sum(p for _, _, p in flagged) // n_pairs
+            n_docs = len({d for a, b, _ in flagged for d in (a, b)})
+            ref.add((t, n_pairs, n_docs, mean_j))
+        assert duck == ref, (trial, docs, duck, ref)
+
+
+def _chunk_ref(docs):
+    """Python reference for q_doc_chunking: whitespace words, stride-48
+    windows of 64, drop empty-text chunks."""
+    from langchain_callback_parquet_logger_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+    )
+
+    out = set()
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        n = len(ws)
+        for ci in range((n - 1) // CHUNK_STRIDE + 1):
+            s = ci * CHUNK_STRIDE
+            txt = " ".join(ws[s : s + CHUNK_WORDS])
+            if txt != "":
+                out.add((doc_id, ci, s, min(CHUNK_WORDS, n - s), txt))
+    return out
+
+
+def test_doc_chunking_matches_python_reference(spark, sf_dir):
+    """Full differential on the fixture corpus: every (doc, chunk,
+    offset, length, text) row equals the sequential reference, and
+    stride-prefixes of consecutive chunks reconstruct each document."""
+    from langchain_callback_parquet_logger_spark.operators.text import (
+        CHUNK_STRIDE,
+        q_doc_chunking,
+    )
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    ref = _chunk_ref(docs)
+    got = {
+        (r.doc_id, r.chunk_id, r.start_tok, r.n_tok, r.chunk_text)
+        for r in q_doc_chunking(spark, sf_dir).collect()
+    }
+    assert got == ref
+
+    # overlap contract: concatenating each chunk's first CHUNK_STRIDE
+    # words (all of the last chunk) reconstructs the document exactly
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for d, ci, s, n_tok, txt in got:
+        by_doc[d].append((ci, txt))
+    texts = dict(docs)
+    for d, cs in by_doc.items():
+        cs.sort()
+        rebuilt = []
+        for i, (ci, txt) in enumerate(cs):
+            w = txt.split(" ")
+            rebuilt.extend(w if i == len(cs) - 1 else w[:CHUNK_STRIDE])
+        assert " ".join(rebuilt) == texts[d], d
+
+
+def test_doc_chunking_duckdb_oracle_edge_docs():
+    """JVM-free edge-case differential: empty doc, single word, exact
+    stride/window multiples, off-by-one lengths, and multi-space runs
+    must match the Python reference through the DuckDB oracle."""
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators import text as T
+
+    words = lambda k: " ".join(f"w{i}" for i in range(k))
+    docs = [
+        (0, ""),
+        (1, "solo"),
+        (2, words(T.CHUNK_STRIDE)),          # exactly one stride
+        (3, words(T.CHUNK_STRIDE + 1)),      # spills into chunk 2
+        (4, words(T.CHUNK_WORDS)),           # exactly one window
+        (5, words(T.CHUNK_WORDS + 1)),
+        (6, words(2 * T.CHUNK_STRIDE + T.CHUNK_WORDS)),
+        (7, "a  b   c"),                     # empty words from space runs
+        (8, " ".join([""] * 120)),           # all-empty words: no chunks
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest(?) AS doc_id, "
+        "unnest(?) AS text",
+        [[d for d, _ in docs], [t for _, t in docs]],
+    )
+    duck = {
+        tuple(r) for r in con.execute(T.ORACLES["q_doc_chunking"]).fetchall()
+    }
+    con.close()
+    assert duck == _chunk_ref(docs)

@@ -294,3 +294,56 @@ def test_interval_concurrency_duckdb_oracle_matches_python():
         }
         con.close()
         assert duck == _sweep_ref(evts, SESSION_GAP_US), (trial, evts)
+
+
+def test_scd2_duckdb_oracle_matches_python_fuzz():
+    """JVM-free seeded-fuzz differential: the SCD2 DuckDB oracle equals a
+    sequential Python run-compressor on random event soups with
+    same-instant ties (event_id ordering) and immediate state flips."""
+    import random
+
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.temporal import (
+        ORACLES,
+    )
+
+    rng = random.Random(4711)
+    for trial in range(12):
+        evts = []
+        eid = 0
+        for u in range(rng.randint(1, 4)):
+            t = rng.randint(0, 2) * 86_400_000_000
+            for _ in range(rng.randint(1, 15)):
+                eid += 1
+                evts.append((u, t, eid, rng.choice(["a", "b", "c"])))
+                t += rng.choice([0, 1, 999, 10**7])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT unnest(?) AS user_id, "
+            "make_timestamp(unnest(?)) AS ts, unnest(?) AS event_id, "
+            "unnest(?) AS event_type",
+            [[e[0] for e in evts], [e[1] for e in evts],
+             [e[2] for e in evts], [e[3] for e in evts]],
+        )
+        duck = {
+            tuple(r) for r in con.execute(ORACLES["q_scd2_dimension"]).fetchall()
+        }
+        con.close()
+
+        ref = set()
+        per_user = {}
+        for u, t, e, ty in evts:
+            per_user.setdefault(u, []).append((t, e, ty))
+        for u, es in per_user.items():
+            es.sort()
+            runs = []  # (state, first_us, n)
+            for t, e, ty in es:
+                if runs and runs[-1][0] == ty:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([ty, t, 1])
+            for i, (ty, t, n) in enumerate(runs):
+                nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+                ref.add((u, i + 1, ty, t, nxt, n, nxt is None))
+        assert duck == ref, (trial, evts)

@@ -487,6 +487,19 @@ COMMENTARY: dict[str, str] = {
         "windows run on that bounded cell frame. Integer-ppm "
         "probabilities keep the cross-engine hash exact."
     ),
+    "q_doc_chunking": (
+        "Context-window chunking as a PURE PROJECTION: one scan, zero "
+        "shuffles, whole-stage codegen end to end. The word array is "
+        "materialized once per doc in its own projection (bare column "
+        "reference inside the chunk-building lambda — the winnowing "
+        "projection-boundary lesson), all chunks of a doc are built in "
+        "ONE higher-order transform, and the explode fans out rows "
+        "that carry only the chunk payload, never the full array. "
+        "Output volume is the inherent ~WORDS/STRIDE x corpus chunk "
+        "overhead; the non-empty chunk_text filter keeps result "
+        "cardinality dependent on the reconstructed text (no count() "
+        "pruning of the slice/join work)."
+    ),
     "q_dup_centrality": (
         "Iterative graph algorithm with a FULL value oracle: integer "
         "PageRank (1e9 fixed scale, rank div degree contributions, "

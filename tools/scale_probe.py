@@ -115,6 +115,7 @@ QUERIES = [
     "q_centroid_confusion",
     "q_dedup_threshold_sweep",
     "q_event_transitions",
+    "q_doc_chunking",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
