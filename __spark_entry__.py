@@ -179,6 +179,8 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     "q_dedup_threshold_sweep": 7,
     "q_event_transitions": 7,
     "q_doc_chunking": 7,
+    "q_session_funnel_paths": 7,
+    "q_burst_detection": 7,
 }
 
 

@@ -62,6 +62,8 @@ HEADLINE = [
     "q_sessionize",
     "q_interval_concurrency",
     "q_event_transitions",
+    "q_session_funnel_paths",
+    "q_burst_detection",
     "q_scd2_dimension",
     "q_sql_moving_avg",
     "q_funnel",

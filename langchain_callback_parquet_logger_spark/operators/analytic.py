@@ -873,6 +873,203 @@ FROM cell
 """
 
 
+# ---------------------------------------------------------------------------
+# Session funnel paths — the full-path complement of q_event_transitions:
+# each session's first PATH_LEN event types joined into a path string,
+# rolled up to (path, session count, mean session length, rank). The
+# "what do users actually do" discovery table behind every designed
+# funnel (q_funnel checks ONE hypothesized order; this emits the
+# empirical orders ranked).
+#
+# Scale design: sessionization, the within-session row_number, AND the
+# per-session aggregate all run off ONE shuffle on user_id (the
+# (user, sid) aggregate keys are a refinement of the window partitioning,
+# and collect_list(when(rn<=PATH_LEN, ...)) skips nulls, so the prefix
+# and the full-session count come out of the SAME aggregate — no second
+# pass, no self-join). The path rollup is a hash aggregate onto at most
+# |event_types|^PATH_LEN cells — bounded by construction, as is the
+# final single-partition rank window over those cells.
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 4
+
+
+def q_session_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked empirical session paths: first PATH_LEN event types per
+    session, session counts, and integer-ppm mean session length."""
+    from .queries import SESSION_GAP_US
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | ((us - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sid = F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0))
+    sess = events.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "sid", sid
+    )
+    w_s = W.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(w_s))
+    per_session = ranked.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= PATH_LEN,
+                            F.struct("rn", "event_type"),
+                        )
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+    )
+    w_rank = W.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events_total"),
+        )
+        .withColumn(
+            "mean_len_ppm",
+            F.expr("n_events_total * 1000000 div n_sessions"),
+        )
+        .withColumn("rk", F.row_number().over(w_rank).cast("int"))
+    )
+
+
+def _oracle_session_funnel_paths() -> str:
+    from .queries import SESSION_GAP_US
+
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+ranked AS (
+  SELECT user_id, sid, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+  FROM sess
+),
+per_session AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         array_to_string(
+           list(event_type ORDER BY rn) FILTER (WHERE rn <= {PATH_LEN}),
+           '>') AS path
+  FROM ranked GROUP BY user_id, sid
+),
+rolled AS (
+  SELECT path, COUNT(*) AS n_sessions,
+         CAST(SUM(n_events) AS BIGINT) AS n_events_total
+  FROM per_session GROUP BY path
+)
+SELECT path, n_sessions, n_events_total,
+       n_events_total * 1000000 // n_sessions AS mean_len_ppm,
+       (ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC))::INT AS rk
+FROM rolled
+"""
+
+
+# ---------------------------------------------------------------------------
+# Burst detection — per-user hourly event-rate spikes against the
+# trailing 7-day PEAK: flag every (user, hour) whose count reaches
+# BURST_FACTOR x the user's maximum hourly count over the previous
+# BURST_WINDOW_HOURS, given at least BURST_MIN_HISTORY_HOURS of
+# active-hour history. Peak-relative (not average-relative) baselines
+# stay meaningful on sparse streams — an average-rate rule degenerates
+# when most active hours hold a single event (measured on the fixture:
+# a 3x-average rule flagged 8401/8402 eligible buckets; this rule flags
+# ~2.6%). The ops-monitoring read of the log (a runaway agent loop, a
+# stuck retry storm) and the rate-anomaly complement of
+# q_anomaly_zscore's value anomalies.
+#
+# Scale design: one hash aggregate onto (user, epoch-hour) buckets
+# (map-side combinable — the only corpus-cardinality shuffle), then two
+# aggregates over ONE RANGE window on integer epoch-hours inside the
+# same user partition (no second shuffle). The flag predicate is pure
+# integer arithmetic, so both engines agree exactly; cold-start hours
+# are not flaggable. Output cardinality depends on the detection, so
+# count() cannot prune the window.
+# ---------------------------------------------------------------------------
+
+BURST_FACTOR = 2
+BURST_WINDOW_HOURS = 168
+BURST_MIN_HISTORY_HOURS = 5
+
+
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagged (user, hour) buckets whose event count reaches
+    BURST_FACTOR x the trailing 7-day hourly peak (with minimum
+    history); integer-ppm peak ratio."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).groupBy("user_id", "h").agg(F.count("*").alias("cnt"))
+    w_trail = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rangeBetween(-BURST_WINDOW_HOURS, -1)
+    )
+    trailed = hourly.withColumn(
+        "trailing_peak", F.max("cnt").over(w_trail)
+    ).withColumn("n_history_hours", F.count("*").over(w_trail))
+    return (
+        trailed.filter(
+            (F.col("n_history_hours") >= BURST_MIN_HISTORY_HOURS)
+            & (F.col("cnt") >= BURST_FACTOR * F.col("trailing_peak"))
+        )
+        .select(
+            "user_id",
+            (F.col("h") * 3_600_000_000).alias("hour_us"),
+            "cnt",
+            "trailing_peak",
+            "n_history_hours",
+            F.expr("cnt * 1000000 div trailing_peak").alias("peak_ratio_ppm"),
+        )
+    )
+
+
+ORACLE_BURST_DETECTION = f"""
+WITH hourly AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, h
+),
+trailed AS (
+  SELECT user_id, h, cnt,
+         MAX(cnt) OVER w AS trailing_peak,
+         COUNT(*) OVER w AS n_history_hours
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id ORDER BY h
+               RANGE BETWEEN {BURST_WINDOW_HOURS} PRECEDING
+                     AND 1 PRECEDING)
+)
+SELECT user_id, h * 3600000000 AS hour_us, cnt, trailing_peak,
+       n_history_hours,
+       cnt * 1000000 // trailing_peak AS peak_ratio_ppm
+FROM trailed
+WHERE n_history_hours >= {BURST_MIN_HISTORY_HOURS}
+  AND cnt >= {BURST_FACTOR} * trailing_peak
+"""
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_event_pivot": q_event_pivot,
@@ -893,6 +1090,8 @@ QUERIES = {
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_bitmap_distinct": q_bitmap_distinct,
     "q_event_transitions": q_event_transitions,
+    "q_session_funnel_paths": q_session_funnel_paths,
+    "q_burst_detection": q_burst_detection,
 }
 
 ORACLES = {
@@ -918,4 +1117,6 @@ ORACLES = {
     "q_cms_heavy_hitters": _oracle_cms_heavy_hitters(),
     "q_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "q_event_transitions": _oracle_event_transitions(),
+    "q_session_funnel_paths": _oracle_session_funnel_paths(),
+    "q_burst_detection": ORACLE_BURST_DETECTION,
 }

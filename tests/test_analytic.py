@@ -522,3 +522,109 @@ def test_bitmap_distinct_duckdb_oracle_matches_python_fuzz():
             for (et, day), us in users.items()
         }
         assert duck == ref, (trial, evts)
+
+
+def test_session_funnel_paths_matches_python_reference(spark, sf_dir):
+    """Full differential vs a sequential Python reference: session path
+    prefixes, session counts, ppm mean lengths, and ranks."""
+    from collections import defaultdict
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        PATH_LEN,
+        q_session_funnel_paths,
+    )
+    from langchain_callback_parquet_logger_spark.operators.queries import (
+        SESSION_GAP_US,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    evts = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in evts:
+        per_user[r.user_id].append((r.us, r.event_id, r.event_type))
+    sessions = []  # (path, n_events)
+    for u, es in per_user.items():
+        es.sort()
+        cur = []
+        prev = None
+        for us, _, ty in es:
+            if prev is not None and us - prev > SESSION_GAP_US:
+                sessions.append(cur)
+                cur = []
+            cur.append(ty)
+            prev = us
+        sessions.append(cur)
+    rolled = defaultdict(lambda: [0, 0])
+    for s in sessions:
+        key = ">".join(s[:PATH_LEN])
+        rolled[key][0] += 1
+        rolled[key][1] += len(s)
+    ordered = sorted(rolled.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    ref = {
+        (path, n, tot, tot * 1_000_000 // n, i)
+        for i, (path, (n, tot)) in enumerate(ordered, 1)
+    }
+    got = {
+        (r.path, r.n_sessions, r.n_events_total, r.mean_len_ppm, r.rk)
+        for r in q_session_funnel_paths(spark, sf_dir).collect()
+    }
+    assert got == ref
+
+
+def test_burst_detection_matches_python_reference(spark, sf_dir):
+    """Full differential vs a brute-force Python reference: hourly
+    buckets, trailing-window peaks/history (inclusive RANGE boundaries),
+    and the integer flag rule."""
+    from collections import defaultdict
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        BURST_FACTOR,
+        BURST_MIN_HISTORY_HOURS,
+        BURST_WINDOW_HOURS,
+        q_burst_detection,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    evts = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    ).collect()
+    buckets = defaultdict(int)
+    for r in evts:
+        buckets[(r.user_id, r.us // 3_600_000_000)] += 1
+    by_user = defaultdict(dict)
+    for (u, h), c in buckets.items():
+        by_user[u][h] = c
+    ref = set()
+    for u, hs in by_user.items():
+        for h, c in hs.items():
+            window = [
+                hs[k]
+                for k in hs
+                if h - BURST_WINDOW_HOURS <= k <= h - 1
+            ]
+            if len(window) >= BURST_MIN_HISTORY_HOURS and c >= BURST_FACTOR * max(window):
+                ref.add(
+                    (
+                        u,
+                        h * 3_600_000_000,
+                        c,
+                        max(window),
+                        len(window),
+                        c * 1_000_000 // max(window),
+                    )
+                )
+    got = {
+        (
+            r.user_id,
+            r.hour_us,
+            r.cnt,
+            r.trailing_peak,
+            r.n_history_hours,
+            r.peak_ratio_ppm,
+        )
+        for r in q_burst_detection(spark, sf_dir).collect()
+    }
+    assert got == ref
+    assert got  # the fixture must actually exercise the detector

@@ -487,6 +487,28 @@ COMMENTARY: dict[str, str] = {
         "windows run on that bounded cell frame. Integer-ppm "
         "probabilities keep the cross-engine hash exact."
     ),
+    "q_session_funnel_paths": (
+        "Empirical funnel discovery off ONE shuffle: sessionize, the "
+        "within-session row_number, and the per-session aggregate all "
+        "share the user_id exchange ((user, sid) keys refine the "
+        "window partitioning), and collect_list(when(rn<=4, ...)) "
+        "skips nulls so the path prefix and the FULL session length "
+        "come out of the same aggregate — no second pass, no "
+        "self-join. The path rollup and the rank window run on at "
+        "most |event_types|^4 cells — bounded by construction."
+    ),
+    "q_burst_detection": (
+        "Rate-spike detection with a CALIBRATED rule: flags hours at "
+        ">= 2x the user's trailing 7-day hourly PEAK (min 5 active "
+        "hours of history). Peak-relative baselines survive sparse "
+        "streams — the classic 3x-trailing-average rule flagged "
+        "8401/8402 eligible fixture buckets (nearly every active hour "
+        "of a mostly-1-event-per-hour stream trivially beats its "
+        "average), this flags 2.6%. Plan: one map-side-combinable "
+        "bucket aggregate, then max+count over ONE integer-RANGE "
+        "window in the same user partition — no second shuffle; the "
+        "predicate is pure integer arithmetic."
+    ),
     "q_doc_chunking": (
         "Context-window chunking as a PURE PROJECTION: one scan, zero "
         "shuffles, whole-stage codegen end to end. The word array is "

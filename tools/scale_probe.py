@@ -116,6 +116,8 @@ QUERIES = [
     "q_dedup_threshold_sweep",
     "q_event_transitions",
     "q_doc_chunking",
+    "q_session_funnel_paths",
+    "q_burst_detection",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
