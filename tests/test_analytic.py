@@ -628,3 +628,135 @@ def test_burst_detection_matches_python_reference(spark, sf_dir):
     }
     assert got == ref
     assert got  # the fixture must actually exercise the detector
+
+
+def test_session_funnel_paths_duckdb_oracle_matches_python_fuzz():
+    """JVM-free seeded-fuzz differential for the funnel-path oracle:
+    random event soups with gap-boundary and same-instant collisions
+    must reproduce the sequential reference (paths, counts, ppm means,
+    ranks)."""
+    import random
+
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        ORACLES,
+        PATH_LEN,
+    )
+    from langchain_callback_parquet_logger_spark.operators.queries import (
+        SESSION_GAP_US,
+    )
+
+    rng = random.Random(6021)
+    for trial in range(10):
+        evts = []
+        eid = 0
+        for u in range(rng.randint(1, 4)):
+            t = rng.randint(0, 10**6)
+            for _ in range(rng.randint(1, 12)):
+                eid += 1
+                evts.append((u, t, eid, rng.choice(["p", "q", "r"])))
+                t += rng.choice([0, 1, SESSION_GAP_US, SESSION_GAP_US + 1])
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT unnest(?) AS user_id, "
+            "make_timestamp(unnest(?)) AS ts, unnest(?) AS event_id, "
+            "unnest(?) AS event_type",
+            [[e[0] for e in evts], [e[1] for e in evts],
+             [e[2] for e in evts], [e[3] for e in evts]],
+        )
+        duck = {
+            tuple(r)
+            for r in con.execute(ORACLES["q_session_funnel_paths"]).fetchall()
+        }
+        con.close()
+
+        from collections import defaultdict
+
+        per_user = defaultdict(list)
+        for u, t, e, ty in evts:
+            per_user[u].append((t, e, ty))
+        sessions = []
+        for u, es in per_user.items():
+            es.sort()
+            cur = []
+            prev = None
+            for t, e, ty in es:
+                if prev is not None and t - prev > SESSION_GAP_US:
+                    sessions.append(cur)
+                    cur = []
+                cur.append(ty)
+                prev = t
+            sessions.append(cur)
+        rolled = defaultdict(lambda: [0, 0])
+        for s in sessions:
+            key = ">".join(s[:PATH_LEN])
+            rolled[key][0] += 1
+            rolled[key][1] += len(s)
+        ordered = sorted(rolled.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        ref = {
+            (p, n, tot, tot * 1_000_000 // n, i)
+            for i, (p, (n, tot)) in enumerate(ordered, 1)
+        }
+        assert duck == ref, (trial, evts)
+
+
+def test_burst_detection_duckdb_oracle_matches_python_fuzz():
+    """JVM-free seeded-fuzz differential for the burst oracle: clustered
+    hour buckets that straddle the 168h RANGE boundary and the minimum-
+    history threshold must reproduce the brute-force reference."""
+    import random
+
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        BURST_FACTOR,
+        BURST_MIN_HISTORY_HOURS,
+        BURST_WINDOW_HOURS,
+        ORACLES,
+    )
+
+    rng = random.Random(777)
+    HOUR = 3_600_000_000
+    for trial in range(10):
+        evts = []
+        for u in range(rng.randint(1, 3)):
+            # clustered active hours incl. exact 168h-window edges
+            hours = set()
+            base = rng.randint(0, 50)
+            for _ in range(rng.randint(3, 20)):
+                hours.add(base + rng.choice(
+                    [0, 1, 2, 3, 4, 5, BURST_WINDOW_HOURS,
+                     BURST_WINDOW_HOURS + 1, rng.randint(0, 200)]
+                ))
+            for h in hours:
+                for _ in range(rng.randint(1, 4)):
+                    evts.append((u, h * HOUR + rng.randint(0, HOUR - 1)))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT unnest(?) AS user_id, "
+            "make_timestamp(unnest(?)) AS ts",
+            [[e[0] for e in evts], [e[1] for e in evts]],
+        )
+        duck = {
+            tuple(r)
+            for r in con.execute(ORACLES["q_burst_detection"]).fetchall()
+        }
+        con.close()
+
+        from collections import defaultdict
+
+        buckets = defaultdict(int)
+        for u, us in evts:
+            buckets[(u, us // HOUR)] += 1
+        by_user = defaultdict(dict)
+        for (u, h), c in buckets.items():
+            by_user[u][h] = c
+        ref = set()
+        for u, hs in by_user.items():
+            for h, c in hs.items():
+                win = [hs[k] for k in hs if h - BURST_WINDOW_HOURS <= k <= h - 1]
+                if len(win) >= BURST_MIN_HISTORY_HOURS and c >= BURST_FACTOR * max(win):
+                    ref.add((u, h * HOUR, c, max(win), len(win),
+                             c * 1_000_000 // max(win)))
+        assert duck == ref, (trial, sorted(buckets.items()))
