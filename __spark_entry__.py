@@ -75,79 +75,77 @@ GRADING_WINDOW = 50
 
 # The driver grades the FIRST GRADING_WINDOW registry entries (insertion
 # order).  Order the registry explicitly so that, across rounds, EVERY
-# query earns a driver-graded CORRECTNESS record.  Round-7 rotation
-# (VERDICT r6 next-round #2): the stalest driver records take the front —
-# the 9 queries whose newest record is r3, then the 18 never-re-graded
-# r4-certified entries the verdict names — followed by the permanent
-# rows-only resident, this round's new queries, and a fill of the
-# oldest round-5 records (all 17 single-record r5 entries, the two
-# 2-record ones, and the alphabetically-first 3-record one).  The 49
-# queries freshly certified in round 6 rotate out; the local
-# full-surface gate still covers them every round.
-_PRIORITY = [
-    # -- newest driver record is r3: stalest, re-certify first --
-    "q_anti_join_checkpoint",
-    "q_batch_map",
-    "q_custom_id_extract",
-    "q_date_partition_agg",
-    "q_filter_event_type",
-    "q_json_extract",
-    "q_scan_project",
-    "q_token_rollup",
-    "q_user_value_median",
-    # -- r4-certified, never re-graded (VERDICT r6 #2 explicit list) --
-    "q_cube",
-    "q_domain_cap",
-    "q_grouping_sets",
-    "q_lead_lag",
-    "q_ntile",
-    "q_rolling_hash",
-    "q_running_total",
-    "q_sequence_pack",
-    "q_set_ops",
-    "q_simhash_pairs",
-    "q_sql_correlated_scalar",
-    "q_sql_exists_semi",
-    "q_sql_in_agg",
-    "q_sql_not_exists_anti",
-    "q_sql_scalar_having",
-    "q_topk",
-    "q_union_dedup",
-    "q_value_histogram",
-    # -- permanent window resident --
-    "q_hll_users",  # rows-only (sketch estimates are engine-specific)
-    # -- new in round 7: first driver certification --
-    "q_substring_clean",  # duplicated-span REMOVAL (Lee et al. §4)
-    "q_substring_keepone",  # keep-one ExactSubstr variant (canonical survives)
-    "q_log_compaction",  # log-table maintenance lifecycle (read-identity)
-    "q_index_compaction",  # stored-index compaction pass (read-identity)
-    # -- round-5 records, single-record entries first --
-    "q_ann_join",
-    "q_bpe_apply",
-    "q_ccnet_buckets",
-    "q_cms_heavy_hitters",
-    "q_doc_keywords",
-    "q_dsir_weights",
-    "q_filter_funnel",
-    "q_key_skew_report",
-    "q_kmv_users",
-    "q_length_quality_corr",
-    "q_matryoshka_probe",
-    "q_minhash_estimate_error",
-    "q_ngram_novelty",
-    "q_paraphrase_candidates",
-    "q_pmi_collocations",
-    "q_training_order",
-    "q_vocab_coverage",
-    # -- round-5 records, 2-record fill (q_source_mixture_weights and
-    # the 3-record q_decontaminate ceded their slots to the round-7
-    # additions; the local full-surface gate still covers them) --
-    "q_cross_source_dupes",
-]
-# Rotated out to make room: the round-6-certified set
-# (CORRECTNESS_r06.json, all-green) and the remaining 3-or-more-record
-# round-5 entries; the local full-surface gate still covers all of them
+# query earns a driver-graded CORRECTNESS record.  Round-8 rotation
+# (VERDICT r7 next-round #1): the 18 round-7 additions that were pending
+# certification take the front — they have NO driver record yet — then
+# the permanent sketch resident, then the stalest re-certification fill:
+# all 26 queries whose newest driver record is round 5, plus the five
+# single-record round-6 entries.  The 49 queries freshly certified in
+# round 7 rotate out; the local full-surface gate still covers them
 # every round.
+_PRIORITY = [
+    # -- round-7 additions, first driver certification (were
+    #    _PENDING_CERTIFICATION; the tripwire test expired their
+    #    exemption when CORRECTNESS_r07.json landed) --
+    "q_winnow_matches",
+    "q_scd2_dimension",
+    "q_bitmap_distinct",
+    "q_tokenizer_fertility",
+    "q_interval_concurrency",
+    "q_centroid_confusion",
+    "q_dedup_threshold_sweep",
+    "q_event_transitions",
+    "q_doc_chunking",
+    "q_session_funnel_paths",
+    "q_burst_detection",
+    "q_dup_centrality",
+    "q_lsh_pair_audit",
+    "q_ann_recall_audit",
+    "q_token_budget_plan",
+    "q_format_roundtrip",
+    "q_incremental_rollup",
+    "q_zorder_layout",
+    # -- permanent window resident (round 8: now carries a full
+    #    deterministic value oracle — see operators/analytic.py) --
+    "q_hll_users",
+    # -- stalest re-certification fill: newest driver record is r5 --
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_denylist_redact",
+    "q_embedding_dedup",
+    "q_kmeans_ivf",
+    "q_knn_bruteforce",
+    "q_knn_lsh",
+    "q_lang_id",
+    "q_minhash_dedup",
+    "q_mixture_sample",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_ngram_jaccard",
+    "q_priority_class",
+    "q_range_join_banded",
+    "q_sessionize",
+    "q_simhash",
+    "q_source_mixture_weights",
+    "q_sql_moving_avg",
+    "q_stream_dedup",
+    "q_stream_hourly_counts",
+    "q_stream_join",
+    "q_stream_session_window",
+    "q_stream_sessionize",
+    "q_top_terms",
+    "q_variant_extract",
+    # -- single-record round-6 entries --
+    "q_bigram_logprob",
+    "q_index_ann",
+    "q_index_incremental_dedup",
+    "q_quality_logit",
+    "q_url_dedup",
+]
+# Rotated out to make room: the round-7-certified set
+# (CORRECTNESS_r07.json, all-green) and the 2-or-more-record round-6
+# entries; the local full-surface gate still covers all of them every
+# round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/
@@ -159,28 +157,9 @@ _PRIORITY = [
 # following session cannot ship without rotating these in (value = round
 # the query was added).
 _PENDING_CERTIFICATION: dict[str, int] = {
-    # Round-7 mid-round additions (window already holds the four
-    # round-7 headliners + the stale-record rotation): certified by the
-    # local full-surface gate this round, MUST rotate into _PRIORITY in
-    # round 8.
-    "q_lsh_pair_audit": 7,
-    "q_token_budget_plan": 7,
-    "q_incremental_rollup": 7,
-    "q_zorder_layout": 7,
-    "q_format_roundtrip": 7,
-    "q_ann_recall_audit": 7,
-    "q_dup_centrality": 7,
-    "q_winnow_matches": 7,
-    "q_scd2_dimension": 7,
-    "q_bitmap_distinct": 7,
-    "q_tokenizer_fertility": 7,
-    "q_interval_concurrency": 7,
-    "q_centroid_confusion": 7,
-    "q_dedup_threshold_sweep": 7,
-    "q_event_transitions": 7,
-    "q_doc_chunking": 7,
-    "q_session_funnel_paths": 7,
-    "q_burst_detection": 7,
+    # (empty at round-8 open: all 18 round-7 mid-round additions rotated
+    # into the front of _PRIORITY above.  Mid-round round-8 additions go
+    # here with value 8.)
 }
 
 
