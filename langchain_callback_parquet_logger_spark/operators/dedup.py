@@ -406,10 +406,13 @@ common AS (
     ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
-SELECT doc_a, doc_b,
-       round(common::DOUBLE / (na + nb - common), 6) AS jaccard
-FROM common
-WHERE common::DOUBLE / (na + nb - common) >= {threshold}
+SELECT doc_a, doc_b, jaccard
+FROM (
+  SELECT doc_a, doc_b,
+         round(common::DOUBLE / (na + nb - common), 6) AS jaccard
+  FROM common
+) r
+WHERE jaccard >= {threshold}
 """
 
 
@@ -625,13 +628,15 @@ cand AS (
     ON b1.band_id = b2.band_id AND b1.band_key = b2.band_key
    AND b1.doc_id < b2.doc_id
 )
-SELECT doc_a, doc_b,
-       round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-FROM cand JOIN sh a ON cand.doc_a = a.doc_id
-          JOIN sh b ON cand.doc_b = b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, jaccard
+FROM (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+  FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+            JOIN sh b ON cand.doc_b = b.doc_id
+) r
+WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 

@@ -338,17 +338,33 @@ def q_zorder_layout(
     # skipping scan actually reads. floor(v * 2^bits / (max+1)) keeps
     # order and spreads every dimension across the full bit budget.
     side = 1 << ZORDER_BITS
-    tot = events.agg(F.max("user_id").alias("umax"))
-    hour_idx = (F.dayofmonth("ts") - 1) * 24 + F.hour("ts")  # 0..743
+    # The time dimension is the CORPUS-RELATIVE epoch hour (hours since
+    # the earliest event), range-normalized exactly like user_id. A
+    # calendar bucket such as (dayofmonth-1)*24+hour would alias the
+    # same value across different months on a multi-month corpus,
+    # collapsing distinct time ranges onto one Morton coordinate and
+    # degrading both clustering and the min/max skipping margin.
+    epoch_hour = F.expr("unix_micros(ts) div 3600000000")
+    tot = events.agg(
+        F.max("user_id").alias("umax"),
+        F.min(epoch_hour).alias("hmin"),
+        F.max(epoch_hour).alias("hmax"),
+    )
     zed = events.crossJoin(F.broadcast(tot)).withColumn(
         "z",
         zorder_key(
             F.floor(F.col("user_id") * side / (F.col("umax") + 1)),
-            F.floor(hour_idx * side / F.lit(744)),
+            F.floor(
+                (epoch_hour - F.col("hmin"))
+                * side
+                / (F.col("hmax") - F.col("hmin") + 1)
+            ),
         ),
     )
     zed = zed.repartitionByRange(n_files, "z").sortWithinPartitions("z")
-    zed.drop("z", "umax").write.mode("overwrite").parquet(zorder_dir)
+    zed.drop("z", "umax", "hmin", "hmax").write.mode("overwrite").parquet(
+        zorder_dir
+    )
 
     def candidate_files(root: str, probes: list[int]) -> float:
         ranges = []

@@ -360,7 +360,12 @@ def retain_partitions(
 ) -> int:
     """Retention pass for a date-partitioned log tree: drop every
     ``<partition_col>=<value>`` directory whose value sorts below
-    ``min_date`` (ISO dates sort lexically). Returns the number of
+    ``min_date`` (ISO dates sort lexically). A null-key partition
+    (Spark's ``__HIVE_DEFAULT_PARTITION__``) is also dropped: retention
+    is defined by ``CAST(value) >= min_date``, which a NULL date can
+    never satisfy — and lexically ``_`` sorts above digits, so the
+    default-partition directory would otherwise be silently retained
+    in contradiction of that predicate. Returns the number of
     partitions dropped.
 
     Scale notes: runs BEFORE compaction in the nightly maintenance job —
@@ -382,7 +387,8 @@ def retain_partitions(
     for status in fs.listStatus(root):
         name = status.getPath().getName()
         if status.isDirectory() and name.startswith(prefix):
-            if name[len(prefix):] < min_date:
+            value = name[len(prefix):]
+            if value < min_date or value == "__HIVE_DEFAULT_PARTITION__":
                 fs.delete(status.getPath(), True)
                 dropped += 1
     return dropped

@@ -144,6 +144,33 @@ def test_retain_partitions_drops_only_expired_dates(spark, fragmented_logs):
     assert retain_partitions(spark, out, cutoff) == 0
 
 
+def test_retain_partitions_drops_null_date_partition(spark, fragmented_logs):
+    """A null-date partition (``__HIVE_DEFAULT_PARTITION__``) sorts above
+    every ISO date lexically (``_`` > digits) but can never satisfy the
+    retention predicate ``CAST(date) >= min_date`` — retain_partitions
+    must drop it, keeping the directory tree read-identical to the
+    predicate the q_log_compaction oracle grades."""
+    from langchain_callback_parquet_logger_spark.sinks import retain_partitions
+
+    out, _ = fragmented_logs
+    dates = sorted(
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(out, "date=*"))
+    )
+    cutoff = dates[0]  # every real date partition survives
+    null_dir = os.path.join(out, "date=__HIVE_DEFAULT_PARTITION__")
+    os.makedirs(null_dir, exist_ok=True)
+    with open(os.path.join(null_dir, "placeholder"), "w") as f:
+        f.write("")
+    assert retain_partitions(spark, out, cutoff) == 1
+    assert not os.path.exists(null_dir)
+    kept = sorted(
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(out, "date=*"))
+    )
+    assert kept == dates
+
+
 def test_q_log_compaction_read_identity_and_file_contract(spark, sf_dir, tmp_path):
     """The graded lifecycle equals the events-table rollup under the
     retention predicate, and the emitted file target matches the

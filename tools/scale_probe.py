@@ -316,9 +316,13 @@ def main() -> None:
             json.dump(
                 {"k": K, "complete": False, "queries": record}, f, indent=2
             )
+    # "complete" means every probe-list query has a row in the merged
+    # record — an incremental SCALE_ONLY run over a missing/partial
+    # artifact must not mislabel the result as a full probe.
+    complete = all(name in record for name in QUERIES)
     with open(scale_path, "w") as f:
-        json.dump({"k": K, "complete": True, "queries": record}, f, indent=2)
-    print(f"wrote {scale_path}")
+        json.dump({"k": K, "complete": complete, "queries": record}, f, indent=2)
+    print(f"wrote {scale_path} (complete={complete})")
     for name in QUERIES:
         if name in record:
             r = record[name]
