@@ -292,19 +292,122 @@ GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
-# HLL sketch: approximate distinct users per event type. The estimate is
-# implementation-defined (Spark's HLL++ vs DuckDB's HLL disagree by
-# design), so this entry has NO value oracle — the driver records the
-# rows-only check. It exists because mergeable cardinality sketches are
-# the only way COUNT(DISTINCT) scales to 100 TB: partial sketches merge
-# associatively across partitions, no shuffle of raw values.
+# HLL sketch: approximate distinct users per event type, built as an
+# EXPLICIT HyperLogLog over the shared md5-based hash60 rather than
+# `approx_count_distinct` — the built-in's HLL++ estimate is
+# implementation-defined (Spark vs DuckDB disagree by design), which
+# for rounds 1-7 made this the registry's only rows-only entry. The
+# explicit sketch is a pure function of the data, so both engines
+# produce the IDENTICAL estimate and the query carries a full value
+# oracle like its KMV/CMS siblings below.
+#
+# Construction (classic Flajolet HLL, m = 2^9 = 512 registers):
+#   idx  = low 9 hash bits;  w = remaining 51 bits
+#   rho  = (trailing zeros of w) + 1, capped 52 at w = 0 — computed as
+#          bit_count((w & -w) - 1) + 1, a pure-integer expression with
+#          the same geometric(1/2) distribution as the leading-zero
+#          rank (Flajolet-Martin's least-significant-1 form)
+#   M_j  = max rho per register;  Σ 2^(-M_j) is carried as the EXACT
+#          integer Σ 2^(52 - M_j) (≤ 512·2^52 < 2^63, no overflow and
+#          no combine-order float nondeterminism)
+#   E    = α·m²·2^52 / S, with the standard linear-counting fallback
+#          m·ln(m/V) when E ≤ 2.5m and V (empty registers) > 0
+#
+# Scale: register build = one hash aggregate on (event_type, idx) —
+# 512 rows per group, the mergeable partial-sketch union production HLL
+# relies on; no raw-value shuffle. The exact COUNT(DISTINCT) leg exists
+# for calibration only (at 100 TB the sketch runs precisely to avoid
+# it); rel_err makes the sketch's accuracy a graded value.
 # ---------------------------------------------------------------------------
+
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512 registers → rsd ≈ 1.04/√512 ≈ 4.6%
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# numerator of the raw estimate α·m²·2^52 (S carries the 2^52 scaling)
+_HLL_C = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 52)
+
+
 def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hash60
+
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count("*").alias("n"),
+    h = hash60(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    reg = events.select("event_type", h.alias("h")).select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("idx"),
+        F.expr(
+            f"CASE WHEN h div {HLL_M} = 0 THEN 52 "
+            f"ELSE bit_count(((h div {HLL_M}) & -(h div {HLL_M})) - 1) + 1 "
+            f"END"
+        ).alias("rho"),
     )
+    regs = reg.groupBy("event_type", "idx").agg(F.max("rho").alias("m_j"))
+    sk = regs.groupBy("event_type").agg(
+        F.count("*").alias("m_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m_j)")).alias(
+            "s_present"
+        ),
+    )
+    v = F.lit(HLL_M) - F.col("m_present")  # occupied registers have M_j ≥ 1
+    s = F.col("s_present") + v * F.lit(1 << 52)
+    raw = F.lit(_HLL_C) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    ex = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return sk.join(ex, "event_type").select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        F.round(est, 2).alias("est_users"),
+        F.round(F.abs(est - F.col("exact_users")) / F.col("exact_users"), 6)
+        .alias("rel_err"),
+    )
+
+
+def _oracle_hll_users() -> str:
+    from .dedup import _hash60_sql
+
+    hsql = _hash60_sql("'hll:' || CAST(user_id AS VARCHAR)")
+    est = (
+        f"CASE WHEN ({_HLL_C!r} / s) <= {2.5 * HLL_M!r} AND v > 0 "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v) "
+        f"ELSE {_HLL_C!r} / s END"
+    )
+    return f"""
+WITH reg AS (
+  SELECT event_type, h % {HLL_M} AS idx,
+         CASE WHEN h // {HLL_M} = 0 THEN 52
+              ELSE bit_count(((h // {HLL_M}) & -(h // {HLL_M})) - 1) + 1
+         END AS rho
+  FROM (SELECT event_type, {hsql} AS h FROM events)
+),
+regs AS (SELECT event_type, idx, MAX(rho) AS m_j FROM reg GROUP BY 1, 2),
+sk AS (
+  SELECT event_type, COUNT(*) AS m_present,
+         CAST(SUM(1::BIGINT << (52 - m_j)) AS BIGINT) AS s_present
+  FROM regs GROUP BY 1
+),
+scored AS (
+  SELECT event_type,
+         ({HLL_M} - m_present) AS v,
+         s_present + ({HLL_M} - m_present) * (1::BIGINT << 52) AS s
+  FROM sk
+),
+ex AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT ex.event_type, ex.n_events, ex.exact_users,
+       round({est}, 2) AS est_users,
+       round(abs(({est}) - exact_users) / exact_users, 6) AS rel_err
+FROM scored JOIN ex ON scored.event_type = ex.event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1109,10 +1212,11 @@ ORACLES = {
     "q_value_histogram": ORACLE_VALUE_HISTOGRAM,
     "q_event_runs": ORACLE_EVENT_RUNS,
     "q_priority_class": ORACLE_PRIORITY_CLASS,
-    # q_hll_users intentionally absent: approximate sketch estimates are
-    # implementation-defined and cannot hash-match an exact oracle.
-    # (q_kmv_users shows the contrast: KMV's estimate is a pure function
-    # of the shared hash, so it DOES carry one.)
+    # Full value oracle since round 8: the explicit fixed-hash HLL is a
+    # pure function of the data, unlike the approx_count_distinct HLL++
+    # it replaced (whose estimate was implementation-defined and kept
+    # this entry rows-only for rounds 1-7).
+    "q_hll_users": _oracle_hll_users(),
     "q_kmv_users": _oracle_kmv_users(),
     "q_cms_heavy_hitters": _oracle_cms_heavy_hitters(),
     "q_bitmap_distinct": ORACLE_BITMAP_DISTINCT,

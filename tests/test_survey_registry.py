@@ -30,8 +30,9 @@ def test_every_query_has_oracle_or_documented_exception():
     implemented = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert oracles <= implemented
-    # the single deliberate rows-only entry
-    assert implemented - oracles == {"q_hll_users"}
+    # every query carries a full value oracle (the last rows-only entry,
+    # q_hll_users, gained one in round 8 via the explicit fixed-hash HLL)
+    assert implemented - oracles == set()
 
 
 def test_grading_window_rotation_leaves_no_query_uncertified():
