@@ -108,6 +108,11 @@ _PRIORITY = [
     # -- permanent window resident (round 8: now carries a full
     #    deterministic value oracle — see operators/analytic.py) --
     "q_hll_users",
+    # -- new in round 8: first driver certification --
+    "q_sketch_union",  # KMV per-day merge == direct (mergeability proof)
+    "q_mad_outliers",  # median/MAD modified z-score, counting-median form
+    "q_data_quality_checks",  # Deequ-style one-scan constraint suite
+    "q_dataset_diff",  # snapshot reconcile: added/removed/changed/drift
     # -- stalest re-certification fill: newest driver record is r5 --
     "q_decontaminate",
     "q_dedup_clusters",
@@ -135,12 +140,11 @@ _PRIORITY = [
     "q_stream_sessionize",
     "q_top_terms",
     "q_variant_extract",
-    # -- single-record round-6 entries --
+    # -- single-record round-6 entries (q_index_ann,
+    #    q_index_incremental_dedup, q_quality_logit and q_url_dedup ceded
+    #    their slots to the round-8 additions above; the local
+    #    full-surface gate still covers them) --
     "q_bigram_logprob",
-    "q_index_ann",
-    "q_index_incremental_dedup",
-    "q_quality_logit",
-    "q_url_dedup",
 ]
 # Rotated out to make room: the round-7-certified set
 # (CORRECTNESS_r07.json, all-green) and the 2-or-more-record round-6

@@ -69,6 +69,9 @@ HEADLINE = [
     "q_funnel",
     "q_user_value_median",
     "q_kmv_users",
+    "q_hll_users",
+    "q_sketch_union",
+    "q_mad_outliers",
     "q_bitmap_distinct",
     "q_cms_heavy_hitters",
     # text analysis
@@ -130,6 +133,8 @@ HEADLINE = [
     "q_multimodal_resize",
     # training-data pipeline
     "q_corpus_clean",
+    "q_data_quality_checks",
+    "q_dataset_diff",
     "q_sequence_pack",
     "q_mixture_sample",
     "q_bpe_merge_candidates",

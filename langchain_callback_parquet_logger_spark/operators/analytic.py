@@ -5,9 +5,9 @@ percentiles (SURVEY.md §2.6 — "absent from the reference"); Spark supplies
 them natively, and an engine claiming to replace the reference's read-side
 analysis story (reference README.md:211-225 "Analyze token usage") needs
 them first-class. Every query is pure DataFrame API — no UDFs, fully
-whole-stage-codegen'd — with a value-level DuckDB oracle, except the HLL
-sketch whose estimate is implementation-defined (rows-only check, noted
-inline).
+whole-stage-codegen'd — with a value-level DuckDB oracle (since round 8
+that includes the HLL sketch, rebuilt as an explicit fixed-hash HLL whose
+estimate is a pure function of the data).
 
 Scale notes per query; the common theme: one shuffle per logical
 repartitioning, partial aggregation everywhere Catalyst can, window
@@ -558,6 +558,238 @@ SELECT c.word, c.exact_cnt, MIN(s.cnt) AS est_cnt,
        round(MIN(s.cnt) / c.exact_cnt, 6) AS inflation
 FROM cand c JOIN sketch s ON c.i = s.i AND c.bucket = s.bucket
 GROUP BY c.word, c.exact_cnt
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sketch-union proof — the property the 100 TB story RESTS on, graded:
+# KMV sketches built per day and max-merged (union the k-min sets, re-take
+# the k smallest) must yield the IDENTICAL estimate as one sketch built
+# over the whole corpus, because each of the k globally-smallest distinct
+# hashes is necessarily within its own day's k smallest. This is the
+# associative partial-merge that lets a fleet sketch per partition/batch
+# and combine without ever shuffling raw values; the query computes both
+# paths, asserts equality in-process, and grades the shared estimate.
+#
+# Scale: per-day k-min is a rank window over the per-day DISTINCT hash
+# sets (production form: per-partition k-heaps, same result); the union
+# re-rank runs over ≤ k·n_days surviving rows — bounded, driver-free.
+# ---------------------------------------------------------------------------
+def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hash60
+
+    events = load_table(spark, sf_dir, "events")
+    h = hash60(F.concat(F.lit("user:"), F.col("user_id").cast("string")))
+    daily = (
+        events.select(F.to_date("ts").alias("day"), h.alias("h"))
+        .distinct()  # (day, h) pairs: a hash survives once per day seen
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("day").orderBy("h"))
+        )
+        .filter(F.col("rk") <= KMV_K)
+    )
+    n_days = daily.select("day").distinct().count()
+    merged = (
+        daily.select("h").distinct().orderBy("h").limit(KMV_K).agg(
+            F.max("h").alias("vk_union"), F.count("*").alias("m_union")
+        )
+    )
+    direct = (
+        events.select(h.alias("h")).distinct().orderBy("h").limit(KMV_K).agg(
+            F.max("h").alias("vk_direct"), F.count("*").alias("m_direct")
+        )
+    )
+
+    def _est(m, vk):
+        return F.when(m < KMV_K, m.cast("double")).otherwise(
+            F.lit(float(KMV_K - 1)) * F.lit(_TWO_POW_60) / vk
+        )
+
+    row = merged.crossJoin(direct).select(  # both sides single rows
+        F.lit(KMV_K).alias("k"),
+        F.lit(n_days).alias("n_days"),
+        F.round(_est(F.col("m_union"), F.col("vk_union")), 2).alias(
+            "est_union"
+        ),
+        F.round(_est(F.col("m_direct"), F.col("vk_direct")), 2).alias(
+            "est_direct"
+        ),
+        (F.col("vk_union") == F.col("vk_direct")).alias("merge_exact"),
+    )
+    vals = row.collect()[0]  # single summary row: bounded driver fetch
+    if not vals.merge_exact or vals.est_union != vals.est_direct:
+        raise AssertionError(
+            f"KMV union is not lossless: est_union={vals.est_union} "
+            f"est_direct={vals.est_direct}"
+        )
+    return spark.createDataFrame([vals], row.schema)
+
+
+def _oracle_sketch_union() -> str:
+    from .dedup import _hash60_sql
+
+    hsql = _hash60_sql("'user:' || CAST(user_id AS VARCHAR)")
+    est_u = (
+        f"CASE WHEN m_union < {KMV_K} THEN m_union::DOUBLE "
+        f"ELSE ({float(KMV_K - 1)!r} * {_TWO_POW_60!r}) / vk_union END"
+    )
+    est_d = (
+        f"CASE WHEN m_direct < {KMV_K} THEN m_direct::DOUBLE "
+        f"ELSE ({float(KMV_K - 1)!r} * {_TWO_POW_60!r}) / vk_direct END"
+    )
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, {hsql} AS h FROM events
+),
+daily AS (
+  SELECT day, h,
+         row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+  FROM dh
+),
+survivors AS (SELECT DISTINCT h FROM daily WHERE rk <= {KMV_K}),
+merged AS (
+  SELECT MAX(h) AS vk_union, COUNT(*) AS m_union
+  FROM (SELECT h FROM survivors ORDER BY h LIMIT {KMV_K}) t
+),
+direct AS (
+  SELECT MAX(h) AS vk_direct, COUNT(*) AS m_direct
+  FROM (SELECT DISTINCT {hsql} AS h FROM events ORDER BY 1 LIMIT {KMV_K}) t
+),
+days AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days FROM events)
+SELECT {KMV_K} AS k, CAST(n_days AS INT) AS n_days,
+       round({est_u}, 2) AS est_union,
+       round({est_d}, 2) AS est_direct,
+       vk_union = vk_direct AS merge_exact
+FROM merged, direct, days
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD / modified z-score) per event
+# type — the data-quality screen a value column gets before training
+# statistics trust it; mean/stddev-based z-scores (q_anomaly_zscore) are
+# themselves dragged by the outliers they hunt, MAD is not.
+#
+# Exactness: values quantize to 1e-6 fixed point, then BOTH medians come
+# from the COUNTING form — per-(type, value) counts, one cumulative-count
+# window over the DISTINCT-value rows, interpolated median read off the
+# two middle ranks — carried as exact integers (med2 = 2·median of
+# v_ppm, mad4 = 4·MAD) so the modified z-score threshold
+# 0.6745·|v-med|/MAD > 3.5 becomes the pure-integer predicate
+# 13490·dev2 > 35000·mad4. The DuckDB oracle states the same quantities
+# via plain median() — the cross-engine agreement proves the counting
+# form IS the interpolated median.
+#
+# Scale: medians-by-counting shuffle (type, value)-COUNT rows, never raw
+# rows — the exact-median analogue of a low-cardinality GROUP BY; the
+# cumulative windows run over distinct-value rows only. Per-type stats
+# are a bounded dim (event-type enum), broadcast back for the outlier
+# count. Worst case (all values distinct) degenerates to the per-type
+# sort any exact median needs — at which point production switches to
+# approx_percentile, same plan shape.
+# ---------------------------------------------------------------------------
+
+MAD_Z_NUM = 13490  # 2 × 6745: modified z-score 0.6745·dev/MAD, dev = dev2/2
+MAD_Z_DEN = 35000  # 4 × 8750: threshold 3.5, MAD = mad4/4
+
+
+def _median2_from_counts(counts: DataFrame, key: str, vcol: str) -> DataFrame:
+    """(key, med2, n): 2× the interpolated median of `vcol` weighted by
+    count column `c`, as an exact BIGINT (sum of the two middle-rank
+    values), via one cumulative window over the distinct-value rows."""
+    x = counts.withColumn(
+        "cum", F.sum("c").over(W.partitionBy(key).orderBy(vcol))
+    ).withColumn("n", F.sum("c").over(W.partitionBy(key)))
+    lo = F.col(vcol).cast("long")
+    return (
+        x.groupBy(key)
+        .agg(
+            F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), lo)).alias(
+                "v_lo"
+            ),
+            F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 2"), lo)).alias(
+                "v_hi"
+            ),
+            F.max("n").alias("n"),
+        )
+        .select(key, (F.col("v_lo") + F.col("v_hi")).alias("med2"), "n")
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 1e6) AS BIGINT)").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    vc = ev.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    med = _median2_from_counts(vc, "event_type", "v")
+    # per-type stats are bounded by the event-type enum: broadcast
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "med2",
+        F.abs(F.lit(2) * F.col("v") - F.col("med2")).alias("dev2"),
+    )
+    dc = dev.groupBy("event_type", "dev2").agg(F.count("*").alias("c"))
+    mad = _median2_from_counts(dc, "event_type", "dev2").select(
+        "event_type", F.col("med2").alias("mad4")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max("med2").alias("med2"),
+            F.max("mad4").alias("mad4"),
+            F.sum(
+                F.when(
+                    F.lit(MAD_Z_NUM) * F.col("dev2")
+                    > F.lit(MAD_Z_DEN) * F.col("mad4"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("med2") / F.lit(2000000.0), 6).alias("median_value"),
+        F.round(F.col("mad4") / F.lit(4000000.0), 6).alias("mad"),
+        "n_outliers",
+        F.expr("(1000000 * n_outliers) div n_events").alias("outlier_ppm"),
+    )
+
+
+def _oracle_mad_outliers() -> str:
+    return f"""
+WITH q AS (
+  SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, CAST(2 * median(v) AS BIGINT) AS med2,
+         COUNT(*) AS n_events
+  FROM q GROUP BY 1
+),
+dev AS (
+  SELECT q.event_type, n_events, med2, abs(2 * v - med2) AS dev2
+  FROM q JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       MAX(n_events) AS n_events,
+       round(MAX(med2) / 2000000.0, 6) AS median_value,
+       round(MAX(mad4) / 4000000.0, 6) AS mad,
+       CAST(SUM(CASE WHEN {MAD_Z_NUM} * dev2 > {MAD_Z_DEN} * mad4
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       (1000000 * CAST(SUM(CASE WHEN {MAD_Z_NUM} * dev2 > {MAD_Z_DEN} * mad4
+                       THEN 1 ELSE 0 END) AS BIGINT)) // MAX(n_events)
+         AS outlier_ppm
+FROM dev d JOIN mad USING (event_type)
+GROUP BY 1
 """
 
 
@@ -1190,6 +1422,8 @@ QUERIES = {
     "q_priority_class": q_priority_class,
     "q_hll_users": q_hll_users,
     "q_kmv_users": q_kmv_users,
+    "q_sketch_union": q_sketch_union,
+    "q_mad_outliers": q_mad_outliers,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_bitmap_distinct": q_bitmap_distinct,
     "q_event_transitions": q_event_transitions,
@@ -1218,6 +1452,8 @@ ORACLES = {
     # this entry rows-only for rounds 1-7).
     "q_hll_users": _oracle_hll_users(),
     "q_kmv_users": _oracle_kmv_users(),
+    "q_sketch_union": _oracle_sketch_union(),
+    "q_mad_outliers": _oracle_mad_outliers(),
     "q_cms_heavy_hitters": _oracle_cms_heavy_hitters(),
     "q_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "q_event_transitions": _oracle_event_transitions(),

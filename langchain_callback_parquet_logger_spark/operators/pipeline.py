@@ -788,6 +788,235 @@ def _oracle_token_budget_plan() -> str:
     return ORACLE_TOKEN_BUDGET_PLAN.format(h=_hash60_sql("source"))
 
 
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraint suite (the Deequ pattern): every
+# metric a conditional aggregate fused into ONE scan per table, unpivoted
+# into (check_name, metric_ppm, threshold_ppm, passed) verdict rows — the
+# gate a 100 TB ingest runs before a batch is admitted to training. All
+# metrics are integer ppm (1e6-scaled ratios via exact integer division),
+# so the verdicts and the metric values hash identically cross-engine.
+#
+# Scale: two scans total (events, documents), zero shuffles beyond each
+# scan's single partial-aggregate exchange; COUNT(DISTINCT event_id) is
+# the one wide metric (its shuffle carries distinct ids only). The
+# verdict unpivot is an explode over a single aggregate row.
+# ---------------------------------------------------------------------------
+
+# (check_name, threshold_ppm) — thresholds are the admission SLOs
+DQ_THRESHOLDS = {
+    "events_completeness_value": 990_000,
+    "events_completeness_props": 990_000,
+    "events_uniqueness_event_id": 1_000_000,
+    "events_containment_event_type": 1_000_000,
+    "events_nonneg_user_id": 1_000_000,
+    "docs_completeness_text": 990_000,
+    "docs_consistency_n_chars": 1_000_000,
+    "docs_nonempty_text": 990_000,
+}
+
+
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analytic import EVENT_TYPES
+
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    enum_list = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    ea = events.agg(
+        F.count("*").alias("n"),
+        F.count("value").alias("nn_value"),
+        F.count("props").alias("nn_props"),
+        F.countDistinct("event_id").alias("du_event_id"),
+        F.expr(
+            f"sum(CASE WHEN event_type IN ({enum_list}) THEN 1 ELSE 0 END)"
+        ).alias("enum_ok"),
+        F.expr(
+            "sum(CASE WHEN user_id IS NOT NULL AND user_id >= 0 "
+            "THEN 1 ELSE 0 END)"
+        ).alias("uid_ok"),
+    )
+    da = docs.agg(
+        F.count("*").alias("n"),
+        F.count("text").alias("nn_text"),
+        F.expr(
+            "sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)"
+        ).alias("nchars_ok"),
+        F.expr(
+            "sum(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END)"
+        ).alias("nonempty"),
+    )
+
+    def _checks(agg: DataFrame, metrics: dict[str, str]) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.expr(f"(1000000 * {num}) div n").alias("metric_ppm"),
+                F.lit(DQ_THRESHOLDS[name]).cast("bigint").alias(
+                    "threshold_ppm"
+                ),
+            )
+            for name, num in metrics.items()
+        ]
+        return agg.select(F.explode(F.array(*structs)).alias("c")).select(
+            "c.*"
+        )
+
+    out = _checks(
+        ea,
+        {
+            "events_completeness_value": "nn_value",
+            "events_completeness_props": "nn_props",
+            "events_uniqueness_event_id": "du_event_id",
+            "events_containment_event_type": "enum_ok",
+            "events_nonneg_user_id": "uid_ok",
+        },
+    ).unionAll(
+        _checks(
+            da,
+            {
+                "docs_completeness_text": "nn_text",
+                "docs_consistency_n_chars": "nchars_ok",
+                "docs_nonempty_text": "nonempty",
+            },
+        )
+    )
+    return out.withColumn(
+        "passed", F.col("metric_ppm") >= F.col("threshold_ppm")
+    )
+
+
+def _oracle_data_quality_checks() -> str:
+    from .analytic import EVENT_TYPES
+
+    enum_list = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    ev_metrics = {
+        "events_completeness_value": "nn_value",
+        "events_completeness_props": "nn_props",
+        "events_uniqueness_event_id": "du_event_id",
+        "events_containment_event_type": "enum_ok",
+        "events_nonneg_user_id": "uid_ok",
+    }
+    doc_metrics = {
+        "docs_completeness_text": "nn_text",
+        "docs_consistency_n_chars": "nchars_ok",
+        "docs_nonempty_text": "nonempty",
+    }
+    legs = [
+        f"SELECT '{name}' AS check_name,"
+        f" CAST((1000000 * {num}) // n AS BIGINT) AS metric_ppm,"
+        f" {DQ_THRESHOLDS[name]}::BIGINT AS threshold_ppm,"
+        f" (1000000 * {num}) // n >= {DQ_THRESHOLDS[name]} AS passed"
+        f" FROM {'ea' if name in ev_metrics else 'da'}"
+        for name, num in {**ev_metrics, **doc_metrics}.items()
+    ]
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH ea AS (
+  SELECT COUNT(*) AS n, COUNT(value) AS nn_value, COUNT(props) AS nn_props,
+         COUNT(DISTINCT event_id) AS du_event_id,
+         SUM(CASE WHEN event_type IN ({enum_list}) THEN 1 ELSE 0 END)
+           AS enum_ok,
+         SUM(CASE WHEN user_id IS NOT NULL AND user_id >= 0
+             THEN 1 ELSE 0 END) AS uid_ok
+  FROM events
+),
+da AS (
+  SELECT COUNT(*) AS n, COUNT(text) AS nn_text,
+         SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)
+           AS nchars_ok,
+         SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS nonempty
+  FROM documents
+)
+{union}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (dataset diff) — the audit run between two
+# versions of a table before a pipeline promotes the new one: which keys
+# were added, removed, value-changed, or untouched, and how much the
+# changed values drifted. The two snapshots are carved deterministically
+# from the events table (old = event_id % 10 != 7; new = event_id % 10
+# != 3, with values bumped on event_id % 5 == 0), so the diff exercises
+# all four classes. Values compare in 1e-6 fixed point — exact.
+#
+# Scale: ONE full-outer equi-join on the key (the canonical reconcile
+# shape — AQE picks the join strategy, both sides shuffle-partitioned on
+# event_id) followed by a hash aggregate on (event_type, status); the
+# output is class-cardinality-bounded. No window, no driver loop.
+# ---------------------------------------------------------------------------
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 1e6) AS BIGINT)").alias("v"),
+    )
+    old = ev.filter(F.col("event_id") % 10 != 7).select(
+        "event_id",
+        F.col("event_type").alias("et_old"),
+        F.col("v").alias("v_old"),
+    )
+    new = ev.filter(F.col("event_id") % 10 != 3).select(
+        "event_id",
+        F.col("event_type").alias("et_new"),
+        F.when(F.col("event_id") % 5 == 0, F.col("v") + 1_000_000)
+        .otherwise(F.col("v"))
+        .alias("v_new"),
+    )
+    j = old.join(new, "event_id", "full_outer")
+    status = (
+        F.when(F.col("v_old").isNull(), F.lit("added"))
+        .when(F.col("v_new").isNull(), F.lit("removed"))
+        .when(F.col("v_old") != F.col("v_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("et_old", "et_new").alias("event_type"),
+            status.alias("status"),
+            (
+                F.abs(
+                    F.coalesce("v_new", F.lit(0))
+                    - F.coalesce("v_old", F.lit(0))
+                )
+            ).alias("adrift"),
+        )
+        .groupBy("event_type", "status")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("adrift").alias("sum_abs_drift_ppm"),
+        )
+    )
+
+
+ORACLE_DATASET_DIFF = """
+WITH q AS (
+  SELECT event_id, event_type, CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events
+),
+old AS (
+  SELECT event_id, event_type AS et_old, v AS v_old
+  FROM q WHERE event_id % 10 <> 7
+),
+new AS (
+  SELECT event_id, event_type AS et_new,
+         CASE WHEN event_id % 5 = 0 THEN v + 1000000 ELSE v END AS v_new
+  FROM q WHERE event_id % 10 <> 3
+),
+j AS (
+  SELECT COALESCE(old.et_old, new.et_new) AS event_type,
+         CASE WHEN v_old IS NULL THEN 'added'
+              WHEN v_new IS NULL THEN 'removed'
+              WHEN v_old <> v_new THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         abs(COALESCE(v_new, 0) - COALESCE(v_old, 0)) AS adrift
+  FROM old FULL OUTER JOIN new USING (event_id)
+)
+SELECT event_type, status, COUNT(*) AS n_keys,
+       CAST(SUM(adrift) AS BIGINT) AS sum_abs_drift_ppm
+FROM j GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_corpus_clean": q_corpus_clean,
     "q_token_budget_plan": q_token_budget_plan,
@@ -800,6 +1029,8 @@ QUERIES = {
     "q_training_order": q_training_order,
     "q_leakage_safe_split": q_leakage_safe_split,
     "q_dsir_weights": q_dsir_weights,
+    "q_data_quality_checks": q_data_quality_checks,
+    "q_dataset_diff": q_dataset_diff,
 }
 
 ORACLES = {
@@ -814,4 +1045,6 @@ ORACLES = {
     "q_training_order": _oracle_training_order(),
     "q_leakage_safe_split": _oracle_leakage_safe_split(),
     "q_dsir_weights": _oracle_dsir_weights(),
+    "q_data_quality_checks": _oracle_data_quality_checks(),
+    "q_dataset_diff": ORACLE_DATASET_DIFF,
 }

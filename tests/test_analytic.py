@@ -21,9 +21,9 @@ def test_query_runs(spark, sf_dir, name):
 
 
 def test_registry_oracle_alignment():
-    # Every oracle maps to a query; q_hll_users is the one deliberate
-    # rows-only entry (approximate sketch, no exact oracle possible).
-    assert set(A.ORACLES) == set(A.QUERIES) - {"q_hll_users"}
+    # Every query carries an oracle (q_hll_users included since round 8:
+    # the explicit fixed-hash HLL estimate is a pure function of the data).
+    assert set(A.ORACLES) == set(A.QUERIES)
 
 
 def test_percentiles_ordered(spark, sf_dir):
@@ -842,3 +842,108 @@ def test_burst_detection_duckdb_oracle_matches_python_fuzz():
                     ref.add((u, h * HOUR, c, max(win), len(win),
                              c * 1_000_000 // max(win)))
         assert duck == ref, (trial, sorted(buckets.items()))
+
+
+def test_sketch_union_is_lossless(spark, sf_dir):
+    """Per-day KMV sketches max-merged must reproduce the whole-corpus
+    sketch exactly — the associativity the 100 TB merge story rests on
+    (the query also asserts this in-process)."""
+    row = A.q_sketch_union(spark, sf_dir).collect()[0]
+    assert row.merge_exact
+    assert row.est_union == row.est_direct
+    assert row.k == A.KMV_K and row.n_days > 1
+
+
+def test_mad_outliers_matches_python_reference(spark, sf_dir):
+    """The counting-median form must equal a plain sorted-list median/MAD
+    reference computed from the same fixed-point values."""
+    import statistics
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 1e6) AS BIGINT)").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.v)
+    rows = {r.event_type: r for r in A.q_mad_outliers(spark, sf_dir).collect()}
+    assert set(rows) == set(by_type)
+    for ty, vals in by_type.items():
+        med = statistics.median(vals)  # exact: .5 at worst on integers
+        devs = [abs(2 * v - int(2 * med)) for v in vals]
+        mad2 = statistics.median(devs)
+        r = rows[ty]
+        assert r.n_events == len(vals)
+        assert abs(r.median_value - round(med / 1e6, 6)) < 1e-9, ty
+        assert abs(r.mad - round(mad2 / 2e6, 6)) < 1e-9, ty
+        n_out = sum(
+            1 for d in devs if A.MAD_Z_NUM * d > A.MAD_Z_DEN * int(2 * mad2)
+        )
+        assert r.n_outliers == n_out, ty
+        assert r.outlier_ppm == 1_000_000 * n_out // len(vals)
+
+
+def test_mad_outliers_duckdb_oracle_matches_python_fuzz():
+    """JVM-free seeded-fuzz differential for the median/MAD oracle:
+    random integer-valued soups (heavy ties, odd/even group sizes,
+    planted spikes) vs a sorted-list Python reference."""
+    import random
+    import statistics
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        MAD_Z_DEN,
+        MAD_Z_NUM,
+        ORACLES,
+    )
+
+    def round_half_up(x: float, nd: int) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+            )
+        )
+
+    rng = random.Random(6229)
+    for trial in range(10):
+        rows = []
+        for ty in ("x", "y"):
+            base = rng.randint(-3, 3)
+            for _ in range(rng.randint(1, 80)):
+                v = base + rng.choice([0, 0, 0, 1, -1, rng.randint(-40, 40)])
+                rows.append((ty, v * 250_000))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT unnest(?) AS event_type, "
+            "unnest(?) / 1e6 AS value",
+            [[r[0] for r in rows], [float(r[1]) for r in rows]],
+        )
+        duck = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(ORACLES["q_mad_outliers"]).fetchall()
+        }
+        con.close()
+
+        by_type: dict = {}
+        for ty, v in rows:
+            by_type.setdefault(ty, []).append(v)
+        for ty, vals in by_type.items():
+            med2 = int(2 * statistics.median(vals))
+            devs = [abs(2 * v - med2) for v in vals]
+            mad4 = int(2 * statistics.median(devs))
+            n_out = sum(1 for d in devs if MAD_Z_NUM * d > MAD_Z_DEN * mad4)
+            ref = (
+                len(vals),
+                round_half_up(med2 / 2e6, 6),
+                round_half_up(mad4 / 4e6, 6),
+                n_out,
+                1_000_000 * n_out // len(vals),
+            )
+            assert duck[ty] == ref, (trial, ty, duck[ty], ref)

@@ -294,3 +294,127 @@ def test_token_budget_plan_invariants(spark, sf_dir):
         assert r.planned_tokens >= 0 and r.sample_rate >= 0
         want_epochs = -(-r.planned_tokens // r.n_tokens)
         assert r.epochs == want_epochs, (r.source, r.epochs, want_epochs)
+
+
+def test_data_quality_checks_metrics_recompute(spark, sf_dir):
+    """Every verdict row's metric must equal the directly-recomputed
+    ratio, and passed must equal metric >= threshold; the clean driver
+    fixture passes all eight constraints."""
+    rows = {r.check_name: r for r in P.q_data_quality_checks(spark, sf_dir).collect()}
+    assert set(rows) == set(P.DQ_THRESHOLDS)
+    for name, r in rows.items():
+        assert r.threshold_ppm == P.DQ_THRESHOLDS[name]
+        assert r.passed == (r.metric_ppm >= r.threshold_ppm), name
+        assert 0 <= r.metric_ppm <= 1_000_000, name
+        assert r.passed, f"clean fixture should satisfy {name}"
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    nn_value = ev.filter(F.col("value").isNotNull()).count()
+    assert rows["events_completeness_value"].metric_ppm == 1_000_000 * nn_value // n
+
+
+def test_data_quality_checks_flags_dirty_batch(spark, tmp_path):
+    """A batch with nulls, a duplicate id and an out-of-enum type must
+    fail the matching constraints — the gate actually gates."""
+    import os
+
+    dirty_dir = str(tmp_path / "dirty")
+    os.makedirs(dirty_dir)
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
+            (1, "2024-01-01 00:00:01", 11, "zzz-bad", None, "{}"),
+            (2, "2024-01-01 00:00:02", -5, "view", 2.0, None),
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        os.path.join(dirty_dir, "events.parquet")
+    )
+    spark.createDataFrame(
+        [(1, "", "en", "web", 0), (2, "hello", "en", "web", 99)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(os.path.join(dirty_dir, "documents.parquet"))
+    verdicts = {
+        r.check_name: r.passed
+        for r in P.q_data_quality_checks(spark, dirty_dir).collect()
+    }
+    assert not verdicts["events_completeness_value"]
+    assert not verdicts["events_uniqueness_event_id"]
+    assert not verdicts["events_containment_event_type"]
+    assert not verdicts["events_nonneg_user_id"]
+    assert not verdicts["docs_consistency_n_chars"]
+    assert not verdicts["docs_nonempty_text"]
+
+
+def test_dataset_diff_classes_tile_and_reconcile(spark, sf_dir):
+    """Diff classes partition the key universe: added+removed+changed+
+    unchanged row counts reconcile with the snapshot definitions, and
+    drift is nonzero only for added/removed/changed."""
+    rows = P.q_dataset_diff(spark, sf_dir).collect()
+    by_status: dict = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + r.n_keys
+        if r.status == "unchanged":
+            assert r.sum_abs_drift_ppm == 0
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    n_old = ev.filter(F.col("event_id") % 10 != 7).count()
+    n_new = ev.filter(F.col("event_id") % 10 != 3).count()
+    assert by_status.get("removed", 0) == n - n_new
+    assert by_status.get("added", 0) == n - n_old
+    both = n_old + n_new - n
+    assert by_status.get("changed", 0) + by_status.get("unchanged", 0) == both
+
+
+def test_dataset_diff_duckdb_oracle_matches_python_fuzz():
+    """JVM-free seeded-fuzz differential: the full-outer classify oracle
+    vs a dict-based Python reference on random key soups (dup-free keys,
+    random membership, random value bumps)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(4117)
+    for trial in range(10):
+        n = rng.randint(1, 200)
+        rows = [
+            (i, rng.choice(["a", "b"]), rng.randint(-5, 5) * 250_000)
+            for i in range(n)
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT unnest(?) AS event_id, "
+            "unnest(?) AS event_type, unnest(?) / 1e6 AS value",
+            [[r[0] for r in rows], [r[1] for r in rows],
+             [float(r[2]) for r in rows]],
+        )
+        duck = {
+            (r[0], r[1]): (r[2], r[3])
+            for r in con.execute(P.ORACLES["q_dataset_diff"]).fetchall()
+        }
+        con.close()
+
+        agg: dict = {}
+        for eid, ty, v in rows:
+            old_v = v if eid % 10 != 7 else None
+            new_v = (
+                (v + 1_000_000 if eid % 5 == 0 else v)
+                if eid % 10 != 3
+                else None
+            )
+            if old_v is None and new_v is None:
+                continue
+            if old_v is None:
+                status = "added"
+            elif new_v is None:
+                status = "removed"
+            elif old_v != new_v:
+                status = "changed"
+            else:
+                status = "unchanged"
+            drift = abs((new_v or 0) - (old_v or 0))
+            k = (ty, status)
+            cnt, dr = agg.get(k, (0, 0))
+            agg[k] = (cnt + 1, dr + drift)
+        assert duck == agg, (trial, duck, agg)

@@ -255,6 +255,57 @@ COMMENTARY: dict[str, str] = {
         "bounded by construction. Feeds salting/capping decisions "
         "BEFORE the posting self-join pays the quadratic hot key."
     ),
+    "q_sketch_union": (
+        "Mergeability proof for the KMV sketch: per-day k-min sets are "
+        "a rank window over per-day DISTINCT hashes (production form: "
+        "per-partition k-heaps, same result), the union re-rank runs "
+        "over the ≤ k·n_days survivors — bounded — and the direct leg "
+        "is the proven TakeOrderedAndProject shape. Union estimate == "
+        "direct estimate is asserted in-process AND graded; this "
+        "equality is exactly why a 1000-executor fleet can sketch per "
+        "partition and merge without shuffling raw values."
+    ),
+    "q_mad_outliers": (
+        "Exact grouped median/MAD WITHOUT shuffling raw rows: the "
+        "counting form aggregates to per-(type, value) COUNT rows "
+        "first, runs the cumulative window over those distinct-value "
+        "rows only, and reads the interpolated median off the two "
+        "middle ranks as exact integers (med2/mad4 in 1e-6 fixed "
+        "point), making the modified z-score threshold a pure-integer "
+        "predicate. Per-type stats are an enum-bounded broadcast dim. "
+        "The DuckDB oracle states the same numbers via plain median() — "
+        "agreement proves the counting form IS the interpolated median."
+    ),
+    "q_data_quality_checks": (
+        "Deequ-pattern admission gate: every metric is a conditional "
+        "aggregate fused into ONE scan per table (COUNT DISTINCT is the "
+        "single wide metric — its shuffle carries distinct ids only), "
+        "then a bounded explode unpivots the one aggregate row into "
+        "verdict rows. Integer-ppm metrics make the verdicts "
+        "hash-exact cross-engine. At 100 TB this is the pre-training "
+        "batch gate: two scans, no raw-row shuffle, no driver loop."
+    ),
+    "q_dataset_diff": (
+        "Snapshot reconciliation: ONE full-outer equi-join on the key — "
+        "the canonical diff shape, both sides shuffle-partitioned on "
+        "event_id with AQE choosing the strategy — then a hash "
+        "aggregate onto (event_type, status). Added/removed/changed "
+        "classification and fixed-point drift are pure projections "
+        "inside the join's codegen stage; output is "
+        "class-cardinality-bounded."
+    ),
+    "q_hll_users": (
+        "Explicit 512-register HyperLogLog (round 8 — replaced the "
+        "implementation-defined approx_count_distinct to earn a full "
+        "value oracle): register build is ONE hash aggregate on "
+        "(event_type, register) — at most 512 rows per group survive, "
+        "the mergeable partial-sketch union production HLL relies on; "
+        "no raw-value shuffle. Rank and register sum are pure-integer "
+        "codegen expressions (bit_count trailing-zero rank, exact "
+        "Σ 2^(52-M_j) as BIGINT) so the estimate is deterministic "
+        "cross-engine. The exact COUNT(DISTINCT) leg exists only to "
+        "grade the sketch's rel_err calibration."
+    ),
     "q_kmv_users": (
         "KMV distinct sketch: hash-distinct then TakeOrderedAndProject "
         "for the k smallest — per-partition k-heaps merged on the "
@@ -561,7 +612,9 @@ COMMENTARY: dict[str, str] = {
         "ORDER-PRESERVINGLY to the same bit width (a raw modulo lets "
         "the wider dimension dominate the Morton key AND destroys the "
         "min/max stats a skipping scan reads — caught live when the "
-        "first cut tied the linear layout), then a 16-term shift/mask "
+        "first cut tied the linear layout); the time axis is the "
+        "corpus-relative epoch hour, not a calendar bucket that would "
+        "alias across months. Then a 16-term shift/mask "
         "interleave runs as a codegen'd projection and ONE range "
         "shuffle lays the files out. The skipping win is proven from "
         "parquet footers in-process: strictly fewer candidate files "

@@ -118,6 +118,11 @@ QUERIES = [
     "q_doc_chunking",
     "q_session_funnel_paths",
     "q_burst_detection",
+    "q_hll_users",
+    "q_sketch_union",
+    "q_mad_outliers",
+    "q_data_quality_checks",
+    "q_dataset_diff",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
