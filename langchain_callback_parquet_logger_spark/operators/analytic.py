@@ -576,11 +576,12 @@ GROUP BY c.word, c.exact_cnt
 # re-rank runs over ≤ k·n_days surviving rows — bounded, driver-free.
 # ---------------------------------------------------------------------------
 def q_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import cache_tracked
     from .dedup import hash60
 
     events = load_table(spark, sf_dir, "events")
     h = hash60(F.concat(F.lit("user:"), F.col("user_id").cast("string")))
-    daily = (
+    daily = cache_tracked(  # consumed twice: n_days count + union re-rank
         events.select(F.to_date("ts").alias("day"), h.alias("h"))
         .distinct()  # (day, h) pairs: a hash survives once per day seen
         .withColumn(
@@ -717,25 +718,38 @@ def _median2_from_counts(counts: DataFrame, key: str, vcol: str) -> DataFrame:
 
 
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.session import cache_tracked
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.expr("CAST(round(value * 1e6) AS BIGINT)").alias("v"),
     ).filter(F.col("v").isNotNull())
     vc = ev.groupBy("event_type", "v").agg(F.count("*").alias("c"))
     med = _median2_from_counts(vc, "event_type", "v")
-    # per-type stats are bounded by the event-type enum: broadcast
+    # Per-type stats are bounded by the event-type enum: broadcast. The
+    # outlier count comes from the DISTINCT-deviation count table `dc`
+    # (sum of counts under the predicate), never a third pass over raw
+    # rows; n/med2 ride along so no subtree is re-consumed (each extra
+    # consumer of a derived frame re-executes its whole subtree — this
+    # shape scans events exactly twice, the honest exact-MAD cost).
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "n",
         "med2",
         F.abs(F.lit(2) * F.col("v") - F.col("med2")).alias("dev2"),
     )
-    dc = dev.groupBy("event_type", "dev2").agg(F.count("*").alias("c"))
-    mad = _median2_from_counts(dc, "event_type", "dev2").select(
-        "event_type", F.col("med2").alias("mad4")
+    dc = cache_tracked(  # consumed twice: the MAD median and the verdict
+        dev.groupBy("event_type", "dev2").agg(
+            F.count("*").alias("c"),
+            F.max("n").alias("n"),
+            F.max("med2").alias("med2"),
+        )
     )
+    mad = _median2_from_counts(
+        dc.select("event_type", "dev2", "c"), "event_type", "dev2"
+    ).select("event_type", F.col("med2").alias("mad4"))
     out = (
-        dev.join(F.broadcast(mad), "event_type")
+        dc.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.max("n").alias("n_events"),
@@ -745,8 +759,8 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.lit(MAD_Z_NUM) * F.col("dev2")
                     > F.lit(MAD_Z_DEN) * F.col("mad4"),
-                    1,
-                ).otherwise(0)
+                    F.col("c"),
+                ).otherwise(F.lit(0))
             ).alias("n_outliers"),
         )
     )
