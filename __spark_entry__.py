@@ -113,6 +113,8 @@ _PRIORITY = [
     "q_mad_outliers",  # median/MAD modified z-score, counting-median form
     "q_data_quality_checks",  # Deequ-style one-scan constraint suite
     "q_dataset_diff",  # snapshot reconcile: added/removed/changed/drift
+    "q_ks_drift",  # exact two-sample KS drift statistic from count CDFs
+    "q_stream_quality_monitor",  # streaming per-window DQ metrics
     # -- stalest re-certification fill: newest driver record is r5 --
     "q_decontaminate",
     "q_dedup_clusters",
@@ -139,13 +141,12 @@ _PRIORITY = [
     "q_stream_session_window",
     "q_stream_sessionize",
     "q_top_terms",
-    "q_variant_extract",
-    # -- single-record round-6 entries (q_index_ann,
-    #    q_index_incremental_dedup, q_quality_logit and q_url_dedup ceded
-    #    their slots to the round-8 additions above; the local
-    #    full-surface gate still covers them) --
-    "q_bigram_logprob",
 ]
+# Rotated out to make room for the six round-8 additions:
+# q_bigram_logprob, q_index_ann, q_index_incremental_dedup,
+# q_quality_logit, q_url_dedup (single-record round-6 entries) and
+# q_variant_extract (3 records, newest r5); the local full-surface gate
+# still covers them every round.
 # Rotated out to make room: the round-7-certified set
 # (CORRECTNESS_r07.json, all-green) and the 2-or-more-record round-6
 # entries; the local full-surface gate still covers all of them every

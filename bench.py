@@ -72,6 +72,7 @@ HEADLINE = [
     "q_hll_users",
     "q_sketch_union",
     "q_mad_outliers",
+    "q_ks_drift",
     "q_bitmap_distinct",
     "q_cms_heavy_hitters",
     # text analysis

@@ -808,6 +808,112 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Distribution-drift detection: exact two-sample Kolmogorov–Smirnov
+# statistic between the first and second half of the month, per event
+# type — the distribution-level companion to q_dataset_diff's key-level
+# reconcile; the test a pipeline runs before concluding "this batch's
+# value distribution still looks like production". KS = max |CDF_a -
+# CDF_b|, computed from per-(type, value) COHORT COUNTS: one cumulative
+# window over the distinct-value rows, the sup carried as the exact
+# integer |cum_a·nb - cum_b·na| (cross-multiplied so no float CDFs),
+# one double division at the very end. The drift verdict compares
+# against the α=0.05 two-sample critical value 1.358·√((na+nb)/(na·nb)).
+#
+# Scale: identical shape to q_mad_outliers — per-(type, value) hash
+# aggregate, windows over distinct values only, never a raw-row
+# shuffle. The exact integer cross-product holds to ~3·10^9 rows per
+# side (2^63 headroom); beyond that production switches the CDF to
+# fixed bins or a sampled sup, same plan.
+# ---------------------------------------------------------------------------
+
+KS_ALPHA_C_PPM = 1_358_000  # 1.358 (α = 0.05 two-sample KS) in ppm
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 1e6) AS BIGINT)").alias("v"),
+        F.when(F.dayofmonth("ts") <= 15, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("in_a"),
+    ).filter(F.col("v").isNotNull())
+    counts = ev.groupBy("event_type", "v").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
+    )
+    w = W.partitionBy("event_type").orderBy("v")
+    x = (
+        counts.withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+        .withColumn("na", F.sum("ca").over(W.partitionBy("event_type")))
+        .withColumn("nb", F.sum("cb").over(W.partitionBy("event_type")))
+    )
+    agg = x.groupBy("event_type").agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+        ).alias("d"),
+        F.max("na").alias("n_first_half"),
+        F.max("nb").alias("n_second_half"),
+    )
+    ks = F.expr(
+        "CAST(round(d / (CAST(n_first_half AS DOUBLE) * n_second_half) "
+        "* 1e6) AS BIGINT)"
+    )
+    crit = F.expr(
+        f"CAST(round({KS_ALPHA_C_PPM} * sqrt((n_first_half + n_second_half)"
+        f" / (CAST(n_first_half AS DOUBLE) * n_second_half))) AS BIGINT)"
+    )
+    return agg.select(
+        "event_type",
+        "n_first_half",
+        "n_second_half",
+        ks.alias("ks_ppm"),
+        crit.alias("crit_ppm"),
+        (ks > crit).alias("drifted"),
+    )
+
+
+ORACLE_KS_DRIFT = f"""
+WITH q AS (
+  SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v,
+         CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS in_a
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT event_type, v, SUM(in_a) AS ca, SUM(1 - in_a) AS cb
+  FROM q GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY v) AS cum_a,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY v) AS cum_b,
+         SUM(ca) OVER (PARTITION BY event_type) AS na,
+         SUM(cb) OVER (PARTITION BY event_type) AS nb
+  FROM counts
+),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS d,
+         CAST(MAX(na) AS BIGINT) AS n_first_half,
+         CAST(MAX(nb) AS BIGINT) AS n_second_half
+  FROM x GROUP BY 1
+)
+SELECT event_type, n_first_half, n_second_half,
+       CAST(round(d / (CAST(n_first_half AS DOUBLE) * n_second_half) * 1e6)
+            AS BIGINT) AS ks_ppm,
+       CAST(round({KS_ALPHA_C_PPM} * sqrt((n_first_half + n_second_half)
+            / (CAST(n_first_half AS DOUBLE) * n_second_half))) AS BIGINT)
+         AS crit_ppm,
+       CAST(round(d / (CAST(n_first_half AS DOUBLE) * n_second_half) * 1e6)
+            AS BIGINT)
+         > CAST(round({KS_ALPHA_C_PPM} * sqrt((n_first_half + n_second_half)
+            / (CAST(n_first_half AS DOUBLE) * n_second_half))) AS BIGINT)
+         AS drifted
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Funnel: view → click → purchase, strictly ordered per user. Each stage
 # is "earliest qualifying event after the previous stage's time" — a
 # conditional min aggregate, NOT a pattern-match UDF. Scale: three hash
@@ -1438,6 +1544,7 @@ QUERIES = {
     "q_kmv_users": q_kmv_users,
     "q_sketch_union": q_sketch_union,
     "q_mad_outliers": q_mad_outliers,
+    "q_ks_drift": q_ks_drift,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
     "q_bitmap_distinct": q_bitmap_distinct,
     "q_event_transitions": q_event_transitions,
@@ -1468,6 +1575,7 @@ ORACLES = {
     "q_kmv_users": _oracle_kmv_users(),
     "q_sketch_union": _oracle_sketch_union(),
     "q_mad_outliers": _oracle_mad_outliers(),
+    "q_ks_drift": ORACLE_KS_DRIFT,
     "q_cms_heavy_hitters": _oracle_cms_heavy_hitters(),
     "q_bitmap_distinct": ORACLE_BITMAP_DISTINCT,
     "q_event_transitions": _oracle_event_transitions(),

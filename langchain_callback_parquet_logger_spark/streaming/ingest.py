@@ -594,12 +594,76 @@ def _oracle_stream_incremental_dedup() -> str:
     return _oracle_incremental_dedup()
 
 
+def q_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitoring — the streaming twin of
+    ``operators.pipeline.q_data_quality_checks``: per tumbling 1-hour
+    event-time window, completeness and enum-containment metrics as
+    integer ppm, computed ON THE STREAM (watermarked windowed
+    conditional aggregates, all decomposable — count + conditional sum
+    merge associatively in the state store). The availableNow drain
+    equals the batch date_trunc-hour rollup, so the stateful operator
+    carries a full value oracle like its q_stream_* siblings.
+
+    Scale: identical plan against a live file/Kafka source with a
+    processing-time trigger; state is one row per open window, evicted
+    by the watermark — the quality dashboard a 100 TB ingest watches
+    instead of re-scanning admitted batches."""
+    from ..operators.analytic import EVENT_TYPES
+    from ..plans.session import scoped_conf
+
+    enum_list = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    stream = _event_stream(spark, sf_dir)
+    checks = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count("value").alias("nn_value"),
+            F.expr(
+                f"sum(CASE WHEN event_type IN ({enum_list}) "
+                f"THEN 1 ELSE 0 END)"
+            ).alias("enum_ok"),
+        )
+    )
+    sink_name = "q_stream_quality_monitor_sink"
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        query = (
+            checks.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(sink_name).select(
+        F.col("w.start").alias("hour_start"),
+        "n",
+        F.expr("(1000000 * nn_value) div n").alias("completeness_ppm"),
+        F.expr("(1000000 * enum_ok) div n").alias("containment_ppm"),
+    )
+
+
+def _oracle_stream_quality_monitor() -> str:
+    from ..operators.analytic import EVENT_TYPES
+
+    enum_list = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return f"""
+SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+       CAST((1000000 * COUNT(value)) // COUNT(*) AS BIGINT)
+         AS completeness_ppm,
+       CAST((1000000 * SUM(CASE WHEN event_type IN ({enum_list})
+            THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS containment_ppm
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_stream_hourly_counts": q_stream_hourly_counts,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_join": q_stream_join,
     "q_stream_session_window": q_stream_session_window,
     "q_stream_incremental_dedup": q_stream_incremental_dedup,
+    "q_stream_quality_monitor": q_stream_quality_monitor,
 }
 
 ORACLES = {
@@ -608,6 +672,7 @@ ORACLES = {
     "q_stream_join": ORACLE_STREAM_JOIN,
     "q_stream_session_window": ORACLE_STREAM_SESSION_WINDOW,
     "q_stream_incremental_dedup": _oracle_stream_incremental_dedup(),
+    "q_stream_quality_monitor": _oracle_stream_quality_monitor(),
 }
 
 

@@ -947,3 +947,77 @@ def test_mad_outliers_duckdb_oracle_matches_python_fuzz():
                 1_000_000 * n_out // len(vals),
             )
             assert duck[ty] == ref, (trial, ty, duck[ty], ref)
+
+
+def test_ks_drift_bounds_and_null_case(spark, sf_dir):
+    """KS is a ppm in [0, 1e6]; the fixture's two month-halves draw from
+    the same generator, so no event type should drift at α=0.05 (a
+    failure here means the statistic, not the data, broke)."""
+    rows = A.q_ks_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.ks_ppm <= 1_000_000
+        assert r.n_first_half > 0 and r.n_second_half > 0
+        assert r.drifted == (r.ks_ppm > r.crit_ppm)
+
+
+def test_ks_drift_duckdb_oracle_matches_python_fuzz():
+    """JVM-free seeded-fuzz differential: the counting-CDF KS oracle vs a
+    sorted two-sample reference (scipy-free: sup over pooled support of
+    |F_a - F_b| with exact rational arithmetic). Includes a planted-shift
+    trial that must flag drifted."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        KS_ALPHA_C_PPM,
+        ORACLES,
+    )
+
+    def round_half_up_int(x: float) -> int:
+        return int(
+            Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    rng = random.Random(7331)
+    for trial in range(10):
+        rows = []
+        shift = 5 if trial == 0 else 0  # planted drift in trial 0
+        for _ in range(rng.randint(40, 300)):
+            day = rng.randint(1, 28)
+            v = rng.randint(-4, 4) + (shift if day > 15 else 0)
+            rows.append((day, "x", v * 250_000))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT "
+            "make_timestamp(2024, 1, unnest(?), 0, 0, 0.0) AS ts, "
+            "unnest(?) AS event_type, unnest(?) / 1e6 AS value",
+            [[r[0] for r in rows], [r[1] for r in rows],
+             [float(r[2]) for r in rows]],
+        )
+        duck = con.execute(ORACLES["q_ks_drift"]).fetchall()
+        con.close()
+        assert len(duck) == 1
+        _, na, nb, ks_ppm, crit_ppm, drifted = duck[0]
+
+        a = sorted(v for d, _, v in rows if d <= 15)
+        b = sorted(v for d, _, v in rows if d > 15)
+        assert (len(a), len(b)) == (na, nb)
+        support = sorted(set(a) | set(b))
+        d_int = 0
+        for s in support:
+            ca = sum(1 for v in a if v <= s)
+            cb = sum(1 for v in b if v <= s)
+            d_int = max(d_int, abs(ca * len(b) - cb * len(a)))
+        ref_ks = round_half_up_int(d_int / (len(a) * len(b)) * 1e6)
+        ref_crit = round_half_up_int(
+            KS_ALPHA_C_PPM
+            * ((len(a) + len(b)) / (len(a) * len(b))) ** 0.5
+        )
+        assert ks_ppm == ref_ks, (trial, ks_ppm, ref_ks)
+        assert crit_ppm == ref_crit
+        assert drifted == (ref_ks > ref_crit)
+        if trial == 0:
+            assert drifted, "planted shift must be detected"

@@ -333,3 +333,41 @@ def test_stream_incremental_dedup_equals_batch_operator(spark, sf_dir):
     finally:
         release_caches()
     assert streamed == batch
+
+
+def test_stream_quality_monitor_equals_batch_rollup(spark, sf_dir):
+    """The availableNow drain of the streaming DQ monitor must equal the
+    batch per-hour rollup computed directly — the exactly-once claim the
+    full value oracle rides on."""
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.operators.analytic import (
+        EVENT_TYPES,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        load_table,
+    )
+    from langchain_callback_parquet_logger_spark.streaming.ingest import (
+        q_stream_quality_monitor,
+    )
+
+    got = {
+        r.hour_start: (r.n, r.completeness_ppm, r.containment_ppm)
+        for r in q_stream_quality_monitor(spark, sf_dir).collect()
+    }
+    enum_list = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("(1000000 * count(value)) div count(*)").alias("comp"),
+            F.expr(
+                f"(1000000 * sum(CASE WHEN event_type IN ({enum_list}) "
+                f"THEN 1 ELSE 0 END)) div count(*)"
+            ).alias("cont"),
+        )
+        .collect()
+    )
+    want = {r.hour_start: (r.n, r.comp, r.cont) for r in batch}
+    assert got == want

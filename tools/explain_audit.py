@@ -294,6 +294,23 @@ COMMENTARY: dict[str, str] = {
         "inside the join's codegen stage; output is "
         "class-cardinality-bounded."
     ),
+    "q_ks_drift": (
+        "Exact two-sample KS without shuffling raw rows: the same "
+        "counting skeleton as q_mad_outliers — per-(type, value) cohort "
+        "counts, cumulative windows over distinct-value rows, the CDF "
+        "sup carried as the exact integer |cum_a·nb − cum_b·na| "
+        "(cross-multiplied, no float CDFs), one double division at the "
+        "end. Drift verdict against the α=0.05 critical value is a "
+        "deterministic comparison both engines compute identically."
+    ),
+    "q_stream_quality_monitor": (
+        "Continuous DQ monitoring on the stream: watermarked 1-hour "
+        "windows aggregate count + conditional sums — all decomposable, "
+        "so partial state merges associatively in the state store and "
+        "eviction is watermark-bounded. The availableNow drain equals "
+        "the batch rollup (full value oracle); swap the trigger for "
+        "processingTime and the identical plan watches a live ingest."
+    ),
     "q_hll_users": (
         "Explicit 512-register HyperLogLog (round 8 — replaced the "
         "implementation-defined approx_count_distinct to earn a full "

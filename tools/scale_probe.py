@@ -121,6 +121,7 @@ QUERIES = [
     "q_hll_users",
     "q_sketch_union",
     "q_mad_outliers",
+    "q_ks_drift",
     "q_data_quality_checks",
     "q_dataset_diff",
     "q_semdedup",
