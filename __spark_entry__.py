@@ -78,11 +78,11 @@ GRADING_WINDOW = 50
 # query earns a driver-graded CORRECTNESS record.  Round-8 rotation
 # (VERDICT r7 next-round #1): the 18 round-7 additions that were pending
 # certification take the front — they have NO driver record yet — then
-# the permanent sketch resident, then the stalest re-certification fill:
-# all 26 queries whose newest driver record is round 5, plus the five
-# single-record round-6 entries.  The 49 queries freshly certified in
-# round 7 rotate out; the local full-surface gate still covers them
-# every round.
+# the permanent sketch resident, this round's 9 new queries, and a
+# stalest-first re-certification fill of queries whose newest driver
+# record is round 5.  The 49 queries freshly certified in round 7
+# rotate out; the local full-surface gate still covers them every
+# round.
 _PRIORITY = [
     # -- round-7 additions, first driver certification (were
     #    _PENDING_CERTIFICATION; the tripwire test expired their
@@ -115,6 +115,9 @@ _PRIORITY = [
     "q_dataset_diff",  # snapshot reconcile: added/removed/changed/drift
     "q_ks_drift",  # exact two-sample KS drift statistic from count CDFs
     "q_stream_quality_monitor",  # streaming per-window DQ metrics
+    "q_vocab_overlap",  # source-pair vocabulary Jaccard (posting join)
+    "q_quota_resample",  # exact per-class quota balancing by hash rank
+    "q_langid_confusion",  # lang-ID accuracy audit matrix (recall ppm)
     # -- stalest re-certification fill: newest driver record is r5 --
     "q_decontaminate",
     "q_dedup_clusters",
@@ -125,11 +128,9 @@ _PRIORITY = [
     "q_knn_lsh",
     "q_lang_id",
     "q_minhash_dedup",
-    "q_mixture_sample",
     "q_multimodal_features",
     "q_multimodal_resize",
     "q_ngram_jaccard",
-    "q_priority_class",
     "q_range_join_banded",
     "q_sessionize",
     "q_simhash",
@@ -140,17 +141,14 @@ _PRIORITY = [
     "q_stream_join",
     "q_stream_session_window",
     "q_stream_sessionize",
-    "q_top_terms",
 ]
-# Rotated out to make room for the six round-8 additions:
+# Rotated out to make room for the nine round-8 additions:
 # q_bigram_logprob, q_index_ann, q_index_incremental_dedup,
 # q_quality_logit, q_url_dedup (single-record round-6 entries) and
-# q_variant_extract (3 records, newest r5); the local full-surface gate
-# still covers them every round.
-# Rotated out to make room: the round-7-certified set
-# (CORRECTNESS_r07.json, all-green) and the 2-or-more-record round-6
-# entries; the local full-surface gate still covers all of them every
-# round.
+# q_variant_extract, q_mixture_sample, q_priority_class, q_top_terms
+# (3-record r5 entries) — plus, as in round 7, the round-7-certified
+# set and the 2-or-more-record round-6 entries; the local full-surface
+# gate still covers all of them every round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/

@@ -91,6 +91,7 @@ HEADLINE = [
     "q_doc_keywords",
     "q_tokenizer_fertility",
     "q_doc_chunking",
+    "q_langid_confusion",
     # deduplication
     "q_exact_dedup",
     "q_url_dedup",
@@ -136,6 +137,8 @@ HEADLINE = [
     "q_corpus_clean",
     "q_data_quality_checks",
     "q_dataset_diff",
+    "q_vocab_overlap",
+    "q_quota_resample",
     "q_sequence_pack",
     "q_mixture_sample",
     "q_bpe_merge_candidates",

@@ -1017,6 +1017,145 @@ FROM j GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Source-pair vocabulary overlap — the redundancy map a curator reads
+# before weighting sources: for every pair of sources, the Jaccard
+# similarity of their word vocabularies, computed from a DISTINCT
+# (source, word) posting table — self-join on word (hash-equi, linear in
+# postings + co-occurrences), never a doc×doc comparison. Jaccard ships
+# as exact integer ppm. Source count is bounded, so the output is
+# pair-cardinality-bounded; the join keys are words (high cardinality,
+# well-distributed) — the skew-safe direction.
+# ---------------------------------------------------------------------------
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import words_col
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    post = cache_tracked(  # consumed by sizes and the pair self-join
+        docs.select(
+            "source", F.explode(words_col(F.col("text"))).alias("w")
+        ).distinct()
+    )
+    sizes = post.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = post.alias("a"), post.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    # per-source vocab sizes: bounded dim (source enum) — broadcast
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "na",
+            "nb",
+            "common",
+            F.expr("(1000000 * common) div (na + nb - common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+ORACLE_VOCAB_OVERLAP = """
+WITH post AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM post GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
+  FROM post a JOIN post b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, sa.n AS na, sb.n AS nb, common,
+       CAST((1000000 * common) // (sa.n + sb.n - common) AS BIGINT)
+         AS jaccard_ppm
+FROM common
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact per-class quota resampling — the class-balancing step before
+# training on a label-skewed corpus: every language keeps exactly
+# quota = min(class size) documents, selected deterministically as the
+# quota smallest values of a salted document hash (ties broken by
+# doc_id, so both engines pick the identical survivor set). Unlike
+# q_mixture_sample's RATE-based thinning, the quota is exact.
+#
+# Scale: one rank window per language over (hash, doc_id). The window
+# partitions on a low-cardinality key; at 100 TB production replaces the
+# full sort with a selection threshold (quota-th smallest hash via a
+# quantile sketch, then a scan-filter) — same survivor set, no global
+# per-class sort; the graded form is the exact-selection contract that
+# threshold must reproduce.
+# ---------------------------------------------------------------------------
+def q_quota_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import hash60
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = hash60(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    sized = docs.select("doc_id", "lang", "n_chars", h.alias("h"))
+    quota = sized.groupBy("lang").agg(F.count("*").alias("n_total"))
+    qmin = quota.agg(F.min("n_total").alias("quota"))
+    ranked = sized.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("lang").orderBy("h", "doc_id")),
+    )
+    # quota and per-lang totals are single-row / lang-enum-bounded dims
+    kept = ranked.crossJoin(F.broadcast(qmin)).filter(
+        F.col("rk") <= F.col("quota")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("h").alias("min_hash"),
+        )
+        .join(F.broadcast(quota), "lang")
+        .select("lang", "n_total", "n_kept", "kept_chars", "min_hash")
+    )
+
+
+def _oracle_quota_resample() -> str:
+    from .dedup import _hash60_sql
+
+    hsql = _hash60_sql("'quota:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH sized AS (
+  SELECT doc_id, lang, n_chars, {hsql} AS h FROM documents
+),
+quota AS (SELECT lang, COUNT(*) AS n_total FROM sized GROUP BY 1),
+qmin AS (SELECT MIN(n_total) AS q FROM quota),
+ranked AS (
+  SELECT lang, n_chars, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM sized
+),
+kept AS (SELECT * FROM ranked, qmin WHERE rk <= q)
+SELECT k.lang, quota.n_total, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       MIN(h) AS min_hash
+FROM kept k JOIN quota ON k.lang = quota.lang
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_corpus_clean": q_corpus_clean,
     "q_token_budget_plan": q_token_budget_plan,
@@ -1031,6 +1170,8 @@ QUERIES = {
     "q_dsir_weights": q_dsir_weights,
     "q_data_quality_checks": q_data_quality_checks,
     "q_dataset_diff": q_dataset_diff,
+    "q_vocab_overlap": q_vocab_overlap,
+    "q_quota_resample": q_quota_resample,
 }
 
 ORACLES = {
@@ -1047,4 +1188,6 @@ ORACLES = {
     "q_dsir_weights": _oracle_dsir_weights(),
     "q_data_quality_checks": _oracle_data_quality_checks(),
     "q_dataset_diff": ORACLE_DATASET_DIFF,
+    "q_vocab_overlap": ORACLE_VOCAB_OVERLAP,
+    "q_quota_resample": _oracle_quota_resample(),
 }

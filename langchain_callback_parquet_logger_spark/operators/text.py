@@ -244,6 +244,52 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the accuracy audit the marker-argmax
+# classifier (q_lang_id) gets before anyone trusts its buckets: per
+# (labeled, predicted) cell, the document count and the row share in
+# exact integer ppm. Composes predicted_lang; one hash aggregate onto
+# the bounded lang×lang key space plus a lang-enum-bounded broadcast of
+# row totals. The diagonal cells' row_ppm IS per-class recall.
+# ---------------------------------------------------------------------------
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            predicted_lang(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    totals = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("row_total")
+    )
+    return cells.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr("(1000000 * n_docs) div row_total").alias("row_ppm"),
+    )
+
+
+def _oracle_langid_confusion() -> str:
+    base = _oracle_lang_id()
+    return f"""
+WITH pred AS ({base}),
+cells AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+),
+totals AS (
+  SELECT labeled_lang, SUM(n_docs) AS row_total FROM cells GROUP BY 1
+)
+SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+       CAST((1000000 * c.n_docs) // t.row_total AS BIGINT) AS row_ppm
+FROM cells c JOIN totals t ON c.labeled_lang = t.labeled_lang
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -1956,6 +2002,7 @@ QUERIES = {
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
+    "q_langid_confusion": q_langid_confusion,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_lang_rollup": q_lang_rollup,
     "q_rolling_hash": q_rolling_hash,
@@ -1984,6 +2031,7 @@ ORACLES = {
     "q_text_stats": ORACLE_TEXT_STATS,
     "q_quality_score": ORACLE_QUALITY_SCORE,
     "q_lang_id": _oracle_lang_id(),
+    "q_langid_confusion": _oracle_langid_confusion(),
     "q_doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "q_lang_rollup": ORACLE_LANG_ROLLUP,
     "q_rolling_hash": ORACLE_ROLLING_HASH,

@@ -2055,3 +2055,29 @@ def test_doc_chunking_duckdb_oracle_edge_docs():
     }
     con.close()
     assert duck == _chunk_ref(docs)
+
+
+def test_langid_confusion_rows_tile_and_recall(spark, sf_dir):
+    """Confusion cells partition the corpus (cell counts sum to the doc
+    count, row ppm sums to ~1e6 per labeled lang) and agree with
+    q_lang_id's per-doc predictions."""
+    from langchain_callback_parquet_logger_spark.operators.text import (
+        q_lang_id,
+        q_langid_confusion,
+    )
+
+    cells = q_langid_confusion(spark, sf_dir).collect()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in cells) == docs_n
+    per_row: dict = {}
+    for r in cells:
+        per_row.setdefault(r.labeled_lang, 0)
+        per_row[r.labeled_lang] += r.row_ppm
+    for lang, tot in per_row.items():
+        assert 1_000_000 - len(cells) <= tot <= 1_000_000, lang
+    want: dict = {}
+    for r in q_lang_id(spark, sf_dir).collect():
+        k = (r.labeled_lang, r.predicted_lang)
+        want[k] = want.get(k, 0) + 1
+    got = {(r.labeled_lang, r.predicted_lang): r.n_docs for r in cells}
+    assert got == want

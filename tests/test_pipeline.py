@@ -418,3 +418,63 @@ def test_dataset_diff_duckdb_oracle_matches_python_fuzz():
             cnt, dr = agg.get(k, (0, 0))
             agg[k] = (cnt + 1, dr + drift)
         assert duck == agg, (trial, duck, agg)
+
+
+def test_vocab_overlap_bounds_and_symmetric_pairs(spark, sf_dir):
+    """Jaccard ppm in [0, 1e6]; common <= min(na, nb); each unordered
+    source pair appears exactly once with source_a < source_b."""
+    rows = P.q_vocab_overlap(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert 0 < r.common <= min(r.na, r.nb)
+        assert 0 <= r.jaccard_ppm <= 1_000_000
+        assert r.jaccard_ppm == 1_000_000 * r.common // (r.na + r.nb - r.common)
+
+
+def test_quota_resample_exact_balance(spark, sf_dir):
+    """Every language keeps exactly quota = min(class size) documents —
+    the exact-balance contract rate-based sampling can't give."""
+    rows = P.q_quota_resample(spark, sf_dir).collect()
+    assert rows
+    quota = min(r.n_total for r in rows)
+    for r in rows:
+        assert r.n_kept == quota, r.lang
+        assert r.kept_chars > 0 and r.min_hash >= 0
+
+
+def test_quota_resample_survivors_are_hash_minimal(spark, sf_dir):
+    """The kept set per language must be exactly the quota smallest
+    (hash, doc_id) pairs — deterministic selection, not arbitrary."""
+    from langchain_callback_parquet_logger_spark.operators.dedup import (
+        hash60,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        hash60(
+            F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    by_lang: dict = {}
+    for r in docs.collect():
+        by_lang.setdefault(r.lang, []).append((r.h, r.doc_id, r.n_chars))
+    quota = min(len(v) for v in by_lang.values())
+    want = {
+        lang: (
+            quota,
+            sum(c for _, _, c in sorted(v)[:quota]),
+            min(h for h, _, _ in sorted(v)[:quota]),
+        )
+        for lang, v in by_lang.items()
+    }
+    got = {
+        r.lang: (r.n_kept, r.kept_chars, r.min_hash)
+        for r in P.q_quota_resample(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -311,6 +311,29 @@ COMMENTARY: dict[str, str] = {
         "the batch rollup (full value oracle); swap the trigger for "
         "processingTime and the identical plan watches a live ingest."
     ),
+    "q_vocab_overlap": (
+        "Source-redundancy map: DISTINCT (source, word) postings joined "
+        "on the WORD (high-cardinality, well-distributed — the skew-safe "
+        "direction), never doc×doc; per-source vocab sizes attach as an "
+        "enum-bounded broadcast after the pair aggregate. Output is "
+        "pair-cardinality-bounded, Jaccard in exact integer ppm."
+    ),
+    "q_quota_resample": (
+        "Exact class balancing: one rank window per language over the "
+        "salted doc hash (ties broken by doc_id so both engines keep "
+        "the identical survivor set); quota is a single-row broadcast. "
+        "At 100 TB the full per-class sort swaps for a selection "
+        "threshold (quota-th smallest hash via quantile sketch, then "
+        "scan-filter) — same survivors; this graded form is the "
+        "exact-selection contract that threshold must reproduce."
+    ),
+    "q_langid_confusion": (
+        "Classifier audit as a plan: predicted_lang is a pure codegen "
+        "expression fused into the scan, one hash aggregate onto the "
+        "bounded lang×lang key space, row totals re-aggregated from the "
+        "CELLS (never a second corpus pass) and broadcast back. "
+        "Diagonal row_ppm is per-class recall, exact integer."
+    ),
     "q_hll_users": (
         "Explicit 512-register HyperLogLog (round 8 — replaced the "
         "implementation-defined approx_count_distinct to earn a full "

@@ -124,6 +124,9 @@ QUERIES = [
     "q_ks_drift",
     "q_data_quality_checks",
     "q_dataset_diff",
+    "q_vocab_overlap",
+    "q_quota_resample",
+    "q_langid_confusion",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
