@@ -19,6 +19,7 @@ EXAMPLES = [
     "quality_features_example.py",
     "index_lifecycle_example.py",
     "maintenance_lifecycle_example.py",
+    "admission_gate_example.py",
 ]
 
 

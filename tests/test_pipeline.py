@@ -478,3 +478,83 @@ def test_quota_resample_survivors_are_hash_minimal(spark, sf_dir):
         for r in P.q_quota_resample(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_vocab_overlap_duckdb_oracle_matches_python_fuzz():
+    """JVM-free seeded-fuzz differential: the posting-join vocabulary
+    Jaccard oracle vs Python set arithmetic on random word soups
+    (includes empty-text docs — both engines treat split('') as the
+    one-element '' vocabulary entry, so the twin must too)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(9041)
+    words = [f"w{i}" for i in range(30)]
+    for trial in range(10):
+        docs = []
+        for i in range(rng.randint(2, 60)):
+            src = rng.choice(["s1", "s2", "s3"])
+            text = (
+                ""
+                if rng.random() < 0.05
+                else " ".join(
+                    rng.choice(words)
+                    for _ in range(rng.randint(1, 12))
+                )
+            )
+            docs.append((i, src, text))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT unnest(?) AS doc_id, "
+            "unnest(?) AS source, unnest(?) AS text",
+            [[d[0] for d in docs], [d[1] for d in docs],
+             [d[2] for d in docs]],
+        )
+        duck = {
+            (r[0], r[1]): tuple(r[2:])
+            for r in con.execute(P.ORACLES["q_vocab_overlap"]).fetchall()
+        }
+        con.close()
+
+        vocab: dict = {}
+        for _, src, text in docs:
+            vocab.setdefault(src, set()).update(text.split(" "))
+        ref = {}
+        for a in sorted(vocab):
+            for b in sorted(vocab):
+                if a >= b:
+                    continue
+                common = len(vocab[a] & vocab[b])
+                if common == 0:
+                    continue  # no co-occurring word -> pair never joins
+                union = len(vocab[a] | vocab[b])
+                ref[(a, b)] = (
+                    len(vocab[a]),
+                    len(vocab[b]),
+                    common,
+                    1_000_000 * common // union,
+                )
+        assert duck == ref, (trial, duck, ref)
+
+
+def test_langid_confusion_duckdb_oracle_parses():
+    """The confusion oracle nests the full lang-ID oracle as a CTE; make
+    sure it stays executable DuckDB SQL against a tiny synthetic table
+    (value agreement is covered by the oracle gate + the Spark-side
+    tiling test)."""
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.operators.text import (
+        ORACLES as TEXT_ORACLES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT 1 AS doc_id, "
+        "'the quick fox' AS text, 'en' AS lang, 's' AS source, "
+        "13 AS n_chars"
+    )
+    rows = con.execute(TEXT_ORACLES["q_langid_confusion"]).fetchall()
+    con.close()
+    assert rows == [("en", "en", 1, 1_000_000)]
