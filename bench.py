@@ -100,6 +100,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_dedup_clusters",
     "q_dup_centrality",
+    "q_label_propagation",
     "q_winnow_matches",
     "q_dedup_threshold_sweep",
     "q_incremental_dedup",

@@ -238,12 +238,123 @@ FROM r{PAGERANK_ITERS} JOIN deg d USING (u)
 """
 
 
+# ---------------------------------------------------------------------------
+# Label propagation (Raghavan et al. 2007) over the near-dup graph —
+# community detection, NOT connectivity: where connected components
+# (q_dedup_clusters) fuse everything a chain of borderline pairs links,
+# LPA assigns each node the MODE of its neighbours' labels, so weakly
+# bridged clusters keep separate communities. The comparison between
+# the two partitionings is exactly what a curator reads before deciding
+# whether a giant "duplicate cluster" is one template family or several
+# bridged ones.
+#
+# Determinism contract: synchronous updates for a FIXED iteration count
+# with the tie-break (count DESC, label ASC) — no float, no dependence
+# on visit order, so Spark, the unrolled DuckDB CTE chain, and a Python
+# reference agree exactly.
+#
+# Scale: each iteration is one edge⋈label equi-join, a hash aggregate
+# on (node, label), and a per-node argmax window over the label-count
+# rows (bounded by each node's distinct neighbour labels) — the same
+# Pregel message-passing shape as pagerank_integer; edges are cached
+# once.
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = LPA_ITERS
+) -> DataFrame:
+    """(src, dst) undirected edge list → (node, label) after `iters`
+    synchronous mode-label rounds (ties → smallest label)."""
+    from pyspark.sql import Window as W
+
+    from ..plans.session import cache_tracked
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = cache_tracked(
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    )
+    labels = sym.select("u").distinct().select(
+        "u", F.col("u").alias("label")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
+    )
+    for _ in range(iters):
+        counts = (
+            sym.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy("u", F.col("nl").alias("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.withColumn("rk", rk).filter(F.col("rk") == 1).select("u", "label")
+        )
+    return labels.select(F.col("u").alias("node"), "label")
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the MinHash near-dup graph after LPA_ITERS
+    synchronous label-propagation rounds: (community_label,
+    community_size)."""
+    pairs = q_minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    labels = label_propagation(pairs, src="doc_a", dst="doc_b")
+    return labels.groupBy(F.col("label").alias("community_label")).agg(
+        F.count("*").alias("community_size")
+    )
+
+
+def _oracle_label_propagation() -> str:
+    steps = []
+    for i in range(1, LPA_ITERS + 1):
+        steps.append(
+            f"""c{i} AS (
+  SELECT e.u, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{i - 1} l ON e.v = l.node
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT u AS node, label FROM (
+    SELECT u, label,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC)
+             AS rk
+    FROM c{i}
+  ) t WHERE rk = 1
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  {_oracle_minhash()}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+{chain}
+SELECT label AS community_label, COUNT(*) AS community_size
+FROM l{LPA_ITERS} GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dup_centrality": q_dup_centrality,
+    "q_label_propagation": q_label_propagation,
 }
 
 ORACLES = {
     "q_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "q_dup_centrality": _oracle_dup_centrality(),
+    "q_label_propagation": _oracle_label_propagation(),
 }

@@ -77,3 +77,62 @@ def test_pagerank_integer_star_graph_ranks_hub_highest(spark):
     hub = got[0][1]
     leaves = {got[i][1] for i in range(1, 6)}
     assert len(leaves) == 1 and hub > leaves.pop()
+
+
+def test_label_propagation_matches_python_and_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by ONE bridge edge: connected components fuse
+    them into one cluster, LPA must keep two communities (the bridge
+    carries one vote, the cliques three) — the discriminating case the
+    operator exists for. The Spark labels must equal a pure-Python
+    synchronous-LPA twin exactly, fuzzed over random graphs."""
+    import random
+
+    from langchain_callback_parquet_logger_spark.operators import graph as G
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+    )
+
+    def python_lpa(edges):
+        sym = set(edges) | {(b, a) for a, b in edges}
+        nodes = {u for u, _ in sym}
+        label = {u: u for u in nodes}
+        for _ in range(G.LPA_ITERS):
+            new = {}
+            for u in nodes:
+                counts: dict = {}
+                for a, b in sym:
+                    if a == u:
+                        counts[label[b]] = counts.get(label[b], 0) + 1
+                new[u] = min(counts, key=lambda L: (-counts[L], L))
+            label = new
+        return label
+
+    def spark_lpa(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        try:
+            return {
+                r.node: r.label
+                for r in G.label_propagation(df, "src", "dst").collect()
+            }
+        finally:
+            release_caches()
+
+    clique = lambda off: [
+        (off + i, off + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    bridged = clique(0) + clique(10) + [(0, 10)]
+    got = spark_lpa(bridged)
+    assert got == python_lpa(bridged)
+    assert len(set(got.values())) == 2  # the bridge must NOT fuse them
+    assert {got[i] for i in range(4)} != {got[10 + i] for i in range(4)}
+
+    rng = random.Random(8147)
+    for trial in range(5):
+        n = rng.randint(3, 14)
+        edges = list(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(2, 24))
+            }
+        )
+        assert spark_lpa(edges) == python_lpa(edges), (trial, edges)

@@ -311,6 +311,17 @@ COMMENTARY: dict[str, str] = {
         "the batch rollup (full value oracle); swap the trigger for "
         "processingTime and the identical plan watches a live ingest."
     ),
+    "q_label_propagation": (
+        "Community detection vs connectivity: where connected "
+        "components fuse everything a chain of borderline pairs links, "
+        "LPA's mode-label update keeps weakly bridged clusters apart "
+        "(pinned by the two-cliques-one-bridge test). Synchronous "
+        "rounds with a fixed iteration count and (count DESC, label "
+        "ASC) tie-break make it deterministic cross-engine; each round "
+        "is one cached-edge equi-join + hash aggregate + per-node "
+        "argmax window over label-count rows — Pregel shape, same as "
+        "the integer PageRank."
+    ),
     "q_vocab_overlap": (
         "Source-redundancy map: DISTINCT (source, word) postings joined "
         "on the WORD (high-cardinality, well-distributed — the skew-safe "

@@ -127,6 +127,7 @@ QUERIES = [
     "q_vocab_overlap",
     "q_quota_resample",
     "q_langid_confusion",
+    "q_label_propagation",
     "q_semdedup",
     "q_unigram_logprob",
     "q_training_order",
