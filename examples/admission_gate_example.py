@@ -50,6 +50,9 @@ def main() -> int:
     print("== 2. distribution drift (two-sample KS) ==")
     drifted = []
     for r in an.q_ks_drift(spark, SF_DIR).collect():
+        # drifted is TRUE for one-sided cohorts too (ks_ppm NULL): a
+        # type the statistic can't certify must be investigated, not
+        # silently admitted
         mark = "DRIFT" if r.drifted else "ok"
         print(f"  {mark} {r.event_type}: ks={r.ks_ppm} ppm "
               f"(crit {r.crit_ppm})")

@@ -855,13 +855,26 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").alias("n_first_half"),
         F.max("nb").alias("n_second_half"),
     )
-    ks = F.expr(
-        "CAST(round(d / (CAST(n_first_half AS DOUBLE) * n_second_half) "
-        "* 1e6) AS BIGINT)"
+    # One-sided guard: a type with an empty cohort has no two-sample
+    # statistic (the division is 0/0 — NULL/NaN depending on engine and
+    # ANSI mode), and a NULL verdict would read as "no drift" to a gate
+    # consumer exactly when the check can't certify anything. Emit NULL
+    # metrics but drifted = TRUE (flag for investigation) in that case.
+    one_sided = (F.col("n_first_half") == 0) | (F.col("n_second_half") == 0)
+    ks = F.when(
+        ~one_sided,
+        F.expr(
+            "CAST(round(d / (CAST(n_first_half AS DOUBLE) * n_second_half)"
+            " * 1e6) AS BIGINT)"
+        ),
     )
-    crit = F.expr(
-        f"CAST(round({KS_ALPHA_C_PPM} * sqrt((n_first_half + n_second_half)"
-        f" / (CAST(n_first_half AS DOUBLE) * n_second_half))) AS BIGINT)"
+    crit = F.when(
+        ~one_sided,
+        F.expr(
+            f"CAST(round({KS_ALPHA_C_PPM} * sqrt((n_first_half +"
+            f" n_second_half) / (CAST(n_first_half AS DOUBLE) *"
+            f" n_second_half))) AS BIGINT)"
+        ),
     )
     return agg.select(
         "event_type",
@@ -869,7 +882,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_second_half",
         ks.alias("ks_ppm"),
         crit.alias("crit_ppm"),
-        (ks > crit).alias("drifted"),
+        F.when(one_sided, F.lit(True)).otherwise(ks > crit).alias("drifted"),
     )
 
 
@@ -899,16 +912,19 @@ agg AS (
   FROM x GROUP BY 1
 )
 SELECT event_type, n_first_half, n_second_half,
-       CAST(round(d / (CAST(n_first_half AS DOUBLE) * n_second_half) * 1e6)
-            AS BIGINT) AS ks_ppm,
-       CAST(round({KS_ALPHA_C_PPM} * sqrt((n_first_half + n_second_half)
-            / (CAST(n_first_half AS DOUBLE) * n_second_half))) AS BIGINT)
-         AS crit_ppm,
-       CAST(round(d / (CAST(n_first_half AS DOUBLE) * n_second_half) * 1e6)
-            AS BIGINT)
-         > CAST(round({KS_ALPHA_C_PPM} * sqrt((n_first_half + n_second_half)
-            / (CAST(n_first_half AS DOUBLE) * n_second_half))) AS BIGINT)
-         AS drifted
+       CASE WHEN n_first_half = 0 OR n_second_half = 0 THEN NULL
+            ELSE CAST(round(d / (CAST(n_first_half AS DOUBLE)
+                 * n_second_half) * 1e6) AS BIGINT) END AS ks_ppm,
+       CASE WHEN n_first_half = 0 OR n_second_half = 0 THEN NULL
+            ELSE CAST(round({KS_ALPHA_C_PPM} * sqrt((n_first_half
+                 + n_second_half) / (CAST(n_first_half AS DOUBLE)
+                 * n_second_half))) AS BIGINT) END AS crit_ppm,
+       CASE WHEN n_first_half = 0 OR n_second_half = 0 THEN TRUE
+            ELSE CAST(round(d / (CAST(n_first_half AS DOUBLE)
+                 * n_second_half) * 1e6) AS BIGINT)
+                 > CAST(round({KS_ALPHA_C_PPM} * sqrt((n_first_half
+                 + n_second_half) / (CAST(n_first_half AS DOUBLE)
+                 * n_second_half))) AS BIGINT) END AS drifted
 FROM agg
 """
 

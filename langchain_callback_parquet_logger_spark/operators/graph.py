@@ -251,7 +251,12 @@ FROM r{PAGERANK_ITERS} JOIN deg d USING (u)
 # Determinism contract: synchronous updates for a FIXED iteration count
 # with the tie-break (count DESC, label ASC) — no float, no dependence
 # on visit order, so Spark, the unrolled DuckDB CTE chain, and a Python
-# reference agree exactly.
+# reference agree exactly.  Each node's OWN current label counts as one
+# vote: pure neighbour voting oscillates with period 2 on bipartite
+# components (an isolated near-dup PAIR — the most common component in
+# the MinHash graph — would end an even iteration count back at two
+# distinct labels), while the self-vote makes pairs and stars converge
+# to one community and is the standard synchronous-LPA stabilizer.
 #
 # Scale: each iteration is one edge⋈label equi-join, a hash aggregate
 # on (node, label), and a per-node argmax window over the label-count
@@ -273,10 +278,16 @@ def label_propagation(
     from ..plans.session import cache_tracked
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # The self-vote is encoded as a SELF-LOOP edge per node: the label
+    # frame is then referenced exactly ONCE per round (plain neighbour
+    # voting over the loop-augmented graph), so the iteration chain
+    # stays a linear plan — a second reference per round would fan the
+    # label subtree out 2^iters times (r7 lesson).
     sym = cache_tracked(
-        e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .unionByName(e.select("u", F.col("u").alias("v")))
+        .unionByName(e.select(F.col("v").alias("u"), "v"))
+        .distinct()
     )
     labels = sym.select("u").distinct().select(
         "u", F.col("u").alias("label")
@@ -321,7 +332,7 @@ def _oracle_label_propagation() -> str:
   FROM edges e JOIN l{i - 1} l ON e.v = l.node
   GROUP BY 1, 2
 ),
-l{i} AS (
+l{i} AS MATERIALIZED (
   SELECT u AS node, label FROM (
     SELECT u, label,
            row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC)
@@ -331,16 +342,25 @@ l{i} AS (
 )"""
         )
     chain = ",\n".join(steps)
+    # The self-vote rides as self-loop edges (see label_propagation), so
+    # every l{{i}} is referenced once; pairs/edges/l{{i}} still carry
+    # MATERIALIZED because DuckDB inlines plain CTEs and the multi-leg
+    # edges UNION would otherwise re-evaluate the whole MinHash pipeline
+    # per leg (measured 46 s → ~3 s at sf0.1 when first added).
     return f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   {_oracle_minhash()}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION
   SELECT doc_b AS u, doc_a AS v FROM pairs
+  UNION
+  SELECT doc_a AS u, doc_a AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_b AS v FROM pairs
 ),
-l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM edges),
 {chain}
 SELECT label AS community_label, COUNT(*) AS community_size
 FROM l{LPA_ITERS} GROUP BY 1

@@ -814,6 +814,23 @@ DQ_THRESHOLDS = {
     "docs_nonempty_text": 990_000,
 }
 
+# check_name → numerator column of the per-table aggregate row.  Shared
+# by the Spark query AND the oracle builder (like DQ_THRESHOLDS) so the
+# two verdict-row sets cannot silently desynchronize.
+DQ_EVENT_METRICS = {
+    "events_completeness_value": "nn_value",
+    "events_completeness_props": "nn_props",
+    "events_uniqueness_event_id": "du_event_id",
+    "events_containment_event_type": "enum_ok",
+    "events_nonneg_user_id": "uid_ok",
+}
+DQ_DOC_METRICS = {
+    "docs_completeness_text": "nn_text",
+    "docs_consistency_n_chars": "nchars_ok",
+    "docs_nonempty_text": "nonempty",
+}
+assert set(DQ_THRESHOLDS) == set(DQ_EVENT_METRICS) | set(DQ_DOC_METRICS)
+
 
 def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytic import EVENT_TYPES
@@ -860,25 +877,7 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c.*"
         )
 
-    out = _checks(
-        ea,
-        {
-            "events_completeness_value": "nn_value",
-            "events_completeness_props": "nn_props",
-            "events_uniqueness_event_id": "du_event_id",
-            "events_containment_event_type": "enum_ok",
-            "events_nonneg_user_id": "uid_ok",
-        },
-    ).unionAll(
-        _checks(
-            da,
-            {
-                "docs_completeness_text": "nn_text",
-                "docs_consistency_n_chars": "nchars_ok",
-                "docs_nonempty_text": "nonempty",
-            },
-        )
-    )
+    out = _checks(ea, DQ_EVENT_METRICS).unionAll(_checks(da, DQ_DOC_METRICS))
     return out.withColumn(
         "passed", F.col("metric_ppm") >= F.col("threshold_ppm")
     )
@@ -888,18 +887,7 @@ def _oracle_data_quality_checks() -> str:
     from .analytic import EVENT_TYPES
 
     enum_list = ", ".join(f"'{t}'" for t in EVENT_TYPES)
-    ev_metrics = {
-        "events_completeness_value": "nn_value",
-        "events_completeness_props": "nn_props",
-        "events_uniqueness_event_id": "du_event_id",
-        "events_containment_event_type": "enum_ok",
-        "events_nonneg_user_id": "uid_ok",
-    }
-    doc_metrics = {
-        "docs_completeness_text": "nn_text",
-        "docs_consistency_n_chars": "nchars_ok",
-        "docs_nonempty_text": "nonempty",
-    }
+    ev_metrics, doc_metrics = DQ_EVENT_METRICS, DQ_DOC_METRICS
     legs = [
         f"SELECT '{name}' AS check_name,"
         f" CAST((1000000 * {num}) // n AS BIGINT) AS metric_ppm,"
@@ -963,10 +951,16 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_new"),
     )
     j = old.join(new, "event_id", "full_outer")
+    # Membership is read from the carve-outs' event_type columns (never
+    # NULL for a present row), NOT from the value columns: a NULL value
+    # is in-domain for events (the DQ completeness threshold tolerates
+    # it), and conflating "key absent" with "value NULL" would
+    # misclassify NULL-valued keys. Value change uses the null-safe
+    # comparison for the same reason.
     status = (
-        F.when(F.col("v_old").isNull(), F.lit("added"))
-        .when(F.col("v_new").isNull(), F.lit("removed"))
-        .when(F.col("v_old") != F.col("v_new"), F.lit("changed"))
+        F.when(F.col("et_old").isNull(), F.lit("added"))
+        .when(F.col("et_new").isNull(), F.lit("removed"))
+        .when(~F.col("v_old").eqNullSafe(F.col("v_new")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (
@@ -1004,9 +998,9 @@ new AS (
 ),
 j AS (
   SELECT COALESCE(old.et_old, new.et_new) AS event_type,
-         CASE WHEN v_old IS NULL THEN 'added'
-              WHEN v_new IS NULL THEN 'removed'
-              WHEN v_old <> v_new THEN 'changed'
+         CASE WHEN et_old IS NULL THEN 'added'
+              WHEN et_new IS NULL THEN 'removed'
+              WHEN v_old IS DISTINCT FROM v_new THEN 'changed'
               ELSE 'unchanged' END AS status,
          abs(COALESCE(v_new, 0) - COALESCE(v_old, 0)) AS adrift
   FROM old FULL OUTER JOIN new USING (event_id)

@@ -982,11 +982,12 @@ def test_ks_drift_duckdb_oracle_matches_python_fuzz():
         )
 
     rng = random.Random(7331)
-    for trial in range(10):
+    for trial in range(11):
         rows = []
         shift = 5 if trial == 0 else 0  # planted drift in trial 0
         for _ in range(rng.randint(40, 300)):
-            day = rng.randint(1, 28)
+            # trial 10: all rows in one half — the one-sided guard case
+            day = rng.randint(1, 14) if trial == 10 else rng.randint(1, 28)
             v = rng.randint(-4, 4) + (shift if day > 15 else 0)
             rows.append((day, "x", v * 250_000))
         con = duckdb.connect()
@@ -1005,6 +1006,10 @@ def test_ks_drift_duckdb_oracle_matches_python_fuzz():
         a = sorted(v for d, _, v in rows if d <= 15)
         b = sorted(v for d, _, v in rows if d > 15)
         assert (len(a), len(b)) == (na, nb)
+        if not a or not b:
+            # one-sided cohort: NULL metrics, drifted must flag TRUE
+            assert (ks_ppm, crit_ppm, drifted) == (None, None, True), trial
+            continue
         support = sorted(set(a) | set(b))
         d_int = 0
         for s in support:

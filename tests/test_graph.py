@@ -99,7 +99,7 @@ def test_label_propagation_matches_python_and_splits_bridged_cliques(spark):
         for _ in range(G.LPA_ITERS):
             new = {}
             for u in nodes:
-                counts: dict = {}
+                counts: dict = {label[u]: 1}  # self-vote
                 for a, b in sym:
                     if a == u:
                         counts[label[b]] = counts.get(label[b], 0) + 1
@@ -125,6 +125,12 @@ def test_label_propagation_matches_python_and_splits_bridged_cliques(spark):
     assert got == python_lpa(bridged)
     assert len(set(got.values())) == 2  # the bridge must NOT fuse them
     assert {got[i] for i in range(4)} != {got[10 + i] for i in range(4)}
+
+    # an isolated pair must converge to ONE community (the self-vote
+    # case: pure neighbour voting oscillates and would report two)
+    pair = spark_lpa([(7, 8)])
+    assert pair == python_lpa([(7, 8)])
+    assert pair[7] == pair[8] == 7
 
     rng = random.Random(8147)
     for trial in range(5):

@@ -379,7 +379,13 @@ def test_dataset_diff_duckdb_oracle_matches_python_fuzz():
     for trial in range(10):
         n = rng.randint(1, 200)
         rows = [
-            (i, rng.choice(["a", "b"]), rng.randint(-5, 5) * 250_000)
+            (
+                i,
+                rng.choice(["a", "b"]),
+                # NULL values are in-domain: membership, not value
+                # nullability, must drive the classification
+                None if rng.random() < 0.1 else rng.randint(-5, 5) * 250_000,
+            )
             for i in range(n)
         ]
         con = duckdb.connect()
@@ -387,7 +393,7 @@ def test_dataset_diff_duckdb_oracle_matches_python_fuzz():
             "CREATE TABLE events AS SELECT unnest(?) AS event_id, "
             "unnest(?) AS event_type, unnest(?) / 1e6 AS value",
             [[r[0] for r in rows], [r[1] for r in rows],
-             [float(r[2]) for r in rows]],
+             [None if r[2] is None else float(r[2]) for r in rows]],
         )
         duck = {
             (r[0], r[1]): (r[2], r[3])
@@ -397,19 +403,19 @@ def test_dataset_diff_duckdb_oracle_matches_python_fuzz():
 
         agg: dict = {}
         for eid, ty, v in rows:
-            old_v = v if eid % 10 != 7 else None
+            in_old = eid % 10 != 7
+            in_new = eid % 10 != 3
+            old_v = v if in_old else None
             new_v = (
-                (v + 1_000_000 if eid % 5 == 0 else v)
-                if eid % 10 != 3
-                else None
-            )
-            if old_v is None and new_v is None:
-                continue
-            if old_v is None:
+                (None if v is None else v + 1_000_000)
+                if eid % 5 == 0
+                else v
+            ) if in_new else None
+            if not in_old:
                 status = "added"
-            elif new_v is None:
+            elif not in_new:
                 status = "removed"
-            elif old_v != new_v:
+            elif old_v != new_v:  # None != int and None == None work here
                 status = "changed"
             else:
                 status = "unchanged"

@@ -317,10 +317,13 @@ COMMENTARY: dict[str, str] = {
         "LPA's mode-label update keeps weakly bridged clusters apart "
         "(pinned by the two-cliques-one-bridge test). Synchronous "
         "rounds with a fixed iteration count and (count DESC, label "
-        "ASC) tie-break make it deterministic cross-engine; each round "
-        "is one cached-edge equi-join + hash aggregate + per-node "
-        "argmax window over label-count rows — Pregel shape, same as "
-        "the integer PageRank."
+        "ASC) tie-break make it deterministic cross-engine; the "
+        "stabilizing self-vote rides as SELF-LOOP edges so the label "
+        "frame is referenced once per round and the iteration chain "
+        "stays a linear plan (a second reference would fan the subtree "
+        "out 2^iters times). Each round is one cached-edge equi-join + "
+        "hash aggregate + per-node argmax window — Pregel shape, same "
+        "as the integer PageRank."
     ),
     "q_vocab_overlap": (
         "Source-redundancy map: DISTINCT (source, word) postings joined "
