@@ -75,80 +75,80 @@ GRADING_WINDOW = 50
 
 # The driver grades the FIRST GRADING_WINDOW registry entries (insertion
 # order).  Order the registry explicitly so that, across rounds, EVERY
-# query earns a driver-graded CORRECTNESS record.  Round-8 rotation
-# (VERDICT r7 next-round #1): the 18 round-7 additions that were pending
-# certification take the front — they have NO driver record yet — then
-# the permanent sketch resident, this round's 9 new queries, and a
-# stalest-first re-certification fill of queries whose newest driver
-# record is round 5.  The 49 queries freshly certified in round 7
-# rotate out; the local full-surface gate still covers them every
-# round.
+# query earns a driver-graded CORRECTNESS record.  Round-9 rotation
+# (VERDICT r8 next-round #2/#3): the one pending-certification entry
+# (q_label_propagation — the only registry query with no driver record)
+# leads, then a stalest-first re-certification fill: the four queries
+# whose newest record is round 5, then the round-6 cohort ordered by
+# fewest total driver records (singles first, then 2-record, then
+# 3-record alphabetical).  The round-7/8-certified sets rotate out; the
+# local full-surface gate still covers them every round.
 _PRIORITY = [
-    # -- round-7 additions, first driver certification (were
-    #    _PENDING_CERTIFICATION; the tripwire test expired their
-    #    exemption when CORRECTNESS_r07.json landed) --
-    "q_winnow_matches",
-    "q_scd2_dimension",
-    "q_bitmap_distinct",
-    "q_tokenizer_fertility",
-    "q_interval_concurrency",
-    "q_centroid_confusion",
-    "q_dedup_threshold_sweep",
-    "q_event_transitions",
-    "q_doc_chunking",
-    "q_session_funnel_paths",
-    "q_burst_detection",
-    "q_dup_centrality",
-    "q_lsh_pair_audit",
-    "q_ann_recall_audit",
-    "q_token_budget_plan",
-    "q_format_roundtrip",
-    "q_incremental_rollup",
-    "q_zorder_layout",
-    # -- permanent window resident (round 8: now carries a full
-    #    deterministic value oracle — see operators/analytic.py) --
-    "q_hll_users",
-    # -- new in round 8: first driver certification --
-    "q_sketch_union",  # KMV per-day merge == direct (mergeability proof)
-    "q_mad_outliers",  # median/MAD modified z-score, counting-median form
-    "q_data_quality_checks",  # Deequ-style one-scan constraint suite
-    "q_dataset_diff",  # snapshot reconcile: added/removed/changed/drift
-    "q_ks_drift",  # exact two-sample KS drift statistic from count CDFs
-    "q_stream_quality_monitor",  # streaming per-window DQ metrics
-    "q_vocab_overlap",  # source-pair vocabulary Jaccard (posting join)
-    "q_quota_resample",  # exact per-class quota balancing by hash rank
-    "q_langid_confusion",  # lang-ID accuracy audit matrix (recall ppm)
-    # -- stalest re-certification fill: newest driver record is r5 --
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_denylist_redact",
-    "q_embedding_dedup",
-    "q_kmeans_ivf",
-    "q_knn_bruteforce",
-    "q_knn_lsh",
-    "q_lang_id",
-    "q_minhash_dedup",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_ngram_jaccard",
-    "q_range_join_banded",
-    "q_sessionize",
-    "q_simhash",
-    "q_source_mixture_weights",
-    "q_sql_moving_avg",
-    "q_stream_dedup",
-    "q_stream_hourly_counts",
-    "q_stream_join",
-    "q_stream_session_window",
-    "q_stream_sessionize",
+    # -- round-8 late addition, first driver certification (was
+    #    _PENDING_CERTIFICATION with round-9 residency encoded) --
+    "q_label_propagation",
+    # -- new in round 9: first driver certification --
+    "q_cost_attribution",  # tokens × broadcast price dim → exact micro-$
+    # -- round-9 plan changes (ADVICE fixes): a prior green does not
+    #    certify changed code, so both re-enter the window --
+    "q_data_quality_checks",  # consistency predicates now NULL-tolerant
+    "q_vocab_overlap",  # '' excluded from vocab; zero-overlap pairs emitted
+    # -- stalest: newest driver record is round 5 --
+    "q_variant_extract",
+    "q_priority_class",
+    "q_top_terms",
+    "q_mixture_sample",
+    # -- round-6 cohort, single driver record --
+    "q_bigram_logprob",
+    "q_index_ann",
+    "q_index_incremental_dedup",
+    "q_quality_logit",
+    "q_url_dedup",
+    # -- round-6 cohort, two driver records --
+    "q_bpe_merge_candidates",
+    "q_diversity_sample",
+    "q_doc_features",
+    "q_ensemble_dedup",
+    "q_incremental_dedup",
+    "q_leakage_safe_split",
+    "q_length_histogram",
+    "q_pq_quantize",
+    "q_semdedup",
+    "q_substring_dedup",
+    "q_unigram_logprob",
+    # -- round-6 cohort, three driver records (alphabetical fill) --
+    "q_anomaly_zscore",
+    "q_asof_join",
+    "q_checkpoint_resume",
+    "q_cohort_retention",
+    "q_dedup_keep_last",
+    "q_doc_fingerprint",
+    "q_embedding_quantize",
+    "q_event_pivot",
+    "q_event_runs",
+    "q_funnel",
+    "q_hash_sample",
+    "q_hierarchy_join",
+    "q_knn_ivf",
+    "q_knn_per_label",
+    "q_lang_rollup",
+    "q_multimodal_framesample",
+    "q_multimodal_meta",
+    "q_percentiles",
+    "q_pricing_summary",
+    "q_priority_rollup",
+    "q_quality_score",
+    "q_repetition_ratio",
+    "q_results_zip",
+    "q_revenue_by_nation",
+    "q_status_summary",
+    "q_stream_incremental_dedup",
 ]
-# Rotated out to make room for the nine round-8 additions:
-# q_bigram_logprob, q_index_ann, q_index_incremental_dedup,
-# q_quality_logit, q_url_dedup (single-record round-6 entries) and
-# q_variant_extract, q_mixture_sample, q_priority_class, q_top_terms
-# (3-record r5 entries) — plus, as in round 7, the round-7-certified
-# set and the 2-or-more-record round-6 entries; the local full-surface
-# gate still covers all of them every round.
+# Left at round-6 freshness for the round-10 rotation (most-recorded
+# entries — ≥3 green records each): q_text_stats, q_tfidf_top_terms,
+# q_udtf_trigrams, q_user_value_p90, q_corpus_clean, q_exact_dedup,
+# q_salted_rollup; the local full-surface gate still covers all of
+# them every round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/
@@ -160,10 +160,8 @@ _PRIORITY = [
 # tripwire fired the moment round 7's own grade arrived — record the
 # NEXT round's number, which is when the rotation can actually happen.)
 _PENDING_CERTIFICATION: dict[str, int] = {
-    # Round-8 late addition (window already holds the 18 rotated
-    # round-7 entries + the 9 round-8 headliners): must be in the
-    # round-9 window.
-    "q_label_propagation": 9,
+    # Round 9: empty — q_label_propagation rotated into the window
+    # front (first _PRIORITY entry) as its round-9 residency required.
 }
 
 

@@ -351,6 +351,15 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.lit(HLL_M) - F.col("m_present")  # occupied registers have M_j ≥ 1
     s = F.col("s_present") + v * F.lit(1 << 52)
     raw = F.lit(_HLL_C) / s
+    # libm assumption (the registry's one cross-engine float dependency
+    # beyond plain IEEE division): the linear-counting branch evaluates
+    # ln(m/v) via Spark's java.lang.Math.log vs DuckDB's libm log.  Both
+    # are correctly-rounded-to-≤1ulp on this argument range (m/v ∈
+    # (1, 512]); an estimate landing within 1 ulp of a 2dp/6dp rounding
+    # boundary could in principle flip est_users/rel_err between engines.
+    # Accepted: the branch only fires at raw ≤ 2.5m (tiny cohorts), the
+    # fixtures sit nowhere near a boundary, and the alternative (a
+    # fixed-point integer ln) would obscure the textbook estimator shape.
     est = F.when(
         (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),

@@ -272,7 +272,16 @@ def label_propagation(
     edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = LPA_ITERS
 ) -> DataFrame:
     """(src, dst) undirected edge list → (node, label) after `iters`
-    synchronous mode-label rounds (ties → smallest label)."""
+    synchronous mode-label rounds (ties → smallest label).
+
+    Input self-loops are ABSORBED into the stabilizing self-vote: the
+    loop-augmented edge list is built with ``distinct()``, so a graph
+    that already contains (u, u) still gives u exactly ONE vote for its
+    own label per round — not two, as a literal reading of synchronous
+    LPA over the raw multigraph would. (Unreachable from
+    q_label_propagation, whose MinHash pairs guarantee doc_a < doc_b;
+    callers who need multigraph vote weights should pre-aggregate edge
+    multiplicities instead of repeating edges.)"""
     from pyspark.sql import Window as W
 
     from ..plans.session import cache_tracked

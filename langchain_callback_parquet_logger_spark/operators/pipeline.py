@@ -831,6 +831,15 @@ DQ_DOC_METRICS = {
 }
 assert set(DQ_THRESHOLDS) == set(DQ_EVENT_METRICS) | set(DQ_DOC_METRICS)
 
+# Consistency predicates measure consistency AMONG PRESENT VALUES: a NULL
+# is the completeness checks' business (their 990k-ppm budget tolerates
+# it), so a row completeness admits must not also fail a 1M-ppm
+# consistency check just for being NULL (round-8 advice).  Shared
+# verbatim by the Spark aggregate (F.expr) and the oracle SQL — the
+# fragment is dialect-neutral, so the two engines cannot desync.
+DQ_PRED_UID_OK = "user_id IS NULL OR user_id >= 0"
+DQ_PRED_NCHARS_OK = "text IS NULL OR n_chars = length(text)"
+
 
 def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analytic import EVENT_TYPES
@@ -847,15 +856,14 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"sum(CASE WHEN event_type IN ({enum_list}) THEN 1 ELSE 0 END)"
         ).alias("enum_ok"),
         F.expr(
-            "sum(CASE WHEN user_id IS NOT NULL AND user_id >= 0 "
-            "THEN 1 ELSE 0 END)"
+            f"sum(CASE WHEN {DQ_PRED_UID_OK} THEN 1 ELSE 0 END)"
         ).alias("uid_ok"),
     )
     da = docs.agg(
         F.count("*").alias("n"),
         F.count("text").alias("nn_text"),
         F.expr(
-            "sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)"
+            f"sum(CASE WHEN {DQ_PRED_NCHARS_OK} THEN 1 ELSE 0 END)"
         ).alias("nchars_ok"),
         F.expr(
             "sum(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END)"
@@ -903,13 +911,12 @@ WITH ea AS (
          COUNT(DISTINCT event_id) AS du_event_id,
          SUM(CASE WHEN event_type IN ({enum_list}) THEN 1 ELSE 0 END)
            AS enum_ok,
-         SUM(CASE WHEN user_id IS NOT NULL AND user_id >= 0
-             THEN 1 ELSE 0 END) AS uid_ok
+         SUM(CASE WHEN {DQ_PRED_UID_OK} THEN 1 ELSE 0 END) AS uid_ok
   FROM events
 ),
 da AS (
   SELECT COUNT(*) AS n, COUNT(text) AS nn_text,
-         SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)
+         SUM(CASE WHEN {DQ_PRED_NCHARS_OK} THEN 1 ELSE 0 END)
            AS nchars_ok,
          SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS nonempty
   FROM documents
@@ -1020,6 +1027,15 @@ FROM j GROUP BY 1, 2
 # as exact integer ppm. Source count is bounded, so the output is
 # pair-cardinality-bounded; the join keys are words (high cardinality,
 # well-distributed) — the skew-safe direction.
+#
+# Round-9 advice fixes: (1) the empty string is not a word — split('')
+# yields [''] in BOTH engines, so empty/whitespace-edge docs would
+# inflate vocabulary sizes and could add a spurious shared "word"; the
+# posting table filters w != ''.  (2) zero-overlap pairs are REPORTED
+# (jaccard_ppm = 0), not silently absent: the output enumerates the full
+# bounded source-pair universe (sizes ⨯ sizes, source_a < source_b) and
+# left-joins the co-occurrence counts — a redundancy-map consumer sees
+# every pair.
 # ---------------------------------------------------------------------------
 def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import words_col
@@ -1028,7 +1044,9 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = cache_tracked(  # consumed by sizes and the pair self-join
         docs.select(
             "source", F.explode(words_col(F.col("text"))).alias("w")
-        ).distinct()
+        )
+        .filter(F.col("w") != "")
+        .distinct()
     )
     sizes = post.groupBy("source").agg(F.count("*").alias("n"))
     a, b = post.alias("a"), post.alias("b")
@@ -1046,10 +1064,14 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
-    # per-source vocab sizes: bounded dim (source enum) — broadcast
+    # pair universe: bounded dims (source enum) — broadcast everywhere;
+    # common is left-joined so zero-overlap pairs surface explicitly
+    pairs = sa.crossJoin(F.broadcast(sb)).filter(
+        F.col("source_a") < F.col("source_b")
+    )
     return (
-        common.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
+        pairs.join(F.broadcast(common), ["source_a", "source_b"], "left")
+        .withColumn("common", F.coalesce(F.col("common"), F.lit(0)))
         .select(
             "source_a",
             "source_b",
@@ -1065,21 +1087,27 @@ def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_VOCAB_OVERLAP = """
 WITH post AS (
-  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
-  FROM documents
+  SELECT DISTINCT source, w FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w != ''
 ),
 sizes AS (SELECT source, COUNT(*) AS n FROM post GROUP BY 1),
 common AS (
   SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS common
   FROM post a JOIN post b ON a.w = b.w AND a.source < b.source
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT sa.source AS source_a, sb.source AS source_b,
+         sa.n AS na, sb.n AS nb
+  FROM sizes sa, sizes sb WHERE sa.source < sb.source
 )
-SELECT source_a, source_b, sa.n AS na, sb.n AS nb, common,
-       CAST((1000000 * common) // (sa.n + sb.n - common) AS BIGINT)
-         AS jaccard_ppm
-FROM common
-JOIN sizes sa ON sa.source = source_a
-JOIN sizes sb ON sb.source = source_b
+SELECT source_a, source_b, na, nb,
+       COALESCE(common, 0) AS common,
+       CAST((1000000 * COALESCE(common, 0))
+            // (na + nb - COALESCE(common, 0)) AS BIGINT) AS jaccard_ppm
+FROM pairs
+LEFT JOIN common USING (source_a, source_b)
 """
 
 

@@ -168,6 +168,95 @@ FROM events GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# A1 production read — per-model cost attribution.
+# Reference: the token-analysis example extracts llm_type + usage tokens per
+# call and rolls them up (examples/batch_run_example.py:106-126,
+# README.md:221-224); the production question that analysis exists to answer
+# is "what did each (model, day, customer) cost?".  Here the fact side is
+# derived deterministically from `events` (model id from the props JSON `k`
+# field, prompt tokens from `value`, completion tokens from `k`), joined to a
+# module-literal price dimension and aggregated.
+#
+# Money is exact fixed-point end to end: prices are integer micro-dollars per
+# 1k tokens, the per-row cost numerator (tokens × price) is a BIGINT, the
+# group SUM is a BIGINT (combine-order deterministic), and the single `div
+# 1000` happens after aggregation — no floating point ever touches a dollar.
+#
+# Scale: the price dim is bounded by construction (one row per model) →
+# F.broadcast, so the 100 TB fact table never shuffles for the join; the
+# rollup is one hash aggregate on (model, day, custom_id) with map-side
+# partials.  get_json_object is codegen'd JVM-side.
+# ---------------------------------------------------------------------------
+
+# Public-style model tiers with integer micro-dollar prices per 1,000
+# prompt/completion tokens — bounded dimension (broadcast by policy).
+MODEL_PRICE_DIM = [
+    # (model_idx, model, prompt_micros_per_1k, completion_micros_per_1k)
+    (0, "model-nano", 150, 600),
+    (1, "model-small", 800, 4000),
+    (2, "model-large", 2500, 10000),
+    (3, "model-xl", 15000, 75000),
+]
+
+
+def q_cost_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    price = spark.createDataFrame(
+        MODEL_PRICE_DIM, "model_idx BIGINT, model STRING, p_micros BIGINT, c_micros BIGINT"
+    )
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    calls = events.select(
+        F.to_date("ts").alias("event_date"),
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("custom_id"),
+        F.pmod(k, F.lit(len(MODEL_PRICE_DIM))).alias("model_idx"),
+        F.round(F.col("value") * 100).cast("bigint").alias("prompt_tokens"),
+        k.alias("completion_tokens"),
+    )
+    return (
+        calls.join(F.broadcast(price), "model_idx")
+        .groupBy("model", "event_date", "custom_id")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum("prompt_tokens").alias("prompt_tokens"),
+            F.sum("completion_tokens").alias("completion_tokens"),
+            # integer `div`, NOT `/`: Spark's / is double division and a
+            # large sum would round; Spark `div` == DuckDB `//` for
+            # non-negative BIGINT (pinned by test_integer_div_parity).
+            F.expr(
+                "sum(prompt_tokens * p_micros + completion_tokens * c_micros)"
+                " div 1000"
+            ).alias("cost_micros"),
+        )
+    )
+
+
+def _oracle_cost_attribution() -> str:
+    dim_rows = ", ".join(
+        f"({i}, '{m}', {p}, {c})" for i, m, p, c in MODEL_PRICE_DIM
+    )
+    n_models = len(MODEL_PRICE_DIM)
+    return f"""
+WITH price(model_idx, model, p_micros, c_micros) AS (VALUES {dim_rows}),
+calls AS (
+  SELECT CAST(ts AS DATE) AS event_date,
+         'u-' || CAST(user_id AS VARCHAR) AS custom_id,
+         CAST(props->>'$.k' AS BIGINT) % {n_models} AS model_idx,
+         CAST(round(value * 100) AS BIGINT) AS prompt_tokens,
+         CAST(props->>'$.k' AS BIGINT) AS completion_tokens
+  FROM events
+)
+SELECT model, event_date, custom_id,
+       COUNT(*) AS n_calls,
+       CAST(SUM(prompt_tokens) AS BIGINT) AS prompt_tokens,
+       CAST(SUM(completion_tokens) AS BIGINT) AS completion_tokens,
+       CAST(SUM(prompt_tokens * p_micros + completion_tokens * c_micros)
+            // 1000 AS BIGINT) AS cost_micros
+FROM calls JOIN price USING (model_idx)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # A3 — status / event-type summary.
 # Reference: success/failure counts (background_retrieval.py:342).
 # ---------------------------------------------------------------------------
@@ -667,6 +756,7 @@ QUERIES = {
     "q_custom_id_extract": q_custom_id_extract,
     "q_date_partition_agg": q_date_partition_agg,
     "q_token_rollup": q_token_rollup,
+    "q_cost_attribution": q_cost_attribution,
     "q_status_summary": q_status_summary,
     "q_dedup_keep_last": q_dedup_keep_last,
     "q_anti_join_checkpoint": q_anti_join_checkpoint,
@@ -690,6 +780,7 @@ ORACLES = {
     "q_custom_id_extract": ORACLE_CUSTOM_ID_EXTRACT,
     "q_date_partition_agg": ORACLE_DATE_PARTITION_AGG,
     "q_token_rollup": ORACLE_TOKEN_ROLLUP,
+    "q_cost_attribution": _oracle_cost_attribution(),
     "q_status_summary": ORACLE_STATUS_SUMMARY,
     "q_dedup_keep_last": ORACLE_DEDUP_KEEP_LAST,
     "q_anti_join_checkpoint": ORACLE_ANTI_JOIN_CHECKPOINT,

