@@ -93,6 +93,7 @@ _PRIORITY = [
     #    certify changed code, so both re-enter the window --
     "q_data_quality_checks",  # consistency predicates now NULL-tolerant
     "q_vocab_overlap",  # '' excluded from vocab; zero-overlap pairs emitted
+    "q_ngram_novelty",  # reshaped: aggregate-only plan, no posting join
     # -- stalest: newest driver record is round 5 --
     "q_variant_extract",
     "q_priority_class",
@@ -142,13 +143,12 @@ _PRIORITY = [
     "q_results_zip",
     "q_revenue_by_nation",
     "q_status_summary",
-    "q_stream_incremental_dedup",
 ]
 # Left at round-6 freshness for the round-10 rotation (most-recorded
-# entries — ≥3 green records each): q_text_stats, q_tfidf_top_terms,
-# q_udtf_trigrams, q_user_value_p90, q_corpus_clean, q_exact_dedup,
-# q_salted_rollup; the local full-surface gate still covers all of
-# them every round.
+# entries — ≥3 green records each): q_stream_incremental_dedup,
+# q_text_stats, q_tfidf_top_terms, q_udtf_trigrams, q_user_value_p90,
+# q_corpus_clean, q_exact_dedup, q_salted_rollup; the local
+# full-surface gate still covers all of them every round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/

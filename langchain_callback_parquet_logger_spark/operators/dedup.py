@@ -1219,30 +1219,46 @@ FROM top
 # against the global first-seen table, so the whole curve costs one
 # aggregate — not a per-doc scan of history.
 #
-# Scale: explode (linear) → min-aggregate per shingle → join back ON THE
-# SAME KEY (exchange reuse) → per-doc count rollup. No pairwise stage,
-# no ordering dependency beyond the min().
+# Scale (round-9 reshape — this was the scale probe's worst ratio, 5.4×
+# at 10×): the old plan joined the FULL posting list back to the
+# first-seen table on the shingle key, so the wire carried ~3× the
+# posting volume (aggregate shuffle + join shuffle + re-shuffle on
+# doc_id). Because shingles() is per-doc DISTINCT, "count of postings
+# where first_doc = doc_id" equals "count of first-seen rows per
+# first_doc" — so novelty needs NO posting-list join at all: two
+# map-side-combined aggregates over the (cached) posting explode (per-
+# shingle min → per-doc count; per-doc shingle count) and one doc-
+# cardinality equi-join between their outputs. Only aggregate partials
+# cross the wire; at 100 TB that is the difference between shuffling
+# the corpus three times and shuffling per-key partials once.  (The
+# cache avoids the double explode locally; a cluster job can equally
+# recompute the explode per consumer — both legs stay linear.)
 # ---------------------------------------------------------------------------
 
 
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    post = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
-    first_seen = post.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        post.join(first_seen, "s")  # same key as the aggregate
+    post = cache_tracked(  # two aggregate consumers
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    )
+    per_doc = post.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    novel = (
+        post.groupBy("s")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")  # doc-cardinality both sides
         .select(
             "doc_id",
             "n_shingles",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("novelty"),
         )
     )
 
@@ -1455,28 +1471,43 @@ def span_windows(text: Column, w: int = SPAN_WINDOW) -> Column:
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-span report: docs containing ≥1 window that
     also occurs verbatim in another doc, with the fraction of their
-    windows that are duplicated."""
+    windows that are duplicated.
+
+    Round-9 reshape (the probe had this at 4.3× at 10×): windows are
+    distinct per doc, so count(*) per whash = #docs containing it — and
+    a window with global count 1 is OWNED by its min(doc_id).  That
+    turns the old posting⋈per-hash join + full re-shuffle on doc_id
+    into pure aggregation: dup_windows = n_windows − n_unique, where
+    n_unique comes from the per-hash aggregate's count==1 rows grouped
+    by their owner.  The posting list is never joined or re-shuffled;
+    only map-side-combined aggregate partials cross the wire, and the
+    final join is doc-cardinality (same shape as q_ngram_novelty)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    exploded = docs.select(
-        "doc_id", F.explode(span_windows(F.col("text"))).alias("win")
-    ).select("doc_id", hash60(F.col("win")).alias("whash"))
-    # windows are distinct per doc ⇒ count(*) per whash = #docs containing it
-    per_hash = exploded.groupBy("whash").agg(F.count("*").alias("n_docs"))
-    per_doc = (
-        exploded.join(per_hash, "whash")  # same key as the agg: exchange reuse
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
-                "dup_windows"
-            ),
-        )
+    exploded = cache_tracked(  # two aggregate consumers
+        docs.select(
+            "doc_id", F.explode(span_windows(F.col("text"))).alias("win")
+        ).select("doc_id", hash60(F.col("win")).alias("whash"))
     )
-    return per_doc.filter(F.col("dup_windows") > 0).select(
-        "doc_id",
-        "n_windows",
-        "dup_windows",
-        F.round(F.col("dup_windows") / F.col("n_windows"), 6).alias("dup_frac"),
+    per_doc = exploded.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    uniq = (
+        exploded.groupBy("whash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("n_docs") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    dup = F.col("n_windows") - F.coalesce(
+        F.col("n_unique"), F.lit(0).cast("bigint")
+    )
+    return (
+        per_doc.join(uniq, "doc_id", "left")  # doc-cardinality both sides
+        .select(
+            "doc_id",
+            "n_windows",
+            dup.alias("dup_windows"),
+            F.round(dup / F.col("n_windows"), 6).alias("dup_frac"),
+        )
+        .filter(F.col("dup_windows") > 0)
     )
 
 

@@ -114,7 +114,12 @@ def test_substring_dedup_flags_exactly_docs_sharing_a_window(spark, sf_dir):
     """The hash-aggregate formulation must agree with a direct recompute:
     a doc is flagged iff it shares ≥1 verbatim SPAN_WINDOW-token window
     with another doc, and its fraction is bounded."""
-    rows = D.q_substring_dedup(spark, sf_dir).collect()
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        rows = D.q_substring_dedup(spark, sf_dir).collect()
+    finally:
+        release_caches()
     assert rows, "synthetic corpus contains injected duplicates"
     for r in rows:
         assert 1 <= r.dup_windows <= r.n_windows
@@ -501,7 +506,12 @@ def test_length_quality_corr_bounded_and_matches_numpy(spark, sf_dir):
 def test_ngram_novelty_is_causal_and_complete(spark, sf_dir):
     """Doc 0 (smallest id) is fully novel; novelty = n_novel/n_shingles;
     global novel counts sum to the number of distinct shingles."""
-    rows = D.q_ngram_novelty(spark, sf_dir).collect()
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        rows = D.q_ngram_novelty(spark, sf_dir).collect()
+    finally:
+        release_caches()
     docs = load_table(spark, sf_dir, "documents")
     assert len(rows) == docs.count()
     first = min(rows, key=lambda r: r.doc_id)

@@ -308,10 +308,17 @@ def test_index_ann_query_leg_is_banded_with_window_topk(spark, sf_dir, tmp_path)
 
 
 def test_substring_dedup_is_hash_aggregate_shaped(spark, sf_dir):
-    """Duplicated-span detection must stay linear: window explode →
-    hash-aggregate on the window hash → equi-join back on the SAME key.
-    No cartesian, no Python, no sort of the exploded frame."""
-    plan = _initial_plan(dedup.q_substring_dedup(spark, sf_dir))
+    """Duplicated-span detection must stay linear AND aggregate-only
+    (round-9 reshape): window explode → two hash-aggregates over the
+    cached postings (per-doc count; per-whash count+owner) → one
+    doc-cardinality join. The posting list itself must never be joined
+    — no cartesian, no Python, no sort of the exploded frame."""
+    from langchain_callback_parquet_logger_spark.plans.session import release_caches
+
+    try:
+        plan = _initial_plan(dedup.q_substring_dedup(spark, sf_dir))
+    finally:
+        release_caches()
     assert "whash" in plan, plan
     assert "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan

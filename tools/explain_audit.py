@@ -242,10 +242,12 @@ COMMENTARY: dict[str, str] = {
         "corr() — float moment accumulation is engine-defined."
     ),
     "q_ngram_novelty": (
-        "First-seen novelty: explode (linear), min-aggregate per "
-        "shingle, join back on the SAME key (exchange reuse), per-doc "
-        "rollup. The novelty curve for the whole corpus costs one "
-        "aggregate — no per-doc history scan, nothing pairwise."
+        "First-seen novelty, aggregate-only (round-9 reshape of the "
+        "probe's worst ratio): per-shingle min → per-doc first-seen "
+        "count, plus a per-doc shingle count, both map-side-combined "
+        "over the cached posting explode — the posting list itself is "
+        "never joined or re-shuffled; the only join is doc-cardinality "
+        "(per_doc ⋈ novel). No per-doc history scan, nothing pairwise."
     ),
     "q_cms_heavy_hitters": (
         "Count-Min calibration: token explode ×d (linear), one hash "
@@ -477,13 +479,15 @@ COMMENTARY: dict[str, str] = {
         "the corpus."
     ),
     "q_substring_dedup": (
-        "Exact duplicated-span detection stays linear: window explode "
-        "(one row per 8-token window), hash60 projection, then a "
-        "hash-aggregate on whash and an equi-join back ON THE SAME KEY — "
-        "the aggregate and the join share the whash partitioning, so the "
-        "plan is two co-partitioned exchanges and no pairwise stage. The "
-        "per-doc rollup shuffles one row per (doc, window) with map-side "
-        "combine; nothing is quadratic in duplicate density."
+        "Exact duplicated-span detection, aggregate-only (round-9 "
+        "reshape): window explode (one row per 8-token window), hash60 "
+        "projection, then TWO map-side-combined aggregates over the "
+        "cached postings — per-doc window count, and per-whash "
+        "count+min-owner whose count==1 rows group into per-doc unique "
+        "counts (dup = total − unique, valid because windows are "
+        "distinct per doc). The posting list is never joined or "
+        "re-shuffled; the only join is doc-cardinality. Nothing is "
+        "quadratic in duplicate density."
     ),
     "q_substring_clean": (
         "Duplicated-span REMOVAL (the production write leg of "
