@@ -806,10 +806,12 @@ def _oracle_token_budget_plan() -> str:
 DQ_THRESHOLDS = {
     "events_completeness_value": 990_000,
     "events_completeness_props": 990_000,
+    "events_completeness_user_id": 990_000,
     "events_uniqueness_event_id": 1_000_000,
     "events_containment_event_type": 1_000_000,
     "events_nonneg_user_id": 1_000_000,
     "docs_completeness_text": 990_000,
+    "docs_completeness_n_chars": 990_000,
     "docs_consistency_n_chars": 1_000_000,
     "docs_nonempty_text": 990_000,
 }
@@ -820,25 +822,31 @@ DQ_THRESHOLDS = {
 DQ_EVENT_METRICS = {
     "events_completeness_value": "nn_value",
     "events_completeness_props": "nn_props",
+    "events_completeness_user_id": "nn_user_id",
     "events_uniqueness_event_id": "du_event_id",
     "events_containment_event_type": "enum_ok",
     "events_nonneg_user_id": "uid_ok",
 }
 DQ_DOC_METRICS = {
     "docs_completeness_text": "nn_text",
+    "docs_completeness_n_chars": "nn_nchars",
     "docs_consistency_n_chars": "nchars_ok",
     "docs_nonempty_text": "nonempty",
 }
 assert set(DQ_THRESHOLDS) == set(DQ_EVENT_METRICS) | set(DQ_DOC_METRICS)
 
-# Consistency predicates measure consistency AMONG PRESENT VALUES: a NULL
-# is the completeness checks' business (their 990k-ppm budget tolerates
-# it), so a row completeness admits must not also fail a 1M-ppm
-# consistency check just for being NULL (round-8 advice).  Shared
+# Consistency predicates measure consistency AMONG PRESENT VALUES: a
+# NULL in ANY referenced column is the matching completeness check's
+# business (each such column carries its own 990k-ppm completeness
+# metric above — the policy is only coherent if BOTH halves exist), so
+# a row completeness admits must not also fail a 1M-ppm consistency
+# check just for being NULL (round-8 advice + round-9 review).  Shared
 # verbatim by the Spark aggregate (F.expr) and the oracle SQL — the
 # fragment is dialect-neutral, so the two engines cannot desync.
 DQ_PRED_UID_OK = "user_id IS NULL OR user_id >= 0"
-DQ_PRED_NCHARS_OK = "text IS NULL OR n_chars = length(text)"
+DQ_PRED_NCHARS_OK = (
+    "text IS NULL OR n_chars IS NULL OR n_chars = length(text)"
+)
 
 
 def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,6 +859,7 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.count("value").alias("nn_value"),
         F.count("props").alias("nn_props"),
+        F.count("user_id").alias("nn_user_id"),
         F.countDistinct("event_id").alias("du_event_id"),
         F.expr(
             f"sum(CASE WHEN event_type IN ({enum_list}) THEN 1 ELSE 0 END)"
@@ -862,6 +871,7 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = docs.agg(
         F.count("*").alias("n"),
         F.count("text").alias("nn_text"),
+        F.count("n_chars").alias("nn_nchars"),
         F.expr(
             f"sum(CASE WHEN {DQ_PRED_NCHARS_OK} THEN 1 ELSE 0 END)"
         ).alias("nchars_ok"),
@@ -908,6 +918,7 @@ def _oracle_data_quality_checks() -> str:
     return f"""
 WITH ea AS (
   SELECT COUNT(*) AS n, COUNT(value) AS nn_value, COUNT(props) AS nn_props,
+         COUNT(user_id) AS nn_user_id,
          COUNT(DISTINCT event_id) AS du_event_id,
          SUM(CASE WHEN event_type IN ({enum_list}) THEN 1 ELSE 0 END)
            AS enum_ok,
@@ -916,6 +927,7 @@ WITH ea AS (
 ),
 da AS (
   SELECT COUNT(*) AS n, COUNT(text) AS nn_text,
+         COUNT(n_chars) AS nn_nchars,
          SUM(CASE WHEN {DQ_PRED_NCHARS_OK} THEN 1 ELSE 0 END)
            AS nchars_ok,
          SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS nonempty

@@ -186,6 +186,13 @@ FROM events GROUP BY user_id
 # F.broadcast, so the 100 TB fact table never shuffles for the join; the
 # rollup is one hash aggregate on (model, day, custom_id) with map-side
 # partials.  get_json_object is codegen'd JVM-side.
+#
+# Input domain: token counts are non-negative by the usage-metadata
+# contract (and the fixture's k ∈ [0, 99]); the `div`/`//` parity the
+# cost column relies on is pinned for that domain.  The model-idx
+# derivation is nevertheless sign-safe: Spark pmod ↔ the oracle's
+# ((k % m) + m) % m agree for any k, so a stray negative never makes
+# the two engines disagree about which row joins the dim.
 # ---------------------------------------------------------------------------
 
 # Public-style model tiers with integer micro-dollar prices per 1,000
@@ -240,7 +247,11 @@ WITH price(model_idx, model, p_micros, c_micros) AS (VALUES {dim_rows}),
 calls AS (
   SELECT CAST(ts AS DATE) AS event_date,
          'u-' || CAST(user_id AS VARCHAR) AS custom_id,
-         CAST(props->>'$.k' AS BIGINT) % {n_models} AS model_idx,
+         -- ((k % m) + m) % m == Spark's pmod for any sign of k; a bare
+         -- % would go negative with the dividend in DuckDB and silently
+         -- drop the row at the dim join while Spark kept it
+         ((CAST(props->>'$.k' AS BIGINT) % {n_models}) + {n_models})
+             % {n_models} AS model_idx,
          CAST(round(value * 100) AS BIGINT) AS prompt_tokens,
          CAST(props->>'$.k' AS BIGINT) AS completion_tokens
   FROM events

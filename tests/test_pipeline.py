@@ -341,6 +341,7 @@ def test_data_quality_checks_flags_dirty_batch(spark, tmp_path):
             (1, "", "en", "web", 0),
             (2, "hello", "en", "web", 99),
             (3, None, "en", "web", 7),
+            (4, "abcd", "en", "web", None),
         ],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     ).write.parquet(os.path.join(dirty_dir, "documents.parquet"))
@@ -355,11 +356,17 @@ def test_data_quality_checks_flags_dirty_batch(spark, tmp_path):
     assert not verdicts["events_nonneg_user_id"]
     assert not verdicts["docs_consistency_n_chars"]
     assert not verdicts["docs_nonempty_text"]
-    # NULL tolerance, exactly: 3 of 4 events pass nonneg (only -5 fails;
-    # the NULL user_id is the completeness budget's problem), 2 of 3
-    # docs pass n_chars consistency (only the 99≠5 mismatch fails).
+    # The NULLs the consistency checks now tolerate are caught by the
+    # matching completeness checks — the policy fails CLOSED overall:
+    assert not verdicts["events_completeness_user_id"]  # 3/4 < 990k
+    assert not verdicts["docs_completeness_text"]  # 3/4 < 990k
+    assert not verdicts["docs_completeness_n_chars"]  # 3/4 < 990k
+    # NULL tolerance, exactly: 3 of 4 events pass nonneg (only -5
+    # fails; the NULL user_id is completeness's problem), 3 of 4 docs
+    # pass n_chars consistency (only the 99≠5 mismatch fails — NULL
+    # text AND NULL n_chars are both tolerated here).
     assert rows["events_nonneg_user_id"].metric_ppm == 1_000_000 * 3 // 4
-    assert rows["docs_consistency_n_chars"].metric_ppm == 1_000_000 * 2 // 3
+    assert rows["docs_consistency_n_chars"].metric_ppm == 1_000_000 * 3 // 4
 
 
 def test_dataset_diff_classes_tile_and_reconcile(spark, sf_dir):

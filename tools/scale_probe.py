@@ -404,6 +404,37 @@ def main() -> None:
         "  expect ratios ≈1× locally and judge them by shape: banded",
         "  equi-joins and per-round single shuffles, nothing pairwise in",
         "  corpus size.",
+        "- **q_ngram_novelty (was 4.5× → 5.4×, the one grower) — RESHAPED",
+        "  in round 9.** Root cause of the ratio AND its growth: the old",
+        "  plan joined the full posting list back to the first-seen table",
+        "  on the shingle key, then re-shuffled the joined postings on",
+        "  doc_id — ~3× the posting volume on the wire; with the bijective",
+        "  replica relabeling the 10× corpus has 10× DISTINCT shingles, so",
+        "  aggregate state and both posting shuffles all grew with data",
+        "  while the base run hid inside fixed overheads (the round-over-",
+        "  round growth was that linear cost emerging, plus VM noise). The",
+        "  reshape removes the posting join: shingles are distinct per",
+        "  doc, so novel-count = first-seen rows grouped by owner — two",
+        "  map-side-combined aggregates over one cached explode plus a",
+        "  doc-cardinality join; only aggregate partials cross the wire.",
+        "- **q_substring_dedup (4.3×) — RESHAPED in round 9** by the same",
+        "  argument: dup_windows = n_windows − n_unique, and a unique",
+        "  window's owner is the min(doc_id) of its single posting, so the",
+        "  per-hash aggregate's count==1 rows group straight into per-doc",
+        "  unique counts. The posting⋈per-hash join and the full doc_id",
+        "  re-shuffle are gone; the posting list is aggregated, never",
+        "  joined.",
+        "- **q_zorder_layout (3.9×) — adjudicated, no change.** The query",
+        "  is a full two-layout write lifecycle: it writes the whole",
+        "  corpus TWICE (linear + Morton, each one range shuffle + sort",
+        "  within partitions), reads both trees back, and runs the",
+        "  read-identity rollup — every stage linear in rows, so the",
+        "  honest cost grows ~10× while the base run amortizes JVM/commit",
+        "  fixed overheads; 3.9× is linear cost emerging, not a shape",
+        "  defect. The driver-side parquet-footer audit (candidate_files)",
+        "  grows with the file census (ceil(rows/target)), i.e. linearly,",
+        "  reads metadata only (~5 probe ids per file), and sits off the",
+        "  data path — a layout service's bookkeeping, not executor work.",
     ]
 
     out = os.path.join(
