@@ -274,6 +274,14 @@ def test_integer_div_parity_spark_duckdb_python():
             "SELECT (?::BIGINT // 2) * ?::BIGINT // ?::BIGINT", [tot, w, wsum]
         ).fetchone()[0]
         assert duck == ref, (tot, w, wsum, duck, ref)
+    # NEGATIVE dividends: DuckDB // (and Spark div — verified -1501 div
+    # 1000 = -1) TRUNCATES toward zero, while Python // floors.  Pin the
+    # divergence so no Python twin ever uses `//` on a value that can go
+    # negative (q_cost_attribution's numerator contract).
+    for a, b, trunc in [(-1501, 1000, -1), (-999, 1000, 0), (-1000, 1000, -1)]:
+        duck = con.execute("SELECT ?::BIGINT // ?::BIGINT", [a, b]).fetchone()[0]
+        assert duck == trunc, (a, b, duck)
+    assert -1501 // 1000 == -2  # Python floors — the twin trap
 
 
 def test_token_budget_plan_invariants(spark, sf_dir):

@@ -90,9 +90,90 @@ def test_cost_attribution_exact_money_recompute(spark, sf_dir):
         for r in Q.q_cost_attribution(spark, sf_dir).collect()
     }
     assert got == {
-        key: (n, sp, sc, numer // 1000)
+        key: (n, sp, sc, _trunc_div(numer, 1000))
         for key, (n, sp, sc, numer) in want.items()
     }
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — what Spark `div` and
+    DuckDB `//` both do (verified: -1501 div 1000 = -1 in BOTH; Python's
+    `//` floors to -2, so a Python twin must not use it on values that
+    can go negative)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_cost_attribution_duckdb_oracle_matches_python_fuzz():
+    """JVM-free seeded-fuzz differential: the DuckDB cost oracle vs a
+    Python integer-arithmetic reference on adversarial inputs —
+    including NEGATIVE k (pins the ((k % m) + m) % m ≡ pmod parity fix
+    AND the truncating `div`/`//` on a negative cost numerator) and
+    values whose ×100 lands near .5 (rounding is half-away in both
+    engines and in the Decimal reference)."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    m = len(Q.MODEL_PRICE_DIM)
+    price = {i: (mm, p, c) for i, mm, p, c in Q.MODEL_PRICE_DIM}
+    rng = random.Random(9042)
+    for trial in range(10):
+        # deterministic adversarial row: pt=1, k=-7 → group numerator
+        # 800 - 7·4000 = -27200 → cost = trunc(-27.2) = -27, where a
+        # floor-division twin would say -28
+        rows = [(10_000, "2024-01-01 00:00:00", 9, "click", 0.01,
+                 '{"k": -7}')]
+        for i in range(rng.randint(5, 80)):
+            k = rng.randint(-7, 120)  # negatives exercise the pmod leg
+            val = rng.choice(
+                [
+                    round(rng.uniform(0.01, 500.0), 2),
+                    rng.randint(0, 500) + 0.005,  # ×100 lands near .5
+                    rng.randint(0, 500) + 0.015,
+                ]
+            )
+            rows.append(
+                (i, f"2024-0{rng.randint(1, 9)}-01 00:00:00",
+                 rng.randint(0, 5), "click", val, '{"k": %d}' % k)
+            )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE events AS SELECT unnest(?) AS event_id, "
+            "CAST(unnest(?) AS TIMESTAMP) AS ts, unnest(?) AS user_id, "
+            "unnest(?) AS event_type, unnest(?) AS value, "
+            "unnest(?) AS props",
+            [list(c) for c in zip(*rows)],
+        )
+        duck = {
+            (r[0], str(r[1]), r[2]): tuple(r[3:])
+            for r in con.execute(Q.ORACLES["q_cost_attribution"]).fetchall()
+        }
+        con.close()
+
+        want: dict = {}
+        for _, ts, uid, _, val, props in rows:
+            k = int(props[6:-1])
+            model, p_mic, c_mic = price[k % m]  # Python % IS pmod here
+            pt = int(
+                Decimal(repr(val * 100)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
+            key = (model, ts.split(" ")[0], f"u-{uid}")
+            n, sp, sc, numer = want.get(key, (0, 0, 0, 0))
+            want[key] = (
+                n + 1, sp + pt, sc + k, numer + pt * p_mic + k * c_mic
+            )
+        # the oracle's cost = TRUNCATING div of the summed numerator
+        # (Spark div and DuckDB // both truncate toward zero; Python //
+        # floors and diverges on the negative-numerator group)
+        ref = {
+            key: (n, sp, sc, _trunc_div(numer, 1000))
+            for key, (n, sp, sc, numer) in want.items()
+        }
+        assert duck == ref, (trial, duck, ref)
 
 
 def test_priority_rollup_has_grand_total(spark, sf_dir):
