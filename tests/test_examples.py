@@ -20,6 +20,7 @@ EXAMPLES = [
     "index_lifecycle_example.py",
     "maintenance_lifecycle_example.py",
     "admission_gate_example.py",
+    "cost_report_example.py",
 ]
 
 
