@@ -256,7 +256,10 @@ def _current_round() -> int:
     return (max(rounds) if rounds else 0) + 1
 
 
-def _prior_scale_record() -> tuple[int, dict] | None:
+def _prior_scale_record(current: int) -> tuple[int, dict] | None:
+    """Newest SCALE record from a round BEFORE `current` — an
+    incremental SCALE_ONLY re-run must still diff against the previous
+    round, not against the file it is itself merging into."""
     import json
     import re
 
@@ -264,6 +267,7 @@ def _prior_scale_record() -> tuple[int, dict] | None:
         (int(m.group(1)), fn)
         for fn in os.listdir(_repo_root())
         if (m := re.match(r"SCALE_r(\d+)\.json$", fn))
+        and int(m.group(1)) < current
     )
     if not recs:
         return None
@@ -295,7 +299,7 @@ def main() -> None:
     # prior round's: a plan-shape regression shows up as a ratio jump
     # even when sf0.1 wall-time looks flat (VERDICT r5 next-round #4).
     rnd = _current_round()
-    prior = _prior_scale_record()  # read BEFORE writing this round's file
+    prior = _prior_scale_record(rnd)  # read BEFORE writing this round's file
     scale_path = os.path.join(_repo_root(), f"SCALE_r{rnd:02d}.json")
 
     # interleave scales per-query to decorrelate hypervisor stall bursts;
@@ -424,6 +428,14 @@ def main() -> None:
         "  unique counts. The posting⋈per-hash join and the full doc_id",
         "  re-shuffle are gone; the posting list is aggregated, never",
         "  joined.",
+        "- **Round-9 jump-line adjudication**: every round-8→9 ratio",
+        "  jump was re-probed in isolation and traced to BASE-time",
+        "  speedups (a less-loaded VM), not big-time growth —",
+        "  q_ann_recall_audit's big time was flat (8.9→7.9 s) while its",
+        "  base halved (5.3→3.1 s), and q_simhash_pairs /",
+        "  q_key_skew_report / q_bpe_merge_candidates all returned to",
+        "  ≤3.3× on the re-probe with big times at or below round 8's.",
+        "  q_grouping_sets 0.7×→1.1× is sub-linear either way.",
         "- **q_zorder_layout (3.9×) — adjudicated, no change.** The query",
         "  is a full two-layout write lifecycle: it writes the whole",
         "  corpus TWICE (linear + Morton, each one range shuffle + sort",
