@@ -516,18 +516,35 @@ FROM pair_agg p JOIN docs_agg d ON p.threshold_ppm = d.threshold_ppm
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, s0..s{n-1}): per-doc MinHash signature. Linear explode, one
-    shuffle (the groupBy on doc_id). Each shingle is digested ONCE
-    (hash60 mod p); the 16 family members are affine transforms of that
-    base hash — integer-only work that stays in whole-stage codegen."""
-    exploded = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
-    ).select("doc_id", (hash60(F.col("sh")) % MERSENNE_P).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"s{j}")
-        for j, (a, b) in enumerate(HASH_FAMILY[:num_hashes])
-    ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    """(doc_id, s0..s{n-1}): per-doc MinHash signature, MAP-ONLY — no
+    shuffle. Each shingle is digested ONCE (hash60 mod p) into a per-row
+    array; the 16 family members are ``array_min`` over an affine
+    ``transform`` of that base array, so signature extraction never
+    leaves the scan stage (at warehouse scale this removes a
+    corpus-sized explode+groupBy exchange that the round-8 shape paid).
+    The two-projection split matters: ``hvec`` is a non-cheap alias
+    referenced 16 times, so CollapseProject leaves it in its own
+    Project and the md5 digests run once per row, not 16×.  Values are
+    bit-identical to the old explode+groupBy form (min over the same
+    multiset), so the DuckDB oracle is unchanged — pinned by
+    tests/test_operators.py."""
+    base = docs.select(
+        "doc_id",
+        F.transform(
+            shingles(F.col("text")), lambda sh: hash60(sh) % MERSENNE_P
+        ).alias("hvec"),
+    )
+    return base.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hvec"), lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+                )
+            ).alias(f"s{j}")
+            for j, (a, b) in enumerate(HASH_FAMILY[:num_hashes])
+        ],
+    )
 
 
 def lsh_bands(sig: DataFrame, num_bands: int = NUM_BANDS, num_hashes: int = NUM_HASHES) -> DataFrame:
