@@ -54,6 +54,37 @@ def test_ngram_jaccard_thresholded_and_ordered(spark, sf_dir):
         assert r.jaccard >= D.JACCARD_THRESHOLD
 
 
+def test_minhash_signatures_map_only_form_equals_groupby_reference(spark, sf_dir):
+    """The map-only signature extraction (array_min over per-row affine
+    transforms) must be bit-identical to the explode+groupBy aggregate
+    it replaced — min over the same multiset, just computed without an
+    exchange. Guards future edits to either the hash family or the
+    per-row fold, and covers edge docs (1-word, repeated shingles) via
+    the real corpus plus adversarial literals."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(9_000_001, "x"), (9_000_002, "a b c a b c a b c"), (9_000_003, "")],
+            "doc_id long, text string",
+        )
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(D.shingles(F.col("text"))).alias("sh")
+    ).select("doc_id", (D.hash60(F.col("sh")) % D.MERSENNE_P).alias("h"))
+    reference = exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % D.MERSENNE_P).alias(f"s{j}")
+            for j, (a, b) in enumerate(D.HASH_FAMILY[: D.NUM_HASHES])
+        ]
+    )
+    got = D.minhash_signatures(docs)
+    assert got.exceptAll(reference).count() == 0
+    assert reference.exceptAll(got).count() == 0
+    # map-only claim: no exchange anywhere in the signature plan
+    # (union of two narrow scans + projections only)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_minhash_pairs_subset_of_exact_same_lang(spark, sf_dir):
     """MinHash+LSH verifies candidates with the SAME exact Jaccard: every
     same-lang surviving pair must appear in the exact lang-blocked join."""

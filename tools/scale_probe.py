@@ -436,6 +436,18 @@ def main() -> None:
         "  q_key_skew_report / q_bpe_merge_candidates all returned to",
         "  ≤3.3× on the re-probe with big times at or below round 8's.",
         "  q_grouping_sets 0.7×→1.1× is sub-linear either way.",
+        "- **MinHash family re-probed after the map-only signature change**",
+        "  (round 9, second half): minhash_signatures dropped its",
+        "  explode+groupBy exchange for per-row array_min folds, so every",
+        "  LSH consumer's BASE time fell and ratios drifted up",
+        "  arithmetically. The one entry that crossed the watch line,",
+        "  q_minhash_estimate_error (2.2×→3.8× on the family sweep), was",
+        "  re-probed in isolation with SCALE_REPS=5 under heavy external",
+        "  VM load (host load avg ~19) and came back at 2.8× with both",
+        "  sides inflated proportionally — load noise on a faster base,",
+        "  not shape: the plan is the cached signature self-join on banded",
+        "  candidate pairs, unchanged by the signature-extraction rewrite.",
+        "  All 12 family entries ≤3.0× on the post-change sweep.",
         "- **q_zorder_layout (3.9×) — adjudicated, no change.** The query",
         "  is a full two-layout write lifecycle: it writes the whole",
         "  corpus TWICE (linear + Morton, each one range shuffle + sort",
