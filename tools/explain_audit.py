@@ -66,10 +66,12 @@ COMMENTARY: dict[str, str] = {
         "than by AQE rescue."
     ),
     "q_minhash_dedup": (
-        "One projection computes all 16 minhashes per doc (no per-hash "
-        "passes); LSH banding explodes to (band, bucket) keys and the "
-        "candidate join is an equi join on those keys — candidate count, "
-        "not corpus², drives the cost."
+        "Signature extraction is MAP-ONLY: one projection digests each "
+        "shingle once into a per-row hash array, a second computes all 16 "
+        "minhashes as array_min folds — no explode+groupBy exchange "
+        "anywhere before banding. LSH banding explodes to (band, bucket) "
+        "keys and the candidate join is an equi join on those keys — "
+        "candidate count, not corpus², drives the cost."
     ),
     "q_knn_bruteforce": (
         "Broadcast of the query vectors + TakeOrderedAndProject per "
