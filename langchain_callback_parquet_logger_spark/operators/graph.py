@@ -259,10 +259,10 @@ FROM r{PAGERANK_ITERS} JOIN deg d USING (u)
 # to one community and is the standard synchronous-LPA stabilizer.
 #
 # Scale: each iteration is one edge⋈label equi-join, a hash aggregate
-# on (node, label), and a per-node argmax window over the label-count
-# rows (bounded by each node's distinct neighbour labels) — the same
-# Pregel message-passing shape as pagerank_integer; edges are cached
-# once.
+# on (node, label), and a per-node argmax as min(struct(-count, label))
+# — a second aggregate with map-side partials (SortAggregate over the
+# already-collapsed label-count rows) — the same Pregel message-passing
+# shape as pagerank_integer; edges are cached once.
 # ---------------------------------------------------------------------------
 
 LPA_ITERS = 4
@@ -301,9 +301,6 @@ def label_propagation(
     labels = sym.select("u").distinct().select(
         "u", F.col("u").alias("label")
     )
-    rk = F.row_number().over(
-        W.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
-    )
     for _ in range(iters):
         counts = (
             sym.join(
@@ -315,8 +312,18 @@ def label_propagation(
             .groupBy("u", F.col("nl").alias("label"))
             .agg(F.count("*").alias("c"))
         )
+        # Per-node argmax (mode label, ties → smallest label) as
+        # min(struct(-c, label)): lexicographic struct ordering gives
+        # max count then min label — ONE aggregate with map-side
+        # partial combine (struct buffers land as SortAggregate, but
+        # each node collapses to one row per partition BEFORE the
+        # exchange). The former rank-1 window over (c desc, label asc)
+        # computed the same row but shipped every label-count row to
+        # the per-node sort each round.
         labels = (
-            counts.withColumn("rk", rk).filter(F.col("rk") == 1).select("u", "label")
+            counts.groupBy("u")
+            .agg(F.min(F.struct((-F.col("c")).alias("negc"), "label")).alias("m"))
+            .select("u", F.col("m.label").alias("label"))
         )
     return labels.select(F.col("u").alias("node"), "label")
 

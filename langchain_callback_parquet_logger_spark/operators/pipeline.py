@@ -68,11 +68,20 @@ def clean_corpus(
         fingerprint(t).alias("fp"),
         quality_score(t).alias("quality"),
     ).filter(F.col("quality") >= quality_threshold)
-    w = W.partitionBy("fp").orderBy("doc_id")
+    # Keep-lowest-doc_id per fingerprint as an argmin aggregate:
+    # min(struct(doc_id, payload)) is ONE aggregate with a map-side
+    # partial combine, so duplicate fingerprints collapse to one row per
+    # partition BEFORE the exchange and a hot fingerprint degrades to
+    # more partial buffers, not a bigger per-key sort. (Struct buffers
+    # aren't hash-aggregable, so this lands as SortAggregate — the win
+    # over the rank-1 window it replaces is the partial leg + wire
+    # volume, not the sort itself.) doc_id is unique, so the struct min
+    # IS the rank-1 row.
+    out_cols = ["doc_id", *carry, "predicted_lang", "n_tokens", "quality"]
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "fp")
+        scored.groupBy("fp")
+        .agg(F.min(F.struct(*out_cols)).alias("m"))
+        .select(*[F.col(f"m.{c}").alias(c) for c in out_cols])
     )
 
 

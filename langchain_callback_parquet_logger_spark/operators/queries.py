@@ -285,25 +285,30 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 # A4 — keep-last dedup.
 # Reference: drop_duplicates(subset=['response_id'], keep='last') on the
 # checkpoint (background_retrieval.py:362). The reference relies on concat
-# order; a distributed engine needs an explicit ordering, so we order by
-# (ts DESC, event_id DESC) — event_id as a deterministic tiebreaker
+# order; a distributed engine needs an explicit ordering, so "last" is the
+# max of (ts, event_id) — event_id as a deterministic tiebreaker
 # (SURVEY.md §7 "what's hard" #2).
-# Scale: single window shuffle on the dedup key; at 100 TB prefer
-# partitioning the log by the key date so the window stays partition-local.
+# Scale: argmax via max(struct(order_keys, payload)) — ONE aggregate with
+# a map-side partial combine. The equivalent window row_number()=1 (what
+# the oracle SQL spells) ships EVERY event to a per-key sort before
+# discarding all but one row; the aggregate collapses each key to one row
+# per partition first, so wire volume is the distinct key count and a hot
+# key degrades to more partial buffers, not a bigger sort. (Struct
+# buffers aren't hash-aggregable, so the exec is SortAggregate — the win
+# is the partial leg and the wire, not the sort node.) Values identical:
+# struct comparison is lexicographic and event_id is unique, so
+# argmax == rank-1-desc row.
 # ---------------------------------------------------------------------------
 def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        events.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
         .select(
             "user_id",
             "event_type",
-            F.col("event_id").alias("last_event_id"),
-            F.round("value", 2).alias("last_value"),
+            F.col("m.event_id").alias("last_event_id"),
+            F.round("m.value", 2).alias("last_value"),
         )
     )
 
