@@ -582,8 +582,6 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     events = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(F.unix_micros(F.col("ts"))).over(w)

@@ -39,17 +39,14 @@ def test_clean_corpus_quality_gate_and_dedup(spark, sf_dir):
 
 def test_clean_corpus_fuses_scan_stages(spark, sf_dir):
     """Stages 1-2 must fuse into the scan projection: exactly ONE exchange
-    (the fingerprint argmin aggregate) before the final aggregate's, and
-    keep-lowest-per-fingerprint must aggregate with a map-side partial
-    (duplicate fingerprints collapse before the wire — min(struct) lands
-    as SortAggregate because struct buffers aren't hash-aggregable, but
-    the partial leg is what the old rank-1 window lacked: that shape
-    shipped EVERY row to the per-key sort)."""
+    (the fingerprint rank-1 window) before the final aggregate's, and no
+    SortAggregate — the min(struct) argmin variant was A/B-measured 1.7×
+    slower at 10× (fingerprints are ~unique, so its partial leg collapses
+    nothing and it double-sorts the heavy scored rows; see clean_corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     plan = P.q_corpus_clean(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 3  # fp argmin agg + lang agg (+AQE read)
-    assert "partial_min" in plan, plan
-    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 3  # fp window + lang agg (+AQE read)
+    assert "SortAggregate" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

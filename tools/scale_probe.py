@@ -448,6 +448,19 @@ def main() -> None:
         "  not shape: the plan is the cached signature self-join on banded",
         "  candidate pairs, unchanged by the signature-extraction rewrite.",
         "  All 12 family entries ≤3.0× on the post-change sweep.",
+        "- **Rank-1 window → argmax aggregate conversions (round 9,",
+        "  second half) — adjudicated per query by interleaved 10× A/B.**",
+        "  max/min(struct(order, payload)) lands as SortAggregate (struct",
+        "  buffers aren't hash-aggregable) but adds the map-side partial",
+        "  combine a window lacks; it pays off iff keys are heavily",
+        "  duplicated. q_dedup_keep_last (~80 events/key): KEPT, ratio",
+        "  2.0×→1.2×. q_label_propagation's per-node mode pick: KEPT,",
+        "  1.8× (A/B min 8.6 s argmax vs 10.1 s window at 10×; its 5.95×",
+        "  first probe reading was a load-noise draw — host reps ranged",
+        "  8–80 s). clean_corpus's fingerprint dedup: REVERTED to the",
+        "  window — fingerprints are ~unique, so the partial leg collapses",
+        "  nothing and the double sort measured 1.7× slower at 10×",
+        "  (6.4 s vs 3.7 s, interleaved min-of-3).",
         "- **q_zorder_layout (3.9×) — adjudicated, no change.** The query",
         "  is a full two-layout write lifecycle: it writes the whole",
         "  corpus TWICE (linear + Morton, each one range shuffle + sort",
