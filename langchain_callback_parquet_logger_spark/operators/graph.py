@@ -282,8 +282,6 @@ def label_propagation(
     q_label_propagation, whose MinHash pairs guarantee doc_a < doc_b;
     callers who need multigraph vote weights should pre-aggregate edge
     multiplicities instead of repeating edges.)"""
-    from pyspark.sql import Window as W
-
     from ..plans.session import cache_tracked
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
