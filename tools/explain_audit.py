@@ -55,9 +55,13 @@ COMMENTARY: dict[str, str] = {
         "runs above the join, so the second shuffle carries rollup rows."
     ),
     "q_dedup_keep_last": (
-        "Window row_number over (user_id, event_type) — a single exchange "
-        "on the partition keys, linear in-partition sort. The filter "
-        "rn=1 collapses before anything downstream materializes."
+        "Argmax as max(struct(ts, event_id, value)) — partial_max BEFORE "
+        "the exchange collapses each (user_id, event_type) to one row "
+        "per partition, so the wire carries distinct keys, not events "
+        "(~80:1 here), and a hot key degrades to more partial buffers "
+        "rather than a bigger per-key sort. Struct buffers land as "
+        "SortAggregate, not Hash — accepted: the 10x probe measured "
+        "2.0x -> 1.2x vs the rank-1 window this replaced."
     ),
     "q_salted_rollup": (
         "Two-phase salted aggregate: the first groupBy includes the salt "
@@ -334,8 +338,10 @@ COMMENTARY: dict[str, str] = {
         "frame is referenced once per round and the iteration chain "
         "stays a linear plan (a second reference would fan the subtree "
         "out 2^iters times). Each round is one cached-edge equi-join + "
-        "hash aggregate + per-node argmax window — Pregel shape, same "
-        "as the integer PageRank."
+        "hash aggregate + per-node argmax as min(struct(-count, label)) "
+        "— a second aggregate with map-side partials instead of a "
+        "rank-1 window sort — Pregel shape, same as the integer "
+        "PageRank."
     ),
     "q_vocab_overlap": (
         "Source-redundancy map: DISTINCT (source, word) postings joined "
