@@ -64,6 +64,16 @@ def test_topk_broadcasts_dim_side(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_dedup_keep_last_is_partial_argmax_not_window(spark, sf_dir):
+    """Keep-last must be the argmax aggregate (partial_max(struct) BEFORE
+    the exchange — wire carries distinct keys, ~80:1 collapse on events),
+    never a rank-1 window, which ships every event to the per-key sort.
+    Measured 2.0x -> 1.2x at the 10x probe when converted."""
+    plan = _initial_plan(queries.q_dedup_keep_last(spark, sf_dir))
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_rollup_aggregates_in_two_phases(spark, sf_dir):
     df = queries.q_token_rollup(spark, sf_dir)
     plan = _initial_plan(df)

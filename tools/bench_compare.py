@@ -58,12 +58,28 @@ def main() -> int:
     floor = float(
         new.get("ref_scan_median_sec") or new.get("ref_scan_sec") or 0.1
     )
+    # Floor-ratio normalization: when BOTH records carry a reference-scan
+    # median, divide the new run's times by (new_floor / old_floor) before
+    # flagging. Ambient CPU steal inflates entire passes (the round-9
+    # second-half runs measured floor 0.131 s -> 0.167 s and EVERY query
+    # ~+20% uniformly); without this, a pass taken in a noisier window
+    # flags dozens of untouched queries. The printed totals stay RAW —
+    # only the flagging is normalized, and the scale factor is printed so
+    # a reader can undo it.
+    old_floor = float(
+        old.get("ref_scan_median_sec") or old.get("ref_scan_sec") or 0.0
+    )
+    drift = floor / old_floor if old_floor > 0 else 1.0
     print(f"compare {old_name} -> {new_name}")
     print(
         f"shared {len(shared)} queries | old total "
         f"{sum(oq[k] for k in shared):.1f}s -> new "
         f"{sum(nq[k] for k in shared):.1f}s | noise floor {floor:.3f}s"
+        + (f" | floor drift x{drift:.2f} (flagging normalized)"
+           if abs(drift - 1.0) > 0.05 else "")
     )
+    if abs(drift - 1.0) > 0.05:
+        nq = {k: v / drift for k, v in nq.items()}
     new_only = sorted(k for k in nq if k not in oq)
     if new_only:
         tot = sum(nq[k] for k in new_only)
@@ -75,7 +91,7 @@ def main() -> int:
         if nq[k] >= oq[k] * REL_THRESHOLD and d >= floor * ABS_FLOOR_MULT:
             flags.append((d, k))
     if flags:
-        print("REGRESSION CANDIDATES (>=30% and >=3x noise floor):")
+        print("REGRESSION CANDIDATES (>=30% and >=3x noise floor, drift-normalized):")
         for d, k in sorted(flags, reverse=True):
             print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s (+{d:.2f}s)")
     else:
