@@ -527,8 +527,22 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     Project and the md5 digests run once per row, not 16×.  Values are
     bit-identical to the old explode+groupBy form (min over the same
     multiset), so the DuckDB oracle is unchanged — pinned by
-    tests/test_operators.py."""
-    base = docs.select(
+    tests/test_operators.py.
+
+    NULL-text docs are filtered out up front.  Note the subtlety: they
+    were NOT silently dropped by the old explode+groupBy form either —
+    ``shingles(NULL)`` degrades to ``[""]`` (``greatest`` ignores the
+    NULL size and ``concat_ws`` swallows the NULL slice), so BOTH forms
+    historically gave null text the same signature as empty text.  That
+    is a skew hazard, not a semantics win: every content-free doc lands
+    in the SAME signature, hence the same band key in every band, and
+    the candidate self-join goes quadratic in the null-doc count.  A
+    doc with no content is not a dedup participant, so drop it here,
+    map-side (no shuffle added).  Empty-STRING docs still participate
+    (they are legitimate, if degenerate, exact duplicates of each
+    other); corpora with many of them are covered by the skew guards
+    (``WINNOW_MAX_DF``, ``q_key_skew_report``)."""
+    base = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.transform(
             shingles(F.col("text")), lambda sh: hash60(sh) % MERSENNE_P

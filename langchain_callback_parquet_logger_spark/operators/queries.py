@@ -298,6 +298,13 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 # is the partial leg and the wire, not the sort node.) Values identical:
 # struct comparison is lexicographic and event_id is unique, so
 # argmax == rank-1-desc row.
+# ASSUMPTION (load-bearing): the payload column `value` rides INSIDE the
+# ordered struct, after the (ts, event_id) order keys. That is safe only
+# because event_id is unique per row — no (ts, event_id) tie can ever
+# reach the payload position, so `value` never participates in ordering.
+# If the order keys could tie (e.g. keying on ts alone, or non-unique
+# ids), this form would silently break ties on the payload; restructure
+# as max(struct(order_keys)) packed/joined with the payload instead.
 # ---------------------------------------------------------------------------
 def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

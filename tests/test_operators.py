@@ -59,15 +59,27 @@ def test_minhash_signatures_map_only_form_equals_groupby_reference(spark, sf_dir
     transforms) must be bit-identical to the explode+groupBy aggregate
     it replaced — min over the same multiset, just computed without an
     exchange. Guards future edits to either the hash family or the
-    per-row fold, and covers edge docs (1-word, repeated shingles) via
-    the real corpus plus adversarial literals."""
+    per-row fold, and covers edge docs (1-word, repeated shingles,
+    empty and NULL text) via the real corpus plus adversarial literals.
+
+    NULL-text policy (round-10): shingles(NULL) degrades to [""], so
+    the old explode+groupBy form did NOT drop null docs — it gave them
+    the empty-string signature, putting every content-free doc in the
+    same LSH bucket (quadratic candidate hazard).  minhash_signatures
+    now filters NULL text up front; the reference form here filters the
+    same way, and a separate assert pins that null docs are absent."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").union(
         spark.createDataFrame(
-            [(9_000_001, "x"), (9_000_002, "a b c a b c a b c"), (9_000_003, "")],
+            [
+                (9_000_001, "x"),
+                (9_000_002, "a b c a b c a b c"),
+                (9_000_003, ""),
+                (9_000_004, None),
+            ],
             "doc_id long, text string",
         )
     )
-    exploded = docs.select(
+    exploded = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.explode(D.shingles(F.col("text"))).alias("sh")
     ).select("doc_id", (D.hash60(F.col("sh")) % D.MERSENNE_P).alias("h"))
     reference = exploded.groupBy("doc_id").agg(
@@ -79,6 +91,9 @@ def test_minhash_signatures_map_only_form_equals_groupby_reference(spark, sf_dir
     got = D.minhash_signatures(docs)
     assert got.exceptAll(reference).count() == 0
     assert reference.exceptAll(got).count() == 0
+    # NULL-text doc dropped; empty-string doc kept (degenerate but valid)
+    kept = {r.doc_id for r in got.filter(F.col("doc_id") >= 9_000_000).collect()}
+    assert kept == {9_000_001, 9_000_002, 9_000_003}
     # map-only claim: no exchange anywhere in the signature plan
     # (union of two narrow scans + projections only)
     plan = got._jdf.queryExecution().executedPlan().toString()

@@ -63,9 +63,11 @@ def main() -> int:
     # flagging. Ambient CPU steal inflates entire passes (the round-9
     # second-half runs measured floor 0.131 s -> 0.167 s and EVERY query
     # ~+20% uniformly); without this, a pass taken in a noisier window
-    # flags dozens of untouched queries. The printed totals stay RAW —
-    # only the flagging is normalized, and the scale factor is printed so
-    # a reader can undo it.
+    # flags dozens of untouched queries. ALL printed seconds stay RAW
+    # (flag lines additionally show the normalized value in brackets);
+    # only the flagging decision uses the normalized times, against a
+    # matching normalized absolute floor (floor/drift == old_floor's
+    # scale, so both sides of the absolute gate live in old-run units).
     old_floor = float(
         old.get("ref_scan_median_sec") or old.get("ref_scan_sec") or 0.0
     )
@@ -78,30 +80,36 @@ def main() -> int:
         + (f" | floor drift x{drift:.2f} (flagging normalized)"
            if abs(drift - 1.0) > 0.05 else "")
     )
-    if abs(drift - 1.0) > 0.05:
-        nq = {k: v / drift for k, v in nq.items()}
+    normalized = abs(drift - 1.0) > 0.05
+    nqn = {k: v / drift for k, v in nq.items()} if normalized else nq
+    eff_floor = floor / drift if normalized else floor
     new_only = sorted(k for k in nq if k not in oq)
     if new_only:
         tot = sum(nq[k] for k in new_only)
-        print(f"new queries ({len(new_only)}, {tot:.1f}s): "
+        print(f"new queries ({len(new_only)}, {tot:.1f}s raw): "
               + ", ".join(f"{k}={nq[k]:.2f}s" for k in new_only))
     flags = []
     for k in shared:
-        d = nq[k] - oq[k]
-        if nq[k] >= oq[k] * REL_THRESHOLD and d >= floor * ABS_FLOOR_MULT:
+        d = nqn[k] - oq[k]
+        if nqn[k] >= oq[k] * REL_THRESHOLD and d >= eff_floor * ABS_FLOOR_MULT:
             flags.append((d, k))
     if flags:
         print("REGRESSION CANDIDATES (>=30% and >=3x noise floor, drift-normalized):")
         for d, k in sorted(flags, reverse=True):
-            print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s (+{d:.2f}s)")
+            norm = f" [norm {nqn[k]:.2f}s]" if normalized else ""
+            print(f"  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s raw{norm} (+{d:.2f}s norm)")
     else:
         print("regression candidates: NONE")
     improved = sorted(
-        ((oq[k] - nq[k], k) for k in shared if oq[k] - nq[k] >= floor * ABS_FLOOR_MULT),
+        (
+            (oq[k] - nqn[k], k)
+            for k in shared
+            if oq[k] - nqn[k] >= eff_floor * ABS_FLOOR_MULT
+        ),
         reverse=True,
     )[:5]
     if improved:
-        print("biggest improvements: "
+        print("biggest improvements (raw): "
               + "; ".join(f"{k} {oq[k]:.2f}->{nq[k]:.2f}s" for _, k in improved))
     return 2 if flags else 0
 
