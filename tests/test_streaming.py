@@ -371,3 +371,45 @@ def test_stream_quality_monitor_equals_batch_rollup(spark, sf_dir):
     )
     want = {r.hour_start: (r.n, r.comp, r.cont) for r in batch}
     assert got == want
+
+
+def test_sessionize_drain_is_one_microbatch(spark, sf_dir):
+    """Pins the round-10 adjudication of the r9 bench_compare flag on
+    q_stream_sessionize: an availableNow drain of a static events table
+    completes in exactly ONE non-empty micro-batch (no maxFilesPerTrigger
+    on the probe source, one listing), so drain wall-time cannot vary
+    with a batch-count coin flip — observed multi-second swings are
+    ambient (SCALING.md round-10 notes)."""
+    from pyspark.sql import functions as F
+
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        load_table,
+        scoped_conf,
+    )
+    from langchain_callback_parquet_logger_spark.streaming.ingest import (
+        _event_stream,
+    )
+    from langchain_callback_parquet_logger_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    stream = _event_stream(spark, sf_dir)
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "8"}):
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sess_onebatch_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(nonempty) == 1, [p["numInputRows"] for p in q.recentProgress]
+    got_users = (
+        spark.table("sess_onebatch_sink").select("user_id").distinct().count()
+    )
+    want_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert got_users == want_users
