@@ -75,80 +75,84 @@ GRADING_WINDOW = 50
 
 # The driver grades the FIRST GRADING_WINDOW registry entries (insertion
 # order).  Order the registry explicitly so that, across rounds, EVERY
-# query earns a driver-graded CORRECTNESS record.  Round-9 rotation
-# (VERDICT r8 next-round #2/#3): the one pending-certification entry
-# (q_label_propagation — the only registry query with no driver record)
-# leads, then a stalest-first re-certification fill: the four queries
-# whose newest record is round 5, then the round-6 cohort ordered by
-# fewest total driver records (singles first, then 2-record, then
-# 3-record alphabetical).  The round-7/8-certified sets rotate out; the
-# local full-surface gate still covers them every round.
+# query earns a driver-graded CORRECTNESS record.  Round-10 rotation
+# (VERDICT r9 next-round #2/#3): the 13 transitive consumers of
+# minhash_signatures lead — the round-9 map-only signature rewrite
+# (3975f5e) plus the round-9-advice null-text filter (b128175) both
+# changed the plan under every one of them, and a prior green does not
+# certify changed code; then the round-6 freshness cohort (the 7
+# entries not already in the minhash group); then a stalest-first fill
+# from the round-7 cohort ordered by fewest total driver records
+# (singles first, then 2-record, then 3-record alphabetical — the two
+# 3-record tail entries q_union_dedup/q_value_histogram plus the
+# 4-record round-7 set carry to round 11).  The round-8/9-certified
+# sets rotate out; the local full-surface gate still covers them every
+# round.
 _PRIORITY = [
-    # -- round-8 late addition, first driver certification (was
-    #    _PENDING_CERTIFICATION with round-9 residency encoded) --
-    "q_label_propagation",
-    # -- new in round 9: first driver certification --
-    "q_cost_attribution",  # tokens × broadcast price dim → exact micro-$
-    # -- round-9 plan changes (ADVICE fixes): a prior green does not
-    #    certify changed code, so both re-enter the window --
-    "q_data_quality_checks",  # consistency predicates now NULL-tolerant
-    "q_vocab_overlap",  # '' excluded from vocab; zero-overlap pairs emitted
-    "q_ngram_novelty",  # reshaped: aggregate-only plan, no posting join
-    # -- stalest: newest driver record is round 5 --
-    "q_variant_extract",
-    "q_priority_class",
-    "q_top_terms",
-    "q_mixture_sample",
-    # -- round-6 cohort, single driver record --
-    "q_bigram_logprob",
-    "q_index_ann",
-    "q_index_incremental_dedup",
-    "q_quality_logit",
-    "q_url_dedup",
-    # -- round-6 cohort, two driver records --
-    "q_bpe_merge_candidates",
-    "q_diversity_sample",
-    "q_doc_features",
-    "q_ensemble_dedup",
+    # -- minhash_signatures consumers: plan changed twice since their
+    #    newest driver record (map-only rewrite + null-text filter) --
+    "q_minhash_dedup",
+    "q_lsh_pair_audit",
+    "q_minhash_estimate_error",
+    "q_cross_source_dupes",
+    "q_dedup_clusters",
+    "q_dup_centrality",
+    "q_paraphrase_candidates",
+    "q_stream_incremental_dedup",  # also the last r6-freshness entry
     "q_incremental_dedup",
-    "q_leakage_safe_split",
-    "q_length_histogram",
-    "q_pq_quantize",
-    "q_semdedup",
-    "q_substring_dedup",
-    "q_unigram_logprob",
-    # -- round-6 cohort, three driver records (alphabetical fill) --
-    "q_anomaly_zscore",
-    "q_asof_join",
-    "q_checkpoint_resume",
-    "q_cohort_retention",
-    "q_dedup_keep_last",
-    "q_doc_fingerprint",
-    "q_embedding_quantize",
-    "q_event_pivot",
-    "q_event_runs",
-    "q_funnel",
-    "q_hash_sample",
-    "q_hierarchy_join",
-    "q_knn_ivf",
-    "q_knn_per_label",
-    "q_lang_rollup",
-    "q_multimodal_framesample",
-    "q_multimodal_meta",
-    "q_percentiles",
-    "q_pricing_summary",
-    "q_priority_rollup",
-    "q_quality_score",
-    "q_repetition_ratio",
-    "q_results_zip",
-    "q_revenue_by_nation",
-    "q_status_summary",
+    "q_index_incremental_dedup",
+    "q_ensemble_dedup",
+    "q_index_compaction",
+    "q_label_propagation",
+    # -- round-6 freshness cohort (VERDICT r9 item #3) --
+    "q_corpus_clean",  # also re-certifies the round-9 argmax revert
+    "q_exact_dedup",
+    "q_salted_rollup",
+    "q_text_stats",
+    "q_tfidf_top_terms",
+    "q_udtf_trigrams",
+    "q_user_value_p90",
+    # -- round-7 cohort, single driver record --
+    "q_log_compaction",
+    "q_substring_clean",  # also the r9-close bench_compare flag (adjudicated)
+    "q_substring_keepone",
+    # -- round-7 cohort, two driver records --
+    "q_ann_join",
+    "q_bpe_apply",
+    "q_ccnet_buckets",
+    "q_cms_heavy_hitters",
+    "q_doc_keywords",
+    "q_dsir_weights",
+    "q_filter_funnel",
+    "q_key_skew_report",
+    "q_kmv_users",
+    "q_length_quality_corr",
+    "q_matryoshka_probe",
+    "q_pmi_collocations",
+    "q_training_order",
+    "q_vocab_coverage",
+    # -- round-7 cohort, three driver records (alphabetical fill) --
+    "q_cube",
+    "q_grouping_sets",
+    "q_lead_lag",
+    "q_ntile",
+    "q_rolling_hash",
+    "q_running_total",
+    "q_set_ops",
+    "q_sql_correlated_scalar",
+    "q_sql_exists_semi",
+    "q_sql_in_agg",
+    "q_sql_not_exists_anti",
+    "q_sql_scalar_having",
+    "q_topk",
 ]
-# Left at round-6 freshness for the round-10 rotation (most-recorded
-# entries — ≥3 green records each): q_stream_incremental_dedup,
-# q_text_stats, q_tfidf_top_terms, q_udtf_trigrams, q_user_value_p90,
-# q_corpus_clean, q_exact_dedup, q_salted_rollup; the local
-# full-surface gate still covers all of them every round.
+# Left at round-7 freshness for the round-11 rotation (the 3-record
+# tail q_union_dedup/q_value_histogram plus the 4-record round-7 set:
+# q_anti_join_checkpoint, q_batch_map, q_custom_id_extract,
+# q_date_partition_agg, q_domain_cap, q_filter_event_type,
+# q_json_extract, q_scan_project, q_sequence_pack, q_simhash_pairs,
+# q_token_rollup, q_user_value_median); the local full-surface gate
+# still covers all of them every round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/
