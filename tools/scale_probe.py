@@ -472,6 +472,38 @@ def main() -> None:
         "  grows with the file census (ceil(rows/target)), i.e. linearly,",
         "  reads metadata only (~5 probe ids per file), and sits off the",
         "  data path — a layout service's bookkeeping, not executor work.",
+        "",
+        "## Round 10 — bench_compare flag adjudications (round-9 close)",
+        "",
+        "The drift-normalized comparator on r8-close vs r9-close BENCHFULL",
+        "flagged exactly two queries; both sources are UNCHANGED between the",
+        "rounds (the r9 package diff touches only analytic/dedup/graph/",
+        "pipeline/queries/sinks; `streaming/stateful.py` and the",
+        "q_substring_clean body did not move). Both adjudicated ENVIRONMENTAL",
+        "by dedicated idle-session measurement at round-10 open:",
+        "",
+        "- **q_stream_sessionize (1.87 → 3.32 s normalized, +78%)** — the",
+        "  micro-batch-count hypothesis is RULED OUT: six instrumented",
+        "  availableNow drains at sf0.1 each completed in exactly ONE",
+        "  non-empty micro-batch (`recentProgress`), every run, and the",
+        "  property is now pinned by a unit test",
+        "  (tests/test_streaming.py::test_sessionize_drain_is_one_microbatch).",
+        "  Warm steady-state over six dedicated reps: 1.54–2.01 s, i.e. the",
+        "  r8 number (1.87 s) reproduces at round-10 open on identical code.",
+        "  The only structural cost outside steady state is the FIRST drain",
+        "  of a session (~6.6 s: stream-source init + state-store provider +",
+        "  Python worker spin-up), which the bench warmup pass absorbs. The",
+        "  r9 reading was an ambient burst landing on the streaming segment",
+        "  of the timed passes (this host's documented CPU-steal mode).",
+        "- **q_substring_clean (1.31 → 1.77 s normalized, +35%)** — the",
+        "  \"reshape shifted cost into the clean leg\" hypothesis is RULED",
+        "  OUT: the r9 reshape commit (63b6855) rewrote q_substring_dedup",
+        "  only; q_substring_clean shares no cached frame with it (separate",
+        "  per-position occ explode) and its body is byte-identical r8→r9.",
+        "  Interleaved min-of-6 at round-10 open (bench-style release_caches",
+        "  between reps, ref-scan floor probed alongside): median 1.42 s at",
+        "  floor 0.172 s → ≈1.09 s in r8-floor units (0.131 s), i.e. FASTER",
+        "  than the r8 reading once drift-normalized. Ambient, not shape.",
     ]
 
     out = os.path.join(
