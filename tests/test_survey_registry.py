@@ -80,10 +80,16 @@ def test_grading_window_rotation_leaves_no_query_uncertified():
     # (b) expired — the exemption lasts exactly until the next driver grade
     #     lands: once a CORRECTNESS_r{N}.json with N ≥ the recorded round
     #     exists, the query must be in the window (rotated in), not exempt.
-    stale = set(pending) & (window | certified)
+    # An OLD driver record does NOT make a pending entry stale: the
+    # round-9 verdict's carried item #7 prescribes listing changed-plan
+    # queries here even when they hold an older green — a prior green
+    # does not certify changed code (that gap is exactly how the round-9
+    # minhash-family stale-cert debt opened).  Only window residency
+    # retires the debt early.
+    stale = set(pending) & window
     assert not stale, (
-        f"_PENDING_CERTIFICATION entries already window-resident or "
-        f"driver-certified — remove them: {sorted(stale)}"
+        f"_PENDING_CERTIFICATION entries already window-resident — "
+        f"remove them: {sorted(stale)}"
     )
     graded_rounds = {
         int(m.group(1))
