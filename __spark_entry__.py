@@ -176,6 +176,11 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     # only the plan changed.
     "q_embedding_dedup": 11,
     "q_ann_recall_audit": 11,
+    # Round 10, second find of the sf1 audit: q_token_rollup's float
+    # avg hash-diverged by 1 ulp at the 0.5e-6 rounding boundary at sf1
+    # (summation-order nondeterminism); rebuilt on exact integer cents.
+    # Same graded-SF-identical / plan-changed situation as above.
+    "q_token_rollup": 11,
 }
 
 

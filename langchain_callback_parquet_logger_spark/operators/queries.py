@@ -147,23 +147,42 @@ FROM events GROUP BY 1
 # and correct. Flagship query for entry().
 # ---------------------------------------------------------------------------
 def q_token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value rollup in EXACT fixed-point: ``value`` is 2-dp
+    data riding a double column, so each row quantizes to integer cents
+    (lossless), the group SUM is a combine-order-deterministic BIGINT,
+    and the displayed sum/avg derive from that one exact integer by a
+    single division — the identical IEEE op on both engines.  The
+    previous float-path shape (``round(AVG(value), 6)``) was 1-ulp
+    summation-order-dependent and hash-diverged at the 0.5e-6 rounding
+    boundary on the round-10 sf1 audit (174.727187 vs ...88 — value-
+    equal, display-divergent); same convention as q_cost_attribution's
+    integer micro-dollars: no floating aggregation ever touches the
+    money."""
     events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         events.groupBy("user_id")
-        .agg(
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.count("*").alias("n_events"),
+        .agg(F.sum(cents).alias("c"), F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.round(F.col("c") / 100.0, 2).alias("sum_value"),
+            F.round(F.col("c") / (100.0 * F.col("n_events")), 6).alias("avg_value"),
+            "n_events",
         )
     )
 
 
 ORACLE_TOKEN_ROLLUP = """
 SELECT user_id,
-       round(SUM(value), 2) AS sum_value,
-       round(AVG(value), 6) AS avg_value,
-       COUNT(*) AS n_events
-FROM events GROUP BY user_id
+       round(c / 100.0, 2) AS sum_value,
+       round(c / (100.0 * n_events), 6) AS avg_value,
+       n_events
+FROM (
+  SELECT user_id,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS c,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
 """
 
 
