@@ -516,6 +516,35 @@ def main() -> None:
         "  with one deterministic division (the q_cost_attribution money",
         "  convention).",
         "",
+        "## Round 10 — 100x probe (SCALE100_r10.json, tools/scale100_probe.py)",
+        "",
+        "big100/big10 on the same bijective-relabeling replicas (10x more",
+        "data; linear target ~10x). 14 watch-zone + family-head queries",
+        "measured, min-of-2:",
+        "",
+        "- **Every text/event watch-zone entry is SUBLINEAR at 100x**:",
+        "  q_key_skew_report 7.8x (pure explode+aggregate — linear cost",
+        "  honestly emerging), q_incremental_dedup 6.1x, q_minhash_dedup",
+        "  5.9x, q_dedup_clusters 4.4x, q_bigram_logprob 4.3x,",
+        "  q_ngram_jaccard 3.9x, q_substring_clean 3.7x, q_zorder_layout",
+        "  3.4x, q_sequence_pack 3.4x, the rest <=1.6x. The round-9 10x",
+        "  watch ratios were fixed-overhead artifacts, confirmed one",
+        "  decade higher.",
+        "- **q_embedding_dedup 29.9x and q_ann_join OOM at big100 — a",
+        "  REPLICA-CONSTRUCTION artifact, adjudicated**: embeddings are",
+        "  replicated as VERBATIM copies (only vec_id offset), so every",
+        "  cross-copy pair is a true near-dup and the OUTPUT itself grows",
+        "  quadratically in K — the exact embedding analogue of the",
+        "  round-3 text lesson that led to the bijective vocabulary",
+        "  relabeling (text got the fix; embeddings never did). The",
+        "  EMB_BUCKET_CAP bounded q_embedding_dedup to completion (177 s)",
+        "  where the pre-cap shape died on 70 GB spills at sf1;",
+        "  q_ann_join's symmetric orientation doubles the pair volume on",
+        "  top and still blew the heap. Round-11 item: per-replica",
+        "  deterministic orthogonal transform (dim rotation + sign flips)",
+        "  so cross-replica cosine collapses while within-replica",
+        "  structure is exactly preserved — then re-probe both.",
+        "",
         "## Round 10 — bench_compare flag adjudications (round-9 close)",
         "",
         "The drift-normalized comparator on r8-close vs r9-close BENCHFULL",
