@@ -143,9 +143,72 @@ QUERIES = [
 ]
 
 
+# Replica-construction version, stamped into the _OK sentinel: bump it
+# whenever the construction changes so a /tmp replica left over from an
+# earlier round (or an earlier code state) is rebuilt instead of
+# silently probed with mismatched assumptions.
+# v2 (round 10): embeddings get a per-replica deterministic ORTHOGONAL
+# transform (k-keyed dim rotation + hashed sign flips).
+# v1 replicated vectors verbatim (vec_id offset only), which made every
+# cross-copy pair a true near-dup: OUTPUT volume grew quadratically in
+# K and the 100x probe measured duplicate richness on the verify/
+# materialize stages, not plan shape (q_embedding_dedup 29.9x,
+# q_ann_join heap-OOM — the embedding analogue of the round-3 text
+# lesson that led to the bijective vocabulary relabeling). The
+# orthogonal transform preserves within-replica dot products EXACTLY
+# while cross-replica cosines collapse to noise, so RESULT rows scale
+# ~K again.
+#
+# Measured caveat (K=4 validation, round 10): CANDIDATE volume stays
+# ~quadratic either way — 588,409 banded pairs at K=4 vs base 36,620
+# (16x for 4x data), almost exactly the verbatim-copy figure, because
+# decorrelated replicas still collide AT RANDOM in the fixed
+# 4x256-bucket band keyspace (expected cross term Sum_b n_b*n_b' ~
+# K^2 * 256 * mean^2 dominates once n >> buckets). That is the SAME
+# keyspace-saturation term the sf1 audit exposed: no replica
+# construction can remove it; EMB_BUCKET_CAP bounds it once buckets
+# pass the cap, and the production knob is scaling the PLANE COUNT
+# (band bit-width) with log(corpus) so expected bucket size stays O(1)
+# — e.g. 64 planes / 4x16-bit bands beyond ~50k vectors.
+BUILD_VERSION = "v2"
+
+
+def _emb_replica_col(k: int, dim: int = 64):
+    """Orthogonal per-replica transform of the `embedding` array:
+    rotate dimensions by a k-keyed offset, then flip signs by a hashed
+    (k, d) pattern. Rotation + sign flips are orthogonal maps, so
+    WITHIN-replica dot products (and hence candidate structure) are
+    exactly preserved while cross-replica cosines collapse to noise.
+    k=0 is the identity (base block preserved). The rotation offset
+    mixes k//dim so replicas congruent mod dim do not share a rotation,
+    and the hashed signs make even same-rotation pairs decorrelate."""
+    if k == 0:
+        return F.col("embedding")
+    r = (7 * k + 13 * (k // dim)) % dim
+    col = F.col("embedding")
+    rotated = (
+        F.concat(F.slice(col, r + 1, dim - r), F.slice(col, 1, r))
+        if r
+        else col
+    )
+    signs = [
+        1.0 if ((k * 2654435761 + d * 40503) >> 7) & 1 == 0 else -1.0
+        for d in range(dim)
+    ]
+    sign_arr = F.array(*[F.lit(s) for s in signs])
+    return F.zip_with(rotated, sign_arr, lambda a, b: a * b).cast("array<float>")
+
+
 def build(spark) -> None:
-    if os.path.exists(os.path.join(BIG, "_OK")):
-        return
+    ok = os.path.join(BIG, "_OK")
+    if os.path.exists(ok):
+        with open(ok) as f:
+            if f.read().strip() == BUILD_VERSION:
+                return
+        # stale construction: rebuild from scratch
+        import shutil
+
+        shutil.rmtree(BIG)
     os.makedirs(BIG, exist_ok=True)
     ev = load_table(spark, BASE, "events")
     docs = load_table(spark, BASE, "documents")
@@ -198,7 +261,11 @@ def build(spark) -> None:
     replicate(
         emb,
         "embeddings.parquet",
-        {"vec_id": lambda k: F.col("vec_id") + k * 10_000_000},
+        {
+            "vec_id": lambda k: F.col("vec_id") + k * 10_000_000,
+            # v2: per-replica orthogonal transform — see BUILD_VERSION.
+            "embedding": lambda k: _emb_replica_col(k),
+        },
     )
     # facts replicated with CONSISTENT join keys: l_orderkey tracks
     # o_orderkey, customers stay fixed (K× orders per customer — realistic
@@ -218,7 +285,8 @@ def build(spark) -> None:
         load_table(spark, BASE, t).write.mode("overwrite").parquet(
             os.path.join(BIG, f"{t}.parquet")
         )
-    open(os.path.join(BIG, "_OK"), "w").close()
+    with open(os.path.join(BIG, "_OK"), "w") as f:
+        f.write(BUILD_VERSION)
 
 
 def best_of(fn, reps=int(os.environ.get("SCALE_REPS", "3"))):
@@ -540,10 +608,19 @@ def main() -> None:
         "  EMB_BUCKET_CAP bounded q_embedding_dedup to completion (177 s)",
         "  where the pre-cap shape died on 70 GB spills at sf1;",
         "  q_ann_join's symmetric orientation doubles the pair volume on",
-        "  top and still blew the heap. Round-11 item: per-replica",
-        "  deterministic orthogonal transform (dim rotation + sign flips)",
-        "  so cross-replica cosine collapses while within-replica",
-        "  structure is exactly preserved — then re-probe both.",
+        "  top and still blew the heap. LANDED same round as replica",
+        "  construction v2 (per-replica orthogonal transform — see",
+        "  BUILD_VERSION): cross-replica cosines collapse, so RESULT",
+        "  volume scales ~K again. K=4 validation sharpened the finding:",
+        "  CANDIDATE volume stays ~quadratic regardless of construction",
+        "  (588,409 pairs at K=4 vs base 36,620 — random collisions in",
+        "  the fixed 4x256-bucket keyspace dominate once n >> buckets),",
+        "  i.e. the sf1 audit's keyspace-saturation term, not a replica",
+        "  artifact. EMB_BUCKET_CAP bounds it past the cap; the",
+        "  production knob is plane-count scaling with log(corpus).",
+        "  Round-11 item: re-probe the embedding family at K=100 on v2",
+        "  replicas and consider a 64-plane/16-bit-band variant for",
+        "  corpora beyond ~50k vectors.",
         "",
         "## Round 10 — bench_compare flag adjudications (round-9 close)",
         "",
