@@ -75,84 +75,85 @@ GRADING_WINDOW = 50
 
 # The driver grades the FIRST GRADING_WINDOW registry entries (insertion
 # order).  Order the registry explicitly so that, across rounds, EVERY
-# query earns a driver-graded CORRECTNESS record.  Round-10 rotation
-# (VERDICT r9 next-round #2/#3): the 13 transitive consumers of
-# minhash_signatures lead — the round-9 map-only signature rewrite
-# (3975f5e) plus the round-9-advice null-text filter (b128175) both
-# changed the plan under every one of them, and a prior green does not
-# certify changed code; then the round-6 freshness cohort (the 7
-# entries not already in the minhash group); then a stalest-first fill
-# from the round-7 cohort ordered by fewest total driver records
-# (singles first, then 2-record, then 3-record alphabetical — the two
-# 3-record tail entries q_union_dedup/q_value_histogram plus the
-# 4-record round-7 set carry to round 11).  The round-8/9-certified
-# sets rotate out; the local full-surface gate still covers them every
-# round.
+# query earns a driver-graded CORRECTNESS record.  Round-11 rotation
+# (VERDICT r10 next-round #1/#2/#4): the plan-changed group leads —
+# the three round-10 _PENDING_CERTIFICATION entries (EMB_BUCKET_CAP /
+# exact-cents rebuilds whose current plan has never been driver-graded)
+# plus the other transitive q_embedding_dedup consumers, ALL of whose
+# plans change again this round (adaptive LSH band width + shared
+# capped-candidate frame + the AVG-semantics divisor fix); then the
+# full round-7 freshness cohort (every remaining query whose newest
+# driver record is round 7); then a stalest-first fill from the
+# round-8 cohort ordered by fewest total driver records (the 23
+# singles, the two 3-record entries, then 4-record alphabetical up to
+# the window size — the 12 remaining 4-record round-8 entries carry to
+# round 12 at round-8 freshness).  After this window lands, no query's
+# newest driver record is older than round 8.
 _PRIORITY = [
-    # -- minhash_signatures consumers: plan changed twice since their
-    #    newest driver record (map-only rewrite + null-text filter) --
-    "q_minhash_dedup",
-    "q_lsh_pair_audit",
-    "q_minhash_estimate_error",
-    "q_cross_source_dupes",
-    "q_dedup_clusters",
-    "q_dup_centrality",
-    "q_paraphrase_candidates",
-    "q_stream_incremental_dedup",  # also the last r6-freshness entry
-    "q_incremental_dedup",
-    "q_index_incremental_dedup",
-    "q_ensemble_dedup",
-    "q_index_compaction",
-    "q_label_propagation",
-    # -- round-6 freshness cohort (VERDICT r9 item #3) --
-    "q_corpus_clean",  # also re-certifies the round-9 argmax revert
-    "q_exact_dedup",
-    "q_salted_rollup",
-    "q_text_stats",
-    "q_tfidf_top_terms",
-    "q_udtf_trigrams",
-    "q_user_value_p90",
-    # -- round-7 cohort, single driver record --
-    "q_log_compaction",
-    "q_substring_clean",  # also the r9-close bench_compare flag (adjudicated)
-    "q_substring_keepone",
-    # -- round-7 cohort, two driver records --
+    # -- plan changed since newest driver record: the round-10 pending
+    #    certs + every _banded_emb/_lsh_candidate_pairs consumer
+    #    (adaptive band width + shared capped frame land this round) --
+    "q_embedding_dedup",
+    "q_ann_recall_audit",
+    "q_token_rollup",  # exact-cents rebuild + AVG-semantics divisor
     "q_ann_join",
-    "q_bpe_apply",
-    "q_ccnet_buckets",
-    "q_cms_heavy_hitters",
-    "q_doc_keywords",
-    "q_dsir_weights",
-    "q_filter_funnel",
-    "q_key_skew_report",
-    "q_kmv_users",
-    "q_length_quality_corr",
     "q_matryoshka_probe",
-    "q_pmi_collocations",
-    "q_training_order",
-    "q_vocab_coverage",
-    # -- round-7 cohort, three driver records (alphabetical fill) --
-    "q_cube",
-    "q_grouping_sets",
-    "q_lead_lag",
-    "q_ntile",
-    "q_rolling_hash",
-    "q_running_total",
-    "q_set_ops",
-    "q_sql_correlated_scalar",
-    "q_sql_exists_semi",
-    "q_sql_in_agg",
-    "q_sql_not_exists_anti",
-    "q_sql_scalar_having",
-    "q_topk",
+    "q_ensemble_dedup",
+    "q_paraphrase_candidates",
+    # -- round-7 freshness cohort (all 13 remaining r7 entries) --
+    "q_scan_project",
+    "q_filter_event_type",
+    "q_json_extract",
+    "q_custom_id_extract",
+    "q_date_partition_agg",
+    "q_anti_join_checkpoint",
+    "q_union_dedup",
+    "q_value_histogram",
+    "q_batch_map",
+    "q_user_value_median",
+    "q_simhash_pairs",
+    "q_sequence_pack",
+    "q_domain_cap",
+    # -- round-8 cohort, single driver record --
+    "q_bitmap_distinct",
+    "q_burst_detection",
+    "q_centroid_confusion",
+    "q_dataset_diff",
+    "q_dedup_threshold_sweep",
+    "q_doc_chunking",
+    "q_event_transitions",
+    "q_format_roundtrip",
+    "q_hll_users",
+    "q_incremental_rollup",
+    "q_interval_concurrency",
+    "q_ks_drift",
+    "q_langid_confusion",
+    "q_mad_outliers",
+    "q_quota_resample",
+    "q_scd2_dimension",
+    "q_session_funnel_paths",
+    "q_sketch_union",
+    "q_stream_quality_monitor",
+    "q_token_budget_plan",
+    "q_tokenizer_fertility",
+    "q_winnow_matches",
+    "q_zorder_layout",
+    # -- round-8 cohort, three driver records --
+    "q_multimodal_resize",
+    "q_source_mixture_weights",
+    # -- round-8 cohort, four driver records (alphabetical fill) --
+    "q_decontaminate",
+    "q_denylist_redact",
+    "q_kmeans_ivf",
+    "q_knn_bruteforce",
+    "q_knn_lsh",
 ]
-# Left at round-7 freshness for the round-11 rotation (the 3-record
-# tail q_union_dedup/q_value_histogram plus the 4-record round-7 set:
-# q_anti_join_checkpoint, q_batch_map, q_custom_id_extract,
-# q_date_partition_agg, q_domain_cap, q_filter_event_type,
-# q_json_extract, q_scan_project, q_sequence_pack, q_simhash_pairs,
-# q_token_rollup, q_user_value_median); the local full-surface gate
-# still covers all of them every round.
+# Left at round-8 freshness for the round-12 rotation (the remaining
+# 4-record round-8 set: q_lang_id, q_multimodal_features,
+# q_ngram_jaccard, q_range_join_banded, q_sessionize, q_simhash,
+# q_sql_moving_avg, q_stream_dedup, q_stream_hourly_counts,
+# q_stream_join, q_stream_session_window, q_stream_sessionize); the
+# local full-surface gate still covers all of them every round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/
@@ -164,23 +165,9 @@ _PRIORITY = [
 # tripwire fired the moment round 7's own grade arrived — record the
 # NEXT round's number, which is when the rotation can actually happen.)
 _PENDING_CERTIFICATION: dict[str, int] = {
-    # Round 10: the EMB_BUCKET_CAP guard (over-full LSH buckets dropped
-    # from the embedding band self-join, operators/similarity.py)
-    # changed the plan under every _lsh_candidate_pairs consumer after
-    # this round's window had filled.  Four consumers (q_ann_join,
-    # q_matryoshka_probe, q_ensemble_dedup, q_paraphrase_candidates)
-    # are already IN the round-10 window; these two are not and owe a
-    # round-11 slot.  Results at graded SFs are bit-identical (the cap
-    # sits ~30x above the graded-SF bucket census — pinned by
-    # tests/test_operators.py::test_emb_bucket_cap_clears_graded_fixtures);
-    # only the plan changed.
-    "q_embedding_dedup": 11,
-    "q_ann_recall_audit": 11,
-    # Round 10, second find of the sf1 audit: q_token_rollup's float
-    # avg hash-diverged by 1 ulp at the 0.5e-6 rounding boundary at sf1
-    # (summation-order nondeterminism); rebuilt on exact integer cents.
-    # Same graded-SF-identical / plan-changed situation as above.
-    "q_token_rollup": 11,
+    # Empty for round 11: all three round-10 entries (q_embedding_dedup,
+    # q_ann_recall_audit, q_token_rollup) retired by rotation into the
+    # front of the round-11 grading window above.
 }
 
 

@@ -42,6 +42,7 @@ BANDS_SUBDIR = "bands"
 SHINGLES_SUBDIR = "shingles"
 ANN_EMB_SUBDIR = "emb"
 ANN_BANDS_SUBDIR = "ann_bands"
+ANN_META_SUBDIR = "ann_meta"
 
 
 def _parts(index_dir: str) -> tuple[str, str]:
@@ -131,10 +132,11 @@ def dedup_against_index(
 # ---------------------------------------------------------------------------
 
 
-def _ann_frames(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _ann_frames(
+    vecs: DataFrame, planes: list[list[float]]
+) -> tuple[DataFrame, DataFrame]:
     from .similarity import (
         DEDUP_LSH_BANDS,
-        DEDUP_PLANES,
         _as_double,
         _band_cols,
         norm,
@@ -153,26 +155,60 @@ def _ann_frames(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     bands = emb.select(
         "vec_id",
         F.posexplode(
-            F.array(*_band_cols(F.col("emb"), DEDUP_PLANES, DEDUP_LSH_BANDS))
+            F.array(*_band_cols(F.col("emb"), planes, DEDUP_LSH_BANDS))
         ).alias("band_idx", "band_val"),
     )
     return emb, bands
 
 
-def materialize_ann_index(vecs: DataFrame, index_dir: str) -> None:
-    """Build (overwrite) the stored ANN index from (vec_id, embedding)."""
-    emb, bands = _ann_frames(vecs)
+def _write_ann_meta(spark: SparkSession, index_dir: str, lsh_bits: int) -> None:
+    spark.createDataFrame([(lsh_bits,)], "lsh_bits INT").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, ANN_META_SUBDIR))
+
+
+def _read_ann_planes(spark: SparkSession, index_dir: str) -> list[list[float]]:
+    from .similarity import DEDUP_PLANES, DEDUP_PLANES_WIDE
+
+    bits = (
+        spark.read.parquet(os.path.join(index_dir, ANN_META_SUBDIR))
+        .first()
+        .lsh_bits
+    )
+    return DEDUP_PLANES if bits == len(DEDUP_PLANES) else DEDUP_PLANES_WIDE
+
+
+def materialize_ann_index(
+    vecs: DataFrame, index_dir: str, planes: list[list[float]] | None = None
+) -> None:
+    """Build (overwrite) the stored ANN index from (vec_id, embedding).
+
+    The band family (narrow 4x8-bit / wide 4x16-bit, see similarity.py's
+    adaptive-width rationale) is an INDEX-BUILD configuration: chosen
+    here — from the build batch's count unless the caller pins one from
+    expected-corpus stats — and persisted in a 1-row meta table so every
+    future append and serve uses the SAME planes; mixing families in one
+    stored band table would silently break the equi-join."""
+    from .similarity import _dedup_band_family
+
+    if planes is None:
+        planes = _dedup_band_family(vecs.count())
+    emb, bands = _ann_frames(vecs, planes)
     emb.write.mode("overwrite").parquet(os.path.join(index_dir, ANN_EMB_SUBDIR))
     bands.write.mode("overwrite").parquet(
         os.path.join(index_dir, ANN_BANDS_SUBDIR)
     )
+    _write_ann_meta(vecs.sparkSession, index_dir, len(planes))
 
 
 def append_to_ann_index(vecs: DataFrame, index_dir: str) -> None:
     """Fold a new vector batch into the stored ANN index — the embedding
     twin of :func:`append_to_dedup_index`: plain parquet appends to the
-    emb and band tables (transactional MERGE/append at warehouse scale)."""
-    emb, bands = _ann_frames(vecs)
+    emb and band tables (transactional MERGE/append at warehouse scale).
+    Band keys come from the family PINNED in the index meta table at
+    build time, never re-chosen per batch."""
+    planes = _read_ann_planes(vecs.sparkSession, index_dir)
+    emb, bands = _ann_frames(vecs, planes)
     emb.write.mode("append").parquet(os.path.join(index_dir, ANN_EMB_SUBDIR))
     bands.write.mode("append").parquet(os.path.join(index_dir, ANN_BANDS_SUBDIR))
 
@@ -184,21 +220,29 @@ def knn_against_index(
     probes against the stored index: candidates from the band equi-join,
     exact re-rank on candidates only, row_number keyed on query_id (the
     1e-6 fixed-point rank contract shared with q_ann_join). Self-matches
-    (an indexed vector probing itself) are excluded by band key + id."""
+    (an indexed vector probing itself) are excluded by band key + id.
+    Probe band keys come from the family PINNED in the index meta
+    table, and over-cap corpus buckets are dropped at serve time — the
+    same ``EMB_BUCKET_CAP`` guard as ``_lsh_candidate_pairs`` (dropping
+    them corpus-side suffices: a probe key pointing at a dropped bucket
+    finds no partners, exactly the oracle's both-sides-capped set)."""
     from pyspark.sql import Window as W
 
-    from .similarity import dot
+    from .similarity import _cap_buckets, dot
 
+    planes = _read_ann_planes(spark, index_dir)
     emb_dir = os.path.join(index_dir, ANN_EMB_SUBDIR)
     bands_dir = os.path.join(index_dir, ANN_BANDS_SUBDIR)
     corpus_emb = spark.read.parquet(emb_dir)
-    corpus_bands = spark.read.parquet(bands_dir).select(
+    corpus_bands = _cap_buckets(spark.read.parquet(bands_dir)).select(
         F.col("vec_id").alias("nb_id"), "band_idx", "band_val"
     )
     # _ann_frames caches the normalized probe frame, which feeds both
     # the band computation and the re-rank leg (released via
     # release_caches()).
-    q_emb, q_bands = _ann_frames(queries.withColumnRenamed("query_id", "vec_id"))
+    q_emb, q_bands = _ann_frames(
+        queries.withColumnRenamed("query_id", "vec_id"), planes
+    )
     cand = (
         q_bands
         .select(F.col("vec_id").alias("query_id"), "band_idx", "band_val")
@@ -435,9 +479,13 @@ def q_index_ann(
     tables. Band candidates and the 1e-6 fixed-point rank contract are
     exactly q_ann_join's (pinned by tests/test_indexes.py), so the rows
     equal q_ann_join restricted to the probe ids and the oracle is that
-    restriction.
+    restriction.  The band family is pinned from the FULL corpus count
+    (not the build half's) so it always matches the family q_ann_join's
+    adaptive front end — and therefore the oracle — picks for the same
+    table; production pins index config from expected-corpus stats the
+    same way.
     """
-    from .similarity import ANN_JOIN_K
+    from .similarity import ANN_JOIN_K, _dedup_band_family
 
     if index_dir is None:
         index_dir = os.path.join(_scratch_root(), "ann_index")
@@ -446,8 +494,9 @@ def q_index_ann(
     vecs = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
+    planes = _dedup_band_family(vecs.count())
     half = F.col("vec_id") % 2 == 0
-    materialize_ann_index(vecs.filter(half), index_dir)
+    materialize_ann_index(vecs.filter(half), index_dir, planes)
     append_to_ann_index(vecs.filter(~half), index_dir)
     probes = vecs.filter(F.col("vec_id") % INDEX_ANN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"

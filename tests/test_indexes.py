@@ -85,6 +85,48 @@ def test_knn_against_stored_ann_index_matches_ann_join(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+def test_stored_ann_index_pins_wide_family(spark, sf_dir, tmp_path, monkeypatch):
+    """With the adaptive cutoff forced low, the index BUILD picks the
+    wide 64-plane family, persists it in the meta table, the APPEND and
+    SERVE legs read it back, and the serve rows still reproduce
+    q_ann_join (whose adaptive front end goes wide on the same count) —
+    the family-pinning contract that keeps a stored index coherent when
+    batches of different sizes flow through it."""
+    from langchain_callback_parquet_logger_spark.operators import similarity as S
+    from langchain_callback_parquet_logger_spark.plans import session as sess
+
+    sess.release_caches()  # no narrow-family memo may leak in
+    monkeypatch.setattr(S, "EMB_WIDE_CUTOFF", 10)
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_dir = str(tmp_path / "wide_ann_index")
+    try:
+        half = F.col("vec_id") % 2 == 0
+        I.materialize_ann_index(
+            vecs.filter(half), index_dir, S._dedup_band_family(vecs.count())
+        )
+        I.append_to_ann_index(vecs.filter(~half), index_dir)
+        assert len(I._read_ann_planes(spark, index_dir)) == 64
+        probe_ids = [r.vec_id for r in vecs.limit(25).collect()]
+        queries = vecs.filter(F.col("vec_id").isin(probe_ids)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = sorted(
+            (r.query_id, r.nb_id, r.rank, r.sim)
+            for r in I.knn_against_index(
+                spark, index_dir, queries, S.ANN_JOIN_K
+            ).collect()
+        )
+        want = sorted(
+            (r.vec_id, r.nb_id, r.rank, r.sim)
+            for r in S.q_ann_join(spark, sf_dir)
+            .filter(F.col("vec_id").isin(probe_ids))
+            .collect()
+        )
+    finally:
+        sess.release_caches()  # the wide-family memo must not leak out
+    assert got == want
+
+
 def test_index_compaction_preserves_verdicts(spark, sf_dir, tmp_path):
     """Compacting the stored index tables must be read-identity: the
     serve leg's verdicts equal the in-session recompute, and the file

@@ -177,11 +177,18 @@ def _emb_replica_col(k: int, dim: int = 64):
     """Orthogonal per-replica transform of the `embedding` array:
     rotate dimensions by a k-keyed offset, then flip signs by a hashed
     (k, d) pattern. Rotation + sign flips are orthogonal maps, so
-    WITHIN-replica dot products (and hence candidate structure) are
-    exactly preserved while cross-replica cosines collapse to noise.
-    k=0 is the identity (base block preserved). The rotation offset
-    mixes k//dim so replicas congruent mod dim do not share a rotation,
-    and the hashed signs make even same-rotation pairs decorrelate."""
+    WITHIN-replica cosine GEOMETRY is preserved (up to the float
+    summation-order change the rotation introduces — dot products are
+    value-equal only to ~1 ulp), while cross-replica cosines collapse
+    to noise. The FIXED LSH planes see rotated vectors — equivalent to
+    a fresh plane draw per replica — so within-replica band signatures
+    and candidate sets are DISTRIBUTIONALLY equivalent to the base
+    block, not bit-identical; probe-ratio adjudications must not
+    assume exact per-replica candidate reproduction (round-10 advice).
+    k=0 is the identity (base block preserved exactly). The rotation
+    offset mixes k//dim so replicas congruent mod dim do not share a
+    rotation, and the hashed signs make even same-rotation pairs
+    decorrelate."""
     if k == 0:
         return F.col("embedding")
     r = (7 * k + 13 * (k // dim)) % dim
