@@ -508,10 +508,17 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
         .withColumn("nrm", norm(F.col("emb")))
     )
     planes = _dedup_band_family(emb.count())
+    # The cached band frame carries each vector's payload (emb, nrm) ON
+    # its <= 4 band rows: band-bucket-local pairing reads both vectors
+    # of every candidate pair from the SAME partition, so the exact
+    # re-rank never re-joins the embedding table per candidate — see
+    # _lsh_scored_pairs for why that double id-join is fatal at scale.
     capped = cache_tracked(
         _cap_buckets(
             emb.select(
                 "vec_id",
+                "emb",
+                "nrm",
                 F.posexplode(
                     F.array(*_band_cols(F.col("emb"), planes, DEDUP_LSH_BANDS))
                 ).alias("band_idx", "band_val"),
@@ -520,6 +527,66 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
     )
     _BANDED_EMB_MEMO[key] = (gen, emb, capped)
     return emb, capped
+
+
+def _lsh_scored_pairs(capped: DataFrame, symmetric: bool) -> DataFrame:
+    """Band-bucket-LOCAL candidate pairing: self-join the enriched band
+    frame (vector payload riding each band row, from :func:`_banded_emb`)
+    on the band key, yielding one row per (pair, shared band) with both
+    vectors attached — columns (vec_a, vec_b, emb_a, nrm_a, emb_b,
+    nrm_b).  NO distinct here: consumers project their DETERMINISTIC
+    per-pair scores (fixed-fold expressions of the two vectors, so a
+    pair scored in two different band partitions produces bit-identical
+    rows) and .distinct() on the scored projection.
+
+    Why not candidates-then-re-join (the previous shape): DISTINCT
+    pairs followed by two id-equi-joins to re-attach vectors shuffles a
+    |candidates| x vector-width intermediate — at the round-11 sf1
+    audit (500k cluster-heavy vectors, wide family, ~1e8-1e9 in-bucket
+    pairs once the cap stopped hiding the dense core) that is a
+    100+ GB spill and a dead job, while the bucket-local shape shuffles
+    only the 4n enriched band rows (~1 GB) plus the scored projections.
+    Per-pair score work is duplicated once per shared band (<= 4x, and
+    only dense near-dup pairs share several bands) — flops are cheap,
+    shuffle bytes are not.  At 1000 executors this is the same trade:
+    the band shuffle co-locates each bucket, scoring is partition-local,
+    and nothing wider than (ids + scores) ever crosses the wire again."""
+    pred = (
+        F.col("x.vec_id") != F.col("y.vec_id")
+        if symmetric
+        else F.col("x.vec_id") < F.col("y.vec_id")
+    )
+    x = capped.select(
+        "vec_id",
+        "band_idx",
+        "band_val",
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    y = capped.select(
+        "vec_id",
+        "band_idx",
+        "band_val",
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        x.alias("x")
+        .join(
+            y.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & pred,
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            "emb_a",
+            "nrm_a",
+            "emb_b",
+            "nrm_b",
+        )
+    )
 
 
 def _lsh_candidate_pairs(capped: DataFrame, symmetric: bool) -> DataFrame:
@@ -629,30 +696,23 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-bit keys up to EMB_WIDE_CUTOFF vectors, 16-bit beyond — the
     adaptive width that keeps expected bucket size O(1)), posexplode →
     equi-join on (band_idx, band_val) — a plain shuffled hash join whose
-    per-bucket fan-out is capped by the band width plus EMB_BUCKET_CAP,
-    then two id-equi-joins to re-attach vectors for the exact re-rank.
+    per-bucket fan-out is capped by the band width plus EMB_BUCKET_CAP.
+    The exact re-rank is band-bucket-LOCAL (:func:`_lsh_scored_pairs`):
+    sim is projected inside the band join and the threshold filter runs
+    BEFORE the distinct, so only surviving (ids, sim) rows ever shuffle
+    — the candidates-then-re-join shape this replaces spilled a 100 GB
+    |candidates| x vector-width intermediate at the round-11 sf1 audit.
     No stage is quadratic in corpus or block size. Replaces the label-blocked
     all-pairs baseline (:func:`embedding_dedup_blocked`, kept for recall
     validation in tests). Both cached frames are registered for
     release_caches() — harnesses release after the consuming action."""
-    emb, bands = _banded_emb(spark, sf_dir)
-    cand = _lsh_candidate_pairs(bands, symmetric=False)
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
+    _, bands = _banded_emb(spark, sf_dir)
     sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
+        _lsh_scored_pairs(bands, symmetric=False)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= DEDUP_LSH_THRESHOLD)
+        .distinct()
     )
 
 
@@ -1184,30 +1244,24 @@ ANN_JOIN_K = 3
 
 
 def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb, bands = _banded_emb(spark, sf_dir)
-    cand = _lsh_candidate_pairs(bands, symmetric=True).select(
-        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nb_id")
-    )
-    a = emb.select(F.col("vec_id"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"))
-    b = emb.select(
-        F.col("vec_id").alias("nb_id"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
+    _, bands = _banded_emb(spark, sf_dir)
     sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     # Rank on a 1e-6 fixed-point BIGINT (not the rounded double): a ≤1-ulp
     # sqrt/dot divergence between the JVM and DuckDB's libm near a 0.5e-6
     # rounding boundary could otherwise flip the top-K cutoff cross-engine
     # — same contract as q_pmi_collocations/q_doc_keywords; the displayed
     # sim derives FROM the quantized value so order and display agree.
+    # Scoring is band-bucket-local (_lsh_scored_pairs): sim_q is
+    # projected inside the band join and the distinct runs on (ids,
+    # sim_q) — nothing vector-width ever shuffles past the band frame.
     scored = (
-        cand.join(a, "vec_id")
-        .join(b, "nb_id")
+        _lsh_scored_pairs(bands, symmetric=True)
         .select(
-            "vec_id",
-            "nb_id",
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("nb_id"),
             F.round(sim * F.lit(1e6)).cast("bigint").alias("sim_q"),
         )
+        .distinct()
     )
     w = W.partitionBy("vec_id").orderBy(F.col("sim_q").desc(), F.col("nb_id").asc())
     return (
@@ -1267,19 +1321,11 @@ MRL_PREFIXES = (16, 32, 48)  # full-dim (64) deviation is identically 0
 def q_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    emb, bands = _banded_emb(spark, sf_dir)
-    cand = _lsh_candidate_pairs(bands, symmetric=False)
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    joined = cand.join(a, "vec_a").join(b, "vec_b")
+    _, bands = _banded_emb(spark, sf_dir)
+    # Per-pair deviations are projected band-bucket-locally
+    # (_lsh_scored_pairs) and deduped on the scored row — deterministic
+    # fixed-fold expressions, so a pair reached through two shared bands
+    # yields bit-identical rows and the distinct keeps exactly one.
     full = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     dcols = []
     for p in MRL_PREFIXES:
@@ -1289,7 +1335,12 @@ def q_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcols.append(
             F.round(F.abs(simp - full) * F.lit(1e6)).cast("bigint").alias(f"d{p}")
         )
-    agg = joined.select(*dcols).agg(
+    joined = (
+        _lsh_scored_pairs(bands, symmetric=False)
+        .select("vec_a", "vec_b", *dcols)
+        .distinct()
+    )
+    agg = joined.select(*[f"d{p}" for p in MRL_PREFIXES]).agg(
         F.count("*").alias("n_pairs"),
         *[F.sum(f"d{p}").alias(f"s{p}") for p in MRL_PREFIXES],
     )
