@@ -82,9 +82,11 @@ def _spark_fingerprint(df):
 
 
 def _duck_fingerprint(con, sql: str):
-    probe = con.execute(f"SELECT * FROM ({sql}) q LIMIT 0")
-    cols = sorted(d[0] for d in probe.description)
-    types = {d[0]: str(d[1]) for d in probe.description}
+    # DBAPI descriptors collapse every numeric to 'NUMBER' — DESCRIBE
+    # gives the real DuckDB types.
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({sql}) q").fetchall()
+    cols = sorted(r[0] for r in desc)
+    types = {r[0]: str(r[1]) for r in desc}
     parts = []
     for i, c in enumerate(cols):
         t = types[c].upper()
