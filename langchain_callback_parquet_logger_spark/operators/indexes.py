@@ -225,7 +225,15 @@ def knn_against_index(
     table, and over-cap corpus buckets are dropped at serve time — the
     same ``EMB_BUCKET_CAP`` guard as ``_lsh_candidate_pairs`` (dropping
     them corpus-side suffices: a probe key pointing at a dropped bucket
-    finds no partners, exactly the oracle's both-sides-capped set)."""
+    finds no partners, exactly the oracle's both-sides-capped set).
+
+    The re-rank is band-bucket-LOCAL, mirroring q_ann_join's
+    ``_lsh_scored_pairs`` shape: both sides attach their vector payload
+    to their band rows (one id-equi-join each, corpus- and batch-sized),
+    sim_q projects inside the band join, and the distinct runs on
+    (ids, sim_q) — the candidates-then-re-join shape this replaces
+    shuffles a |candidates| x vector-width intermediate, the spill that
+    killed the embedding family at the round-11 sf1 audit."""
     from pyspark.sql import Window as W
 
     from .similarity import _cap_buckets, dot
@@ -234,42 +242,40 @@ def knn_against_index(
     emb_dir = os.path.join(index_dir, ANN_EMB_SUBDIR)
     bands_dir = os.path.join(index_dir, ANN_BANDS_SUBDIR)
     corpus_emb = spark.read.parquet(emb_dir)
-    corpus_bands = _cap_buckets(spark.read.parquet(bands_dir)).select(
-        F.col("vec_id").alias("nb_id"), "band_idx", "band_val"
+    corpus_bands = (
+        _cap_buckets(spark.read.parquet(bands_dir))
+        .join(corpus_emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("nb_id"),
+            "band_idx",
+            "band_val",
+            F.col("emb").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
     )
     # _ann_frames caches the normalized probe frame, which feeds both
-    # the band computation and the re-rank leg (released via
+    # the band computation and the payload attachment (released via
     # release_caches()).
     q_emb, q_bands = _ann_frames(
         queries.withColumnRenamed("query_id", "vec_id"), planes
     )
-    cand = (
-        q_bands
-        .select(F.col("vec_id").alias("query_id"), "band_idx", "band_val")
-        .join(corpus_bands, ["band_idx", "band_val"])
-        .filter(F.col("query_id") != F.col("nb_id"))
-        .select("query_id", "nb_id")
-        .distinct()
-    )
-    a = q_emb.select(
+    probe_bands = q_bands.join(q_emb, "vec_id").select(
         F.col("vec_id").alias("query_id"),
+        "band_idx",
+        "band_val",
         F.col("emb").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = corpus_emb.select(
-        F.col("vec_id").alias("nb_id"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
     sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     scored = (
-        cand.join(a, "query_id")
-        .join(b, "nb_id")
+        probe_bands.join(corpus_bands, ["band_idx", "band_val"])
+        .filter(F.col("query_id") != F.col("nb_id"))
         .select(
             "query_id",
             "nb_id",
             F.round(sim * F.lit(1e6)).cast("bigint").alias("sim_q"),
         )
+        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim_q").desc(), F.col("nb_id").asc())
     return (
