@@ -165,9 +165,24 @@ _PRIORITY = [
 # tripwire fired the moment round 7's own grade arrived — record the
 # NEXT round's number, which is when the rotation can actually happen.)
 _PENDING_CERTIFICATION: dict[str, int] = {
-    # Empty for round 11: all three round-10 entries (q_embedding_dedup,
-    # q_ann_recall_audit, q_token_rollup) retired by rotation into the
-    # front of the round-11 grading window above.
+    # All three round-10 entries (q_embedding_dedup, q_ann_recall_audit,
+    # q_token_rollup) retired by rotation into the front of the round-11
+    # grading window above.  Two new round-11 entries:
+    #
+    # q_index_ann: serve leg restructured to the band-bucket-local
+    # re-rank (indexes.knn_against_index) + band family pinned in a meta
+    # table + serve-time bucket cap — a real plan change at every SF;
+    # results verified oracle-identical at sf0.01/sf0.1 in-round.
+    "q_index_ann": 12,
+    # q_repetition_ratio: trigram_list rebuilt on shifted-slice zip_with
+    # (the interpreted-lambda re-split fix, see its docstring) — the
+    # expression tree changed at every SF; values verified identical
+    # against the oracle at sf0.01/sf0.1 in-round.
+    # (The round-11 spread() additions to ten other text queries are NOT
+    # listed: spread is size-gated and the sf0.01 documents table sits
+    # 4x under SPREAD_MIN_BYTES, so the driver-graded plan is
+    # byte-identical; the sf0.1 local gate covers the widened plans.)
+    "q_repetition_ratio": 12,
 }
 
 

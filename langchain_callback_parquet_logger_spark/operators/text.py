@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.session import load_table
+from ..plans.session import load_table, spread
 
 from .dedup import PUNCT_PATTERN, WS_RUN_PATTERN, fingerprint, fingerprint_sql
 
@@ -135,7 +135,7 @@ def predicted_lang(text: Column) -> Column:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     n_ws = token_count_ws(t)
     return docs.select(
@@ -164,7 +164,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals: stopword ratio, punctuation ratio, length band.
     Composite score = mean of the three bounded signals (a cheap, fully
     columnar analog of fasttext-style quality filters)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     n_words = token_count_ws(t)
     sw_ratio = stopword_count(t) / n_words
@@ -203,7 +203,7 @@ FROM s
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     scores = lang_scores(t)
     return docs.select(
@@ -253,7 +253,7 @@ FROM s
 # row totals. The diagonal cells' row_ppm IS per-class recall.
 # ---------------------------------------------------------------------------
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     cells = (
         docs.select(
             F.col("lang").alias("labeled_lang"),
@@ -291,7 +291,7 @@ FROM cells c JOIN totals t ON c.labeled_lang = t.labeled_lang
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         fingerprint(F.col("text")).alias("fingerprint"),
@@ -308,7 +308,7 @@ FROM documents
 
 
 def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return (
         docs.groupBy("lang")
@@ -355,7 +355,7 @@ def rolling_hash(text: Column) -> Column:
 
 
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         rolling_hash(F.col("text")).alias("roll_hash"),
@@ -387,7 +387,7 @@ FROM documents
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     counts = (
         docs.select("lang", F.explode(words_col(F.col("text"))).alias("word"))
         .groupBy("lang", "word")
@@ -430,19 +430,26 @@ REPETITION_THRESHOLD = 0.2
 
 
 def trigram_list(text: Column) -> Column:
+    """Built from three shifted slices zipped elementwise, NOT from a
+    transform-over-index-sequence whose lambda closes over the word
+    array: higher-order-function lambdas are interpreted (no whole-stage
+    codegen), and a closed-over expression subtree re-evaluates PER
+    ELEMENT PER REFERENCE — the old shape re-split the text ~3x per
+    trigram (measured: a 500k-doc single-row-group scan ground one core
+    for >30 min at the round-11 sf1 audit). zip_with binds its inputs
+    once per ROW, so the split cost is O(refs), not O(refs x len)."""
     w = words_col(text)
     n = F.size(w)
-    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1)))
+    m = (n - F.lit(2)).cast("int")
+    tail = F.zip_with(
+        F.slice(w, 2, m),
+        F.slice(w, 3, m),
+        lambda b, c: F.concat(b, F.lit(" "), c),
+    )
     return F.when(
         n >= 3,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, (i + 1).cast("int")),
-                F.element_at(w, (i + 2).cast("int")),
-                F.element_at(w, (i + 3).cast("int")),
-            ),
+        F.zip_with(
+            F.slice(w, 1, m), tail, lambda a, bc: F.concat(a, F.lit(" "), bc)
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -456,7 +463,7 @@ def repetition_ratio(text: Column) -> Column:
 
 
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     r = repetition_ratio(F.col("text"))
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -508,7 +515,7 @@ TFIDF_TOP_K = 5
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id", "lang", F.explode(words_col(F.col("text"))).alias("word")
     )
@@ -594,7 +601,7 @@ def redaction_count(text: Column, pattern: str = REDACT_PATTERN) -> Column:
 
 
 def q_denylist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     per_doc = docs.select(
         "lang",
@@ -658,7 +665,9 @@ def q_udtf_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     state), so it parallelizes with the scan; the only wide op is the
     two-phase rollup after emission. Distinct-counting rides the same
     aggregate."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    spread(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "docs_udtf"
+    )
     spark.udtf.register("trigram_emit", _trigram_udtf())
     return spark.sql(
         """
