@@ -183,6 +183,12 @@ _PENDING_CERTIFICATION: dict[str, int] = {
     # 4x under SPREAD_MIN_BYTES, so the driver-graded plan is
     # byte-identical; the sf0.1 local gate covers the widened plans.)
     "q_repetition_ratio": 12,
+    # q_simhash: fingerprint width is now adaptive (32-bit up to
+    # SIMHASH_WIDE_CUTOFF docs, 60-bit beyond, Manku-style) — the
+    # count() action and the oracle's COUNT(*) CASE are new at every SF;
+    # graded values verified identical (rows + oracle) in-round.
+    # q_simhash_pairs (same reshape + bucket cap) is IN the r11 window.
+    "q_simhash": 12,
 }
 
 

@@ -740,6 +740,37 @@ FROM m
 # ---------------------------------------------------------------------------
 
 
+# Adaptive fingerprint width — the simhash twin of similarity.py's
+# EMB_WIDE_CUTOFF: a 32-bit fingerprint in 4 hamming-pigeonhole bands
+# holds only 4x256 buckets, so candidate volume grows ~n^2/1024 once the
+# corpus outgrows the keyspace (the round-11 sf1 audit measured a
+# disk-full spill at 500k docs). Corpora past the cutoff use a 60-bit
+# fingerprint (Manku et al., WWW 2007 run 64-bit at 8e9 docs; 60 here
+# because hash60 supplies exactly 60 independent bits and 2^59 still
+# fits signed BIGINT arithmetic on both engines) in 4x15-bit bands.
+# The DuckDB oracle branches on the same COUNT(*) so the engines always
+# agree. HAMMING_THRESHOLD stays 3 — with 4 bands the pigeonhole
+# recall argument is width-independent.
+SIMHASH_BITS_WIDE = 60
+SIMHASH_WIDE_CUTOFF = 50_000
+# Degenerate-bucket guard, the WINNOW_MAX_DF/EMB_BUCKET_CAP analogue:
+# near-identical token sets (boilerplate clusters; this fixture's tiny
+# synthetic vocabulary) collapse to IDENTICAL fingerprints, so no band
+# width can split them — the sf1 corpus puts 151k docs in one wide
+# bucket. Buckets above the cap are dropped from candidate generation
+# on BOTH engines (same HAVING in the oracle); a pair is lost only if
+# EVERY band it shares is over-cap. Graded/local censuses sit well
+# under it (sf0.01 max 253, sf0.1 max 2,566 — tripwire-tested); at sf1
+# the cap bounds candidates to ~337M instead of 4e10.
+SIMHASH_BUCKET_CAP = 4096
+
+
+def _simhash_bits(n_docs: int) -> int:
+    """Fingerprint width for a corpus of ``n_docs`` — pure function of
+    the count, mirrored by the oracle's COUNT(*) CASE."""
+    return SIMHASH_BITS if n_docs <= SIMHASH_WIDE_CUTOFF else SIMHASH_BITS_WIDE
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over distinct-token hashes.
     Linear explode + one aggregate; the per-bit votes are plain SUM(CASE)
@@ -765,20 +796,30 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return simhash(docs)
+    return simhash(docs, _simhash_bits(docs.count()))
 
 
 def _oracle_simhash() -> str:
     votes = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(SIMHASH_BITS)
+        for b in range(SIMHASH_BITS_WIDE)
     )
-    fp = " + ".join(
-        f"CASE WHEN v{b} > 0 THEN {2 ** b}::BIGINT ELSE 0 END"
-        for b in range(SIMHASH_BITS)
+
+    def fp_expr(bits: int) -> str:
+        return " + ".join(
+            f"CASE WHEN v{b} > 0 THEN {2 ** b}::BIGINT ELSE 0 END"
+            for b in range(bits)
+        )
+
+    fp = (
+        f"CASE WHEN (SELECT wide FROM simfam) THEN {fp_expr(SIMHASH_BITS_WIDE)}"
+        f" ELSE {fp_expr(SIMHASH_BITS)} END"
     )
     return f"""
-WITH toks AS (
+WITH simfam AS (
+  SELECT COUNT(*) > {SIMHASH_WIDE_CUTOFF} AS wide FROM documents
+),
+toks AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
   FROM documents
 ),
@@ -810,27 +851,45 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5-value key cannot block a 100 TB corpus). Pigeonhole over
     HAMMING_THRESHOLD+1 bands makes candidate recall exact, so the output
     is ALL pairs with hamming ≤ threshold — no blocking-key false
-    negatives."""
+    negatives (recall loss only from SIMHASH_BUCKET_CAP-dropped
+    degenerate buckets, mirrored exactly in the oracle).
+
+    Scale (round-11 reshape after the sf1 disk-full spill): fingerprint
+    width is ADAPTIVE (32-bit/4x8 bands up to SIMHASH_WIDE_CUTOFF docs,
+    60-bit/4x15 beyond — keyspace 1,024 -> 131,072 buckets), degenerate
+    buckets above SIMHASH_BUCKET_CAP are dropped (identical-fingerprint
+    boilerplate clusters defeat ANY width), and the hamming filter runs
+    BEFORE the distinct (hamming is functionally dependent on the pair,
+    so dedup on the filtered projection keeps the same set while only
+    qualifying rows ever shuffle)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    bits = _simhash_bits(docs.count())
+    band_bits = bits // SIMHASH_NUM_BANDS
     # One fingerprint row per doc feeds both sides of the band self-join —
     # cached (and registered for release_caches()) so the token-hash
     # aggregation runs once, not twice.
-    fp = cache_tracked(simhash(docs))
+    fp = cache_tracked(simhash(docs, bits))
     band_arr = F.array(
         *[
-            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
-            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
             for b in range(SIMHASH_NUM_BANDS)
         ]
     )
     bands = fp.select(
         "doc_id", "simhash", F.posexplode(band_arr).alias("band_id", "band_bits")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # bucket census bounded by the band keyspace (<= 4 x 2^15 rows), so
+    # the broadcast hint is always safe
+    kept = F.broadcast(
+        bands.groupBy("band_id", "band_bits")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= SIMHASH_BUCKET_CAP)
+        .select("band_id", "band_bits")
+    )
+    capped = bands.join(kept, ["band_id", "band_bits"])
+    a, b = capped.alias("a"), capped.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    # simhash is functionally dependent on doc_id, so the distinct over
-    # (doc_a, doc_b, simhash_a, simhash_b) dedups pairs that matched on
-    # several bands without a second join back to fp.
     return (
         a.join(
             b,
@@ -841,36 +900,49 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .distinct()
     )
 
 
 def _oracle_simhash_pairs() -> str:
     # Mirrors the banded plan (not the O(n²) all-pairs form) so the oracle
     # stays tractable; the result set is identical by the pigeonhole
-    # argument above.
-    mask = (1 << SIMHASH_BAND_BITS) - 1
+    # argument above. Band width branches on the same COUNT(*) as the
+    # fingerprint CTE; the HAVING is the bucket cap.
+    wide = f"(SELECT wide FROM sfam)"
+    bb = f"(CASE WHEN {wide} THEN {SIMHASH_BITS_WIDE // SIMHASH_NUM_BANDS} ELSE {SIMHASH_BAND_BITS} END)"
+    mask = (
+        f"(CASE WHEN {wide} THEN {(1 << (SIMHASH_BITS_WIDE // SIMHASH_NUM_BANDS)) - 1}"
+        f" ELSE {(1 << SIMHASH_BAND_BITS) - 1} END)"
+    )
     return f"""
-WITH fp AS ({_oracle_simhash()}),
+WITH sfam AS (
+  SELECT COUNT(*) > {SIMHASH_WIDE_CUTOFF} AS wide FROM documents
+),
+fp AS ({_oracle_simhash()}),
 bands AS (
-  SELECT doc_id, simhash, band_id, (simhash >> (band_id * {SIMHASH_BAND_BITS})) & {mask} AS band_bits
+  SELECT doc_id, simhash, band_id, (simhash >> (band_id * {bb})) & {mask} AS band_bits
   FROM fp CROSS JOIN (SELECT unnest(range(0, {SIMHASH_NUM_BANDS})) AS band_id)
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sh_a, b.simhash AS sh_b
-  FROM bands a JOIN bands b
+kept AS (
+  SELECT band_id, band_bits FROM bands
+  GROUP BY band_id, band_bits HAVING COUNT(*) <= {SIMHASH_BUCKET_CAP}
+),
+capped AS (
+  SELECT b.doc_id, b.simhash, b.band_id, b.band_bits
+  FROM bands b JOIN kept k
+    ON b.band_id = k.band_id AND b.band_bits = k.band_bits
+)
+SELECT DISTINCT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM capped a JOIN capped b
     ON a.band_id = b.band_id AND a.band_bits = b.band_bits
    AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
-FROM cand
-WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_THRESHOLD}
+) WHERE hamming <= {HAMMING_THRESHOLD}
 """
 
 

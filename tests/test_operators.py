@@ -157,6 +157,80 @@ def test_simhash_pairs_band_recall_is_exact(spark, sf_dir):
     assert banded == brute
 
 
+def test_simhash_wide_family_matches_oracle(spark, sf_dir, monkeypatch):
+    """Cross-engine contract for the WIDE simhash family: with the
+    cutoff forced below the fixture's 500 docs, Spark's count-driven
+    branch (60-bit fingerprint, 4x15-bit bands) and the oracle's
+    COUNT(*) CASE must agree on both the fingerprints and the banded
+    pair set — the branch the graded SFs never exercise but the sf1
+    corpus lives on."""
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.plans import session as sess
+
+    monkeypatch.setattr(D, "SIMHASH_WIDE_CUTOFF", 10)
+    sess.release_caches()
+    try:
+        fps = {r.doc_id: r.simhash for r in D.q_simhash(spark, sf_dir).collect()}
+        assert max(fps.values()) >= 2**32  # the wide branch engaged
+        pairs = sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in D.q_simhash_pairs(spark, sf_dir).collect()
+        )
+    finally:
+        sess.release_caches()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    ofps = {r[0]: r[1] for r in con.execute(D._oracle_simhash()).fetchall()}
+    assert ofps == fps
+    opairs = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(D._oracle_simhash_pairs()).fetchall()
+    )
+    assert opairs == pairs
+
+
+def test_simhash_bucket_cap_clears_graded_fixtures(spark, sf_dir):
+    """SIMHASH_BUCKET_CAP is a degenerate-bucket guard, not a
+    result-shaping knob: the raw band census at every graded SF present
+    must sit comfortably under it (sf0.1 measured 2,566 at round 11 —
+    if a fixture regen pushes past 3/4 of the cap, review before the
+    cap silently starts dropping graded pairs)."""
+    dirs = [sf_dir] + [
+        d
+        for d in ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        if d != sf_dir and os.path.isdir(d)
+    ]
+    for d in dirs:
+        docs = D.load_table(spark, d, "documents")
+        bits = D._simhash_bits(docs.count())
+        band_bits = bits // D.SIMHASH_NUM_BANDS
+        fp = D.simhash(docs, bits)
+        bands = fp.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        for b in range(D.SIMHASH_NUM_BANDS)
+                    ]
+                )
+            ).alias("band_id", "band_bits")
+        )
+        mx = (
+            bands.groupBy("band_id", "band_bits")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert mx <= D.SIMHASH_BUCKET_CAP * 3 // 4, (
+            f"{d}: max simhash bucket {mx} within 4/3 of the cap"
+        )
+
+
 def test_substring_dedup_flags_exactly_docs_sharing_a_window(spark, sf_dir):
     """The hash-aggregate formulation must agree with a direct recompute:
     a doc is flagged iff it shares ≥1 verbatim SPAN_WINDOW-token window
