@@ -1151,12 +1151,17 @@ DIVERSITY_BUCKET_BITS = 8  # 2^8 semantic buckets from the simhash top bits
 
 
 def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The bucket key is the TOP DIVERSITY_BUCKET_BITS of the fingerprint,
+    # so the shift must track the ADAPTIVE fingerprint width (32-bit up
+    # to SIMHASH_WIDE_CUTOFF docs, 60-bit beyond — _simhash_bits): a
+    # fixed 32-bit shift over a 60-bit fingerprint would bucket on the
+    # MIDDLE bits and diverge from the oracle, which follows the
+    # adaptive _oracle_simhash() (round-11 advice).
     docs = spread(load_table(spark, sf_dir, "documents"))
-    bucket = F.shiftright(
-        F.col("simhash"), SIMHASH_BITS - DIVERSITY_BUCKET_BITS
-    )
+    bits = _simhash_bits(docs.count())
+    bucket = F.shiftright(F.col("simhash"), bits - DIVERSITY_BUCKET_BITS)
     return (
-        simhash(docs)
+        simhash(docs, bits)
         .select("doc_id", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(
@@ -1167,9 +1172,17 @@ def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_diversity_sample() -> str:
+    # Shift branches on the same COUNT(*) that picks the fingerprint
+    # width inside _oracle_simhash() — both engines bucket on the TOP
+    # bits of whichever fingerprint the corpus size selects.
+    shift = (
+        f"(CASE WHEN (SELECT COUNT(*) FROM documents) > {SIMHASH_WIDE_CUTOFF}"
+        f" THEN {SIMHASH_BITS_WIDE - DIVERSITY_BUCKET_BITS}"
+        f" ELSE {SIMHASH_BITS - DIVERSITY_BUCKET_BITS} END)"
+    )
     return f"""
 WITH fp AS ({_oracle_simhash()})
-SELECT simhash >> {SIMHASH_BITS - DIVERSITY_BUCKET_BITS} AS bucket,
+SELECT simhash >> {shift} AS bucket,
        MIN(doc_id) AS representative_doc_id,
        COUNT(*) AS bucket_size
 FROM fp GROUP BY bucket

@@ -168,14 +168,24 @@ def _write_ann_meta(spark: SparkSession, index_dir: str, lsh_bits: int) -> None:
 
 
 def _read_ann_planes(spark: SparkSession, index_dir: str) -> list[list[float]]:
-    from .similarity import DEDUP_PLANES, DEDUP_PLANES_WIDE
+    from pyspark.errors import AnalysisException
 
-    bits = (
-        spark.read.parquet(os.path.join(index_dir, ANN_META_SUBDIR))
-        .first()
-        .lsh_bits
-    )
-    return DEDUP_PLANES if bits == len(DEDUP_PLANES) else DEDUP_PLANES_WIDE
+    from .similarity import _PLANES_BY_BITS, DEDUP_PLANES
+
+    try:
+        bits = (
+            spark.read.parquet(os.path.join(index_dir, ANN_META_SUBDIR))
+            .first()
+            .lsh_bits
+        )
+    except AnalysisException:
+        # Index built before the meta table existed: those were always
+        # written with the narrow family (the only one that existed),
+        # so falling back to it preserves their band-join contract
+        # instead of hard-failing every append/serve against an old
+        # index (round-11 advice).
+        return DEDUP_PLANES
+    return _PLANES_BY_BITS[bits]
 
 
 def materialize_ann_index(

@@ -443,6 +443,14 @@ EMB_BUCKET_CAP = 1024
 _BANDED_EMB_MEMO: dict[tuple[str, str], tuple[int, DataFrame, DataFrame]] = {}
 
 
+# Lookup used by the stored-index meta table (indexes.py pins the band
+# family by its plane count at build time).
+_PLANES_BY_BITS = {
+    DEDUP_LSH_BITS: DEDUP_PLANES,
+    DEDUP_LSH_BITS_WIDE: DEDUP_PLANES_WIDE,
+}
+
+
 def _dedup_band_family(n_vectors: int) -> list[list[float]]:
     """Plane set for a corpus of ``n_vectors``: the 32-plane/4x8-bit
     narrow family up to ``EMB_WIDE_CUTOFF``, the 64-plane/4x16-bit wide

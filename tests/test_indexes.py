@@ -138,3 +138,31 @@ def test_index_compaction_preserves_verdicts(spark, sf_dir, tmp_path):
     finally:
         release_caches()
     assert got == want and got
+
+
+def test_read_ann_planes_falls_back_to_narrow_for_pre_meta_index(
+    spark, sf_dir, tmp_path
+):
+    """An ANN index written before the meta table existed (no ann_meta
+    subdir) was always built with the narrow family — the only one that
+    existed then — so the read must fall back to it and keep the serve
+    leg working instead of hard-failing on the missing path (round-11
+    advice)."""
+    import os
+    import shutil
+
+    from langchain_callback_parquet_logger_spark.operators import similarity as S
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_dir = str(tmp_path / "pre_meta_ann_index")
+    try:
+        I.materialize_ann_index(vecs, index_dir)
+        shutil.rmtree(os.path.join(index_dir, I.ANN_META_SUBDIR))
+        assert I._read_ann_planes(spark, index_dir) is S.DEDUP_PLANES
+        queries = vecs.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        rows = I.knn_against_index(spark, index_dir, queries, 3).collect()
+    finally:
+        release_caches()
+    assert rows

@@ -193,6 +193,39 @@ def test_simhash_wide_family_matches_oracle(spark, sf_dir, monkeypatch):
     assert opairs == pairs
 
 
+def test_diversity_sample_wide_family_matches_oracle(spark, sf_dir, monkeypatch):
+    """q_diversity_sample buckets on the TOP bits of the ADAPTIVE
+    fingerprint: with the cutoff forced below the fixture size, both
+    engines must pick the 60-bit width and the matching top-8-bit shift.
+    Round-11 advice pin: the Spark side was fixed at 32 bits while the
+    oracle followed the adaptive _oracle_simhash(), so any comparison
+    above the cutoff diverged — this test fails on that code."""
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.plans import session as sess
+
+    monkeypatch.setattr(D, "SIMHASH_WIDE_CUTOFF", 10)
+    sess.release_caches()
+    try:
+        got = sorted(
+            (r.bucket, r.representative_doc_id, r.bucket_size)
+            for r in D.q_diversity_sample(spark, sf_dir).collect()
+        )
+    finally:
+        sess.release_caches()
+    assert got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(D._oracle_diversity_sample()).fetchall()
+    )
+    assert got == want
+
+
 def test_simhash_bucket_cap_clears_graded_fixtures(spark, sf_dir):
     """SIMHASH_BUCKET_CAP is a degenerate-bucket guard, not a
     result-shaping knob: the raw band census at every graded SF present
@@ -227,7 +260,8 @@ def test_simhash_bucket_cap_clears_graded_fixtures(spark, sf_dir):
             .first()[0]
         )
         assert mx <= D.SIMHASH_BUCKET_CAP * 3 // 4, (
-            f"{d}: max simhash bucket {mx} within 4/3 of the cap"
+            f"{d}: max simhash bucket {mx} exceeds 3/4 of "
+            f"SIMHASH_BUCKET_CAP ({D.SIMHASH_BUCKET_CAP})"
         )
 
 
@@ -1480,7 +1514,8 @@ def test_emb_bucket_cap_clears_graded_fixtures(spark, sf_dir):
             .first()[0]
         )
         assert max_bucket <= S.EMB_BUCKET_CAP // 4, (
-            f"{d}: max bucket {max_bucket} within 4x of EMB_BUCKET_CAP"
+            f"{d}: max bucket {max_bucket} exceeds 1/4 of "
+            f"EMB_BUCKET_CAP ({S.EMB_BUCKET_CAP})"
         )
 
 
