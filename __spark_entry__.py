@@ -75,85 +75,87 @@ GRADING_WINDOW = 50
 
 # The driver grades the FIRST GRADING_WINDOW registry entries (insertion
 # order).  Order the registry explicitly so that, across rounds, EVERY
-# query earns a driver-graded CORRECTNESS record.  Round-11 rotation
-# (VERDICT r10 next-round #1/#2/#4): the plan-changed group leads —
-# the three round-10 _PENDING_CERTIFICATION entries (EMB_BUCKET_CAP /
-# exact-cents rebuilds whose current plan has never been driver-graded)
-# plus the other transitive q_embedding_dedup consumers, ALL of whose
-# plans change again this round (adaptive LSH band width + shared
-# capped-candidate frame + the AVG-semantics divisor fix); then the
-# full round-7 freshness cohort (every remaining query whose newest
-# driver record is round 7); then a stalest-first fill from the
-# round-8 cohort ordered by fewest total driver records (the 23
-# singles, the two 3-record entries, then 4-record alphabetical up to
-# the window size — the 12 remaining 4-record round-8 entries carry to
-# round 12 at round-8 freshness).  After this window lands, no query's
-# newest driver record is older than round 8.
+# query earns a driver-graded CORRECTNESS record.  Round-12 rotation
+# (VERDICT r11 next-round #2/#4/#5 + ADVICE): the three round-11
+# pending certs lead, then q_diversity_sample (the advice-high adaptive
+# bucket-shift fix), then every query whose PLAN or ORACLE changed this
+# round (the third band-family step: 96-plane/4x24-bit embedding bands
+# + combined-pair simhash banding past the 5M cutoffs, and the
+# over-cap-anti-join census reshape that replaced the keyspace-bounded
+# keep-list broadcast), then the ENTIRE remaining round-8 freshness
+# cohort, then a stalest-first fill from the round-9 cohort ordered by
+# fewest total driver records.  After this window lands, no query's
+# newest driver record is older than round 9.
 _PRIORITY = [
-    # -- plan changed since newest driver record: the round-10 pending
-    #    certs + every _banded_emb/_lsh_candidate_pairs consumer
-    #    (adaptive band width + shared capped frame land this round) --
+    # -- round-11 pending certifications (plan changed post-window in
+    #    round 11; verified in-round then, graded now) --
+    "q_index_ann",
+    "q_repetition_ratio",
+    "q_simhash",
+    # -- advice-high fix: adaptive top-bit bucket shift --
+    "q_diversity_sample",
+    # -- plan/oracle changed this round (xwide band family + anti-join
+    #    census): every _banded_emb/_cap_buckets/simhash-band consumer --
+    "q_simhash_pairs",
     "q_embedding_dedup",
-    "q_ann_recall_audit",
-    "q_token_rollup",  # exact-cents rebuild + AVG-semantics divisor
     "q_ann_join",
     "q_matryoshka_probe",
+    "q_ann_recall_audit",
     "q_ensemble_dedup",
     "q_paraphrase_candidates",
-    # -- round-7 freshness cohort (all 13 remaining r7 entries) --
-    "q_scan_project",
-    "q_filter_event_type",
-    "q_json_extract",
-    "q_custom_id_extract",
-    "q_date_partition_agg",
-    "q_anti_join_checkpoint",
-    "q_union_dedup",
-    "q_value_histogram",
-    "q_batch_map",
-    "q_user_value_median",
-    "q_simhash_pairs",
-    "q_sequence_pack",
-    "q_domain_cap",
-    # -- round-8 cohort, single driver record --
-    "q_bitmap_distinct",
-    "q_burst_detection",
-    "q_centroid_confusion",
-    "q_dataset_diff",
-    "q_dedup_threshold_sweep",
-    "q_doc_chunking",
-    "q_event_transitions",
-    "q_format_roundtrip",
-    "q_hll_users",
-    "q_incremental_rollup",
-    "q_interval_concurrency",
-    "q_ks_drift",
-    "q_langid_confusion",
-    "q_mad_outliers",
-    "q_quota_resample",
-    "q_scd2_dimension",
-    "q_session_funnel_paths",
-    "q_sketch_union",
-    "q_stream_quality_monitor",
-    "q_token_budget_plan",
-    "q_tokenizer_fertility",
-    "q_winnow_matches",
-    "q_zorder_layout",
-    # -- round-8 cohort, three driver records --
-    "q_multimodal_resize",
-    "q_source_mixture_weights",
-    # -- round-8 cohort, four driver records (alphabetical fill) --
-    "q_decontaminate",
-    "q_denylist_redact",
-    "q_kmeans_ivf",
-    "q_knn_bruteforce",
-    "q_knn_lsh",
+    "q_lsh_pair_audit",
+    "q_cross_source_dupes",
+    "q_incremental_dedup",
+    "q_index_incremental_dedup",
+    # -- round-8 freshness cohort (all 11 remaining r8 entries) --
+    "q_lang_id",
+    "q_multimodal_features",
+    "q_ngram_jaccard",
+    "q_range_join_banded",
+    "q_sessionize",
+    "q_sql_moving_avg",
+    "q_stream_dedup",
+    "q_stream_hourly_counts",
+    "q_stream_join",
+    "q_stream_session_window",
+    "q_stream_sessionize",
+    # -- round-9 cohort, one driver record --
+    "q_cost_attribution",
+    # -- round-9 cohort, two driver records --
+    "q_bigram_logprob",
+    "q_data_quality_checks",
+    "q_quality_logit",
+    "q_url_dedup",
+    "q_vocab_overlap",
+    # -- round-9 cohort, three driver records --
+    "q_bpe_merge_candidates",
+    "q_doc_features",
+    "q_leakage_safe_split",
+    "q_length_histogram",
+    "q_ngram_novelty",
+    "q_pq_quantize",
+    "q_semdedup",
+    "q_substring_dedup",
+    "q_unigram_logprob",
+    # -- round-9 cohort, four driver records (alphabetical fill) --
+    "q_anomaly_zscore",
+    "q_asof_join",
+    "q_checkpoint_resume",
+    "q_cohort_retention",
+    "q_dedup_keep_last",
+    "q_doc_fingerprint",
+    "q_embedding_quantize",
+    "q_event_pivot",
+    "q_event_runs",
 ]
-# Left at round-8 freshness for the round-12 rotation (the remaining
-# 4-record round-8 set: q_lang_id, q_multimodal_features,
-# q_ngram_jaccard, q_range_join_banded, q_sessionize, q_simhash,
-# q_sql_moving_avg, q_stream_dedup, q_stream_hourly_counts,
-# q_stream_join, q_stream_session_window, q_stream_sessionize); the
-# local full-surface gate still covers all of them every round.
+# Left at round-9 freshness for the round-13 rotation (the remaining
+# 4/5-record round-9 set: q_funnel, q_hash_sample, q_hierarchy_join,
+# q_knn_ivf, q_knn_per_label, q_lang_rollup, q_mixture_sample,
+# q_multimodal_framesample, q_multimodal_meta, q_percentiles,
+# q_pricing_summary, q_priority_class, q_priority_rollup,
+# q_quality_score, q_results_zip, q_revenue_by_nation,
+# q_status_summary, q_top_terms, q_variant_extract); the local
+# full-surface gate still covers all of them every round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/
@@ -165,30 +167,12 @@ _PRIORITY = [
 # tripwire fired the moment round 7's own grade arrived — record the
 # NEXT round's number, which is when the rotation can actually happen.)
 _PENDING_CERTIFICATION: dict[str, int] = {
-    # All three round-10 entries (q_embedding_dedup, q_ann_recall_audit,
-    # q_token_rollup) retired by rotation into the front of the round-11
-    # grading window above.  Two new round-11 entries:
-    #
-    # q_index_ann: serve leg restructured to the band-bucket-local
-    # re-rank (indexes.knn_against_index) + band family pinned in a meta
-    # table + serve-time bucket cap — a real plan change at every SF;
-    # results verified oracle-identical at sf0.01/sf0.1 in-round.
-    "q_index_ann": 12,
-    # q_repetition_ratio: trigram_list rebuilt on shifted-slice zip_with
-    # (the interpreted-lambda re-split fix, see its docstring) — the
-    # expression tree changed at every SF; values verified identical
-    # against the oracle at sf0.01/sf0.1 in-round.
-    # (The round-11 spread() additions to ten other text queries are NOT
-    # listed: spread is size-gated and the sf0.01 documents table sits
-    # 4x under SPREAD_MIN_BYTES, so the driver-graded plan is
-    # byte-identical; the sf0.1 local gate covers the widened plans.)
-    "q_repetition_ratio": 12,
-    # q_simhash: fingerprint width is now adaptive (32-bit up to
-    # SIMHASH_WIDE_CUTOFF docs, 60-bit beyond, Manku-style) — the
-    # count() action and the oracle's COUNT(*) CASE are new at every SF;
-    # graded values verified identical (rows + oracle) in-round.
-    # q_simhash_pairs (same reshape + bucket cap) is IN the r11 window.
-    "q_simhash": 12,
+    # All three round-11 entries (q_index_ann, q_repetition_ratio,
+    # q_simhash) retired by rotation into the front of the round-12
+    # grading window above.  No new entries: every query whose plan or
+    # oracle changed in round 12 (the xwide band-family step, the
+    # over-cap anti-join census, the q_diversity_sample adaptive-shift
+    # fix) is IN the round-12 window.
 }
 
 

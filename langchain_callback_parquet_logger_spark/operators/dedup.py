@@ -763,6 +763,30 @@ SIMHASH_WIDE_CUTOFF = 50_000
 # under it (sf0.01 max 253, sf0.1 max 2,566 — tripwire-tested); at sf1
 # the cap bounds candidates to ~337M instead of 4e10.
 SIMHASH_BUCKET_CAP = 4096
+# Third family step (the simhash twin of similarity.EMB_XWIDE_CUTOFF):
+# the wide family's 4x15-bit bands hold 32,768 buckets each, so one
+# more decade of corpus growth (n ~ 5M) puts ~150 docs in the expected
+# bucket and candidate mass back at ~1e9.  A single signed BIGINT
+# cannot hold 4x24-bit bands (96 > 63 bits), so past this cutoff the
+# banding switches to Manku et al.'s COMBINED-table construction over
+# the SAME 60-bit fingerprint: split it into 6 sub-bands of 10 bits
+# and key candidate buckets on PAIRS of sub-bands — C(6,2) = 15 band
+# ids, each a 20-bit key (1,048,576 buckets, 32x the wide keyspace).
+# Pigeonhole still makes recall exact: hamming <= 3 dirties at most 3
+# sub-bands, leaving >= 3 clean ones and therefore >= C(3,2) = 3 clean
+# pairs, so every qualifying pair still collides in >= 1 band.  Cost:
+# 15 band rows per doc instead of 4 (3.75x row mass) for ~32x fewer
+# collisions per bucket — the same flops-for-shuffle trade as the
+# bucket-local re-rank.  The fingerprint itself (q_simhash's output)
+# never changes past the wide step.
+SIMHASH_XWIDE_CUTOFF = 5_000_000
+SIMHASH_XWIDE_SUBBANDS = 6
+SIMHASH_XWIDE_SUB_BITS = SIMHASH_BITS_WIDE // SIMHASH_XWIDE_SUBBANDS  # 10
+SIMHASH_XWIDE_PAIRS = [
+    (i, j)
+    for i in range(SIMHASH_XWIDE_SUBBANDS)
+    for j in range(i + 1, SIMHASH_XWIDE_SUBBANDS)
+]  # 15 combined bands
 
 
 def _simhash_bits(n_docs: int) -> int:
@@ -843,6 +867,34 @@ SIMHASH_NUM_BANDS = HAMMING_THRESHOLD + 1  # 4 bands × 8 bits over 32 bits
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_NUM_BANDS
 
 
+def _simhash_band_arr(n_docs: int, bits: int) -> Column:
+    """Band-key array for the corpus size: contiguous ``bits/4``-bit
+    slices of the fingerprint up to ``SIMHASH_XWIDE_CUTOFF`` docs
+    (4 bands — pigeonhole over HAMMING_THRESHOLD+1), combined sub-band
+    PAIRS beyond it (15 bands of 20-bit keys — see the cutoff's
+    rationale).  Pure expressions over the ``simhash`` column; the
+    oracle mirrors the same shapes behind its COUNT(*) CASE."""
+    if n_docs <= SIMHASH_XWIDE_CUTOFF:
+        band_bits = bits // SIMHASH_NUM_BANDS
+        return F.array(
+            *[
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                for b in range(SIMHASH_NUM_BANDS)
+            ]
+        )
+    sb = SIMHASH_XWIDE_SUB_BITS
+
+    def sub(i: int) -> Column:
+        return F.shiftright(F.col("simhash"), i * sb).bitwiseAND(
+            F.lit((1 << sb) - 1)
+        )
+
+    return F.array(
+        *[sub(i) * F.lit(1 << sb) + sub(j) for i, j in SIMHASH_XWIDE_PAIRS]
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by hamming distance, blocked on simhash band
     prefixes. Candidate generation is an equi-join on (band_id, band_bits)
@@ -856,38 +908,42 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (round-11 reshape after the sf1 disk-full spill): fingerprint
     width is ADAPTIVE (32-bit/4x8 bands up to SIMHASH_WIDE_CUTOFF docs,
-    60-bit/4x15 beyond — keyspace 1,024 -> 131,072 buckets), degenerate
-    buckets above SIMHASH_BUCKET_CAP are dropped (identical-fingerprint
-    boilerplate clusters defeat ANY width), and the hamming filter runs
-    BEFORE the distinct (hamming is functionally dependent on the pair,
-    so dedup on the filtered projection keeps the same set while only
-    qualifying rows ever shuffle)."""
+    60-bit/4x15 beyond — keyspace 1,024 -> 131,072 buckets; past
+    SIMHASH_XWIDE_CUTOFF the banding moves to combined sub-band PAIRS,
+    15 bands of 20-bit keys over the same 60-bit fingerprint — see the
+    cutoff's rationale), degenerate buckets above SIMHASH_BUCKET_CAP
+    are dropped (identical-fingerprint boilerplate clusters defeat ANY
+    width), and the hamming filter runs BEFORE the distinct (hamming is
+    functionally dependent on the pair, so dedup on the filtered
+    projection keeps the same set while only qualifying rows ever
+    shuffle)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    bits = _simhash_bits(docs.count())
-    band_bits = bits // SIMHASH_NUM_BANDS
+    n_docs = docs.count()
+    bits = _simhash_bits(n_docs)
     # One fingerprint row per doc feeds both sides of the band self-join —
     # cached (and registered for release_caches()) so the token-hash
     # aggregation runs once, not twice.
     fp = cache_tracked(simhash(docs, bits))
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("simhash"), b * band_bits)
-            .bitwiseAND(F.lit((1 << band_bits) - 1))
-            for b in range(SIMHASH_NUM_BANDS)
-        ]
-    )
     bands = fp.select(
-        "doc_id", "simhash", F.posexplode(band_arr).alias("band_id", "band_bits")
+        "doc_id",
+        "simhash",
+        F.posexplode(_simhash_band_arr(n_docs, bits)).alias(
+            "band_id", "band_bits"
+        ),
     )
-    # bucket census bounded by the band keyspace (<= 4 x 2^15 rows), so
-    # the broadcast hint is always safe
-    kept = F.broadcast(
+    # Degenerate-bucket guard: broadcast the OVER-cap bucket list and
+    # anti-join — bounded by band_rows / cap (a handful of rows even at
+    # 5M docs), unlike a keep-list semi join, whose census is bounded
+    # by the band KEYSPACE (15 x 2^20 past the xwide cutoff — not
+    # broadcastable).  Result set identical: a row survives iff its
+    # bucket holds <= SIMHASH_BUCKET_CAP members.
+    over = F.broadcast(
         bands.groupBy("band_id", "band_bits")
         .agg(F.count("*").alias("bucket_n"))
-        .filter(F.col("bucket_n") <= SIMHASH_BUCKET_CAP)
+        .filter(F.col("bucket_n") > SIMHASH_BUCKET_CAP)
         .select("band_id", "band_bits")
     )
-    capped = bands.join(kept, ["band_id", "band_bits"])
+    capped = bands.join(over, ["band_id", "band_bits"], "left_anti")
     a, b = capped.alias("a"), capped.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -910,22 +966,39 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_simhash_pairs() -> str:
     # Mirrors the banded plan (not the O(n²) all-pairs form) so the oracle
     # stays tractable; the result set is identical by the pigeonhole
-    # argument above. Band width branches on the same COUNT(*) as the
-    # fingerprint CTE; the HAVING is the bucket cap.
+    # argument above. Band family branches on the same COUNT(*) as the
+    # fingerprint CTE (contiguous slices up to the xwide cutoff, combined
+    # sub-band pairs beyond); the HAVING is the bucket cap.
     wide = f"(SELECT wide FROM sfam)"
+    xwide = f"(SELECT xwide FROM sfam)"
     bb = f"(CASE WHEN {wide} THEN {SIMHASH_BITS_WIDE // SIMHASH_NUM_BANDS} ELSE {SIMHASH_BAND_BITS} END)"
     mask = (
         f"(CASE WHEN {wide} THEN {(1 << (SIMHASH_BITS_WIDE // SIMHASH_NUM_BANDS)) - 1}"
         f" ELSE {(1 << SIMHASH_BAND_BITS) - 1} END)"
     )
+    sb = SIMHASH_XWIDE_SUB_BITS
+    smask = (1 << sb) - 1
+
+    def sub(i: int) -> str:
+        return f"((simhash >> {i * sb}) & {smask})"
+
+    pair_cases = " ".join(
+        f"WHEN {bid} THEN {sub(i)} * {1 << sb} + {sub(j)}"
+        for bid, (i, j) in enumerate(SIMHASH_XWIDE_PAIRS)
+    )
+    n_xwide = len(SIMHASH_XWIDE_PAIRS)
     return f"""
 WITH sfam AS (
-  SELECT COUNT(*) > {SIMHASH_WIDE_CUTOFF} AS wide FROM documents
+  SELECT COUNT(*) > {SIMHASH_WIDE_CUTOFF} AS wide,
+         COUNT(*) > {SIMHASH_XWIDE_CUTOFF} AS xwide FROM documents
 ),
 fp AS ({_oracle_simhash()}),
 bands AS (
-  SELECT doc_id, simhash, band_id, (simhash >> (band_id * {bb})) & {mask} AS band_bits
-  FROM fp CROSS JOIN (SELECT unnest(range(0, {SIMHASH_NUM_BANDS})) AS band_id)
+  SELECT doc_id, simhash, band_id,
+         CASE WHEN {xwide} THEN (CASE band_id {pair_cases} END)
+              ELSE (simhash >> (band_id * {bb})) & {mask} END AS band_bits
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {n_xwide})) AS band_id)
+  WHERE band_id < CASE WHEN {xwide} THEN {n_xwide} ELSE {SIMHASH_NUM_BANDS} END
 ),
 kept AS (
   SELECT band_id, band_bits FROM bands

@@ -392,13 +392,16 @@ DEDUP_LSH_BANDS = 4
 # result set would be empty and the correctness check vacuous. At 0.35 the
 # re-rank keeps a small, data-dependent pair set that exercises every stage.
 DEDUP_LSH_THRESHOLD = 0.35
-# Wide family: 64 planes / 4x16-bit bands — the SAME md5 plane draw
-# extended to b < 64, so the narrow family is its 32-plane prefix.
+# Wide family: 64 planes / 4x16-bit bands; extra-wide: 96 planes /
+# 4x24-bit bands — all from the SAME md5 plane draw, so each narrower
+# family is a prefix of the next (one deterministic plane stream).
 DEDUP_LSH_BITS_WIDE = 64
-DEDUP_PLANES_WIDE = [
-    [_plane_coef(b, d) for d in range(EMB_DIM)] for b in range(DEDUP_LSH_BITS_WIDE)
+DEDUP_LSH_BITS_XWIDE = 96
+DEDUP_PLANES_XWIDE = [
+    [_plane_coef(b, d) for d in range(EMB_DIM)] for b in range(DEDUP_LSH_BITS_XWIDE)
 ]
-DEDUP_PLANES = [r[:] for r in DEDUP_PLANES_WIDE[:DEDUP_LSH_BITS]]
+DEDUP_PLANES_WIDE = [r[:] for r in DEDUP_PLANES_XWIDE[:DEDUP_LSH_BITS_WIDE]]
+DEDUP_PLANES = [r[:] for r in DEDUP_PLANES_XWIDE[:DEDUP_LSH_BITS]]
 # ADAPTIVE BAND WIDTH (the round-11 production knob the round-10 cap
 # pointed at): the 4x8-bit narrow family holds at most 1,024 buckets
 # REGARDLESS of corpus size, so once n >> buckets the candidate pair
@@ -418,6 +421,18 @@ DEDUP_PLANES = [r[:] for r in DEDUP_PLANES_WIDE[:DEDUP_LSH_BITS]]
 # DuckDB oracle, which branches on the same COUNT(*) — both engines
 # always pick the same family because they count the same table.
 EMB_WIDE_CUTOFF = 50_000
+# Third family step (the round-11 residual): the wide family's 65,536
+# buckets per band saturate one decade later — at n = 5M the expected
+# bucket holds ~76 vectors and in-bucket pair mass is back to ~1e9,
+# so the cap would start spending recall again exactly as it did at
+# step one.  Past this cutoff the family moves to 96 planes / 4x24-bit
+# bands: 16.7M buckets per band, expected bucket size back to O(1) up
+# to ~1e9 vectors per corpus partition (beyond that, shard the corpus
+# — a 100 TB deployment partitions the band join by corpus shard
+# anyway).  Collision law at 24 bits: P(band)=(1-θ/π)^24 ≈ 0.78 per
+# band at cosine 0.99 (≥1-of-4: ~0.998) — true near-duplicates keep
+# colliding; the moderate-similarity mass stops.
+EMB_XWIDE_CUTOFF = 5_000_000
 # Per-(band, value) bucket-size cap for the band SELF-join — the
 # second, defense-in-depth guard behind the adaptive width: even the
 # wide keyspace can saturate (n ~ tens of millions on one partition's
@@ -448,31 +463,41 @@ _BANDED_EMB_MEMO: dict[tuple[str, str], tuple[int, DataFrame, DataFrame]] = {}
 _PLANES_BY_BITS = {
     DEDUP_LSH_BITS: DEDUP_PLANES,
     DEDUP_LSH_BITS_WIDE: DEDUP_PLANES_WIDE,
+    DEDUP_LSH_BITS_XWIDE: DEDUP_PLANES_XWIDE,
 }
 
 
 def _dedup_band_family(n_vectors: int) -> list[list[float]]:
     """Plane set for a corpus of ``n_vectors``: the 32-plane/4x8-bit
     narrow family up to ``EMB_WIDE_CUTOFF``, the 64-plane/4x16-bit wide
-    family beyond it (see the cutoff's rationale at its definition).
-    Pure function of the count so tests and the oracle SQL generator
-    agree with the Spark path by construction."""
-    return DEDUP_PLANES if n_vectors <= EMB_WIDE_CUTOFF else DEDUP_PLANES_WIDE
+    family up to ``EMB_XWIDE_CUTOFF``, the 96-plane/4x24-bit extra-wide
+    family beyond that (rationale at each cutoff's definition).  Pure
+    function of the count so tests and the oracle SQL generator agree
+    with the Spark path by construction."""
+    if n_vectors <= EMB_WIDE_CUTOFF:
+        return DEDUP_PLANES
+    if n_vectors <= EMB_XWIDE_CUTOFF:
+        return DEDUP_PLANES_WIDE
+    return DEDUP_PLANES_XWIDE
 
 
 def _cap_buckets(bands: DataFrame) -> DataFrame:
     """Drop band buckets larger than ``EMB_BUCKET_CAP`` (rationale at
-    the cap's definition).  The bucket census is bounded by the band
-    KEY SPACE, not the corpus — <= 1,024 rows narrow, <= 262,144 wide
-    — so its broadcast hint is always safe, and the filter costs one
-    hash aggregate over the band frame plus a map-side semi join."""
-    kept = F.broadcast(
+    the cap's definition).  The filter broadcasts the OVER-cap bucket
+    list and anti-joins it: the over-cap census is bounded by
+    total_band_rows / cap (a few thousand rows even at 5M+ vectors),
+    so the broadcast stays safe at EVERY family width — the previous
+    keep-list semi join was bounded by the band KEY SPACE, which the
+    4x24-bit family blows past 67M (not broadcastable).  Costs one
+    hash aggregate over the band frame plus a map-side anti join;
+    result set identical (a row survives iff its bucket is <= cap)."""
+    over = F.broadcast(
         bands.groupBy("band_idx", "band_val")
         .agg(F.count("*").alias("bucket_n"))
-        .filter(F.col("bucket_n") <= EMB_BUCKET_CAP)
+        .filter(F.col("bucket_n") > EMB_BUCKET_CAP)
         .select("band_idx", "band_val")
     )
-    return bands.join(kept, ["band_idx", "band_val"])
+    return bands.join(over, ["band_idx", "band_val"], "left_anti")
 
 
 def _banded_emb(spark: SparkSession, sf_dir: str):
@@ -658,8 +683,10 @@ def _band_cte_sql(pair_pred: str) -> str:
     for k in range(DEDUP_LSH_BANDS):
         narrow = band_expr(DEDUP_PLANES, DEDUP_LSH_BANDS, k)
         wide = band_expr(DEDUP_PLANES_WIDE, DEDUP_LSH_BANDS, k)
+        xwide = band_expr(DEDUP_PLANES_XWIDE, DEDUP_LSH_BANDS, k)
         band_exprs.append(
-            f"CASE WHEN (SELECT wide FROM fam) THEN {wide}"
+            f"CASE WHEN (SELECT xwide FROM fam) THEN {xwide}"
+            f" WHEN (SELECT wide FROM fam) THEN {wide}"
             f" ELSE {narrow} END AS band_{k}"
         )
     band_cols = ", ".join(band_exprs)
@@ -671,7 +698,8 @@ def _band_cte_sql(pair_pred: str) -> str:
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
 fam AS (
-  SELECT COUNT(*) > {EMB_WIDE_CUTOFF} AS wide FROM e
+  SELECT COUNT(*) > {EMB_WIDE_CUTOFF} AS wide,
+         COUNT(*) > {EMB_XWIDE_CUTOFF} AS xwide FROM e
 ),
 sigs AS (
   SELECT vec_id, {band_cols} FROM e

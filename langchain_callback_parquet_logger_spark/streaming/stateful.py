@@ -142,9 +142,10 @@ FROM flagged GROUP BY user_id
 # rollup (ORACLE_STREAM_USER_STATS below).
 #
 # Runtime gate: the transformWithState driver worker imports
-# google.protobuf, which this container does not ship, so the operator is
-# exercised by an import-gated test (tests/test_streaming.py) rather than
-# the graded query set — see _has_transform_with_state_runtime().
+# google.protobuf, which this container does not ship (re-probed at
+# round-12 open, 2026-08-16: still absent), so the operator is
+# exercised by an import-gated test (tests/test_streaming.py) rather
+# than the graded query set — see _has_transform_with_state_runtime().
 # ---------------------------------------------------------------------------
 
 USER_STATS_SCHEMA = "user_id bigint, n_events bigint, total_value double"

@@ -193,6 +193,56 @@ def test_simhash_wide_family_matches_oracle(spark, sf_dir, monkeypatch):
     assert opairs == pairs
 
 
+def test_simhash_xwide_family_matches_oracle(spark, sf_dir, monkeypatch):
+    """Cross-engine + recall contract for the EXTRA-WIDE simhash banding
+    (combined sub-band pairs — 15 bands of 20-bit keys over the same
+    60-bit fingerprint): with both cutoffs forced below the fixture's
+    500 docs, the banded pair set must equal BOTH the oracle's and the
+    brute-force hamming <= t set (the pigeonhole argument for pairs:
+    <= 3 dirty sub-bands leave >= 3 clean ones, hence >= 1 clean pair)."""
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.plans import session as sess
+
+    monkeypatch.setattr(D, "SIMHASH_WIDE_CUTOFF", 10)
+    monkeypatch.setattr(D, "SIMHASH_XWIDE_CUTOFF", 20)
+    sess.release_caches()
+    try:
+        pairs = sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in D.q_simhash_pairs(spark, sf_dir).collect()
+        )
+        fp = D.simhash(
+            D.load_table(spark, sf_dir, "documents"), D.SIMHASH_BITS_WIDE
+        )
+        a, b = fp.alias("a"), fp.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        brute = sorted(
+            (r.doc_a, r.doc_b, r.h)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("h"),
+            )
+            .filter(F.col("h") <= D.HAMMING_THRESHOLD)
+            .collect()
+        )
+    finally:
+        sess.release_caches()
+    assert pairs == brute
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    opairs = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(D._oracle_simhash_pairs()).fetchall()
+    )
+    assert opairs == pairs
+
+
 def test_diversity_sample_wide_family_matches_oracle(spark, sf_dir, monkeypatch):
     """q_diversity_sample buckets on the TOP bits of the ADAPTIVE
     fingerprint: with the cutoff forced below the fixture size, both
@@ -1520,13 +1570,17 @@ def test_emb_bucket_cap_clears_graded_fixtures(spark, sf_dir):
 
 
 def test_dedup_band_family_cutoff():
-    """The adaptive choice is a pure function of the corpus count, the
-    cutoff is inclusive on the narrow side, and the narrow family is the
-    32-plane prefix of the wide draw (same md5 plane stream)."""
+    """The adaptive choice is a pure function of the corpus count, each
+    cutoff is inclusive on its narrower side, and every narrower family
+    is a prefix of the widest draw (same md5 plane stream)."""
     assert S._dedup_band_family(S.EMB_WIDE_CUTOFF) is S.DEDUP_PLANES
     assert S._dedup_band_family(S.EMB_WIDE_CUTOFF + 1) is S.DEDUP_PLANES_WIDE
+    assert S._dedup_band_family(S.EMB_XWIDE_CUTOFF) is S.DEDUP_PLANES_WIDE
+    assert S._dedup_band_family(S.EMB_XWIDE_CUTOFF + 1) is S.DEDUP_PLANES_XWIDE
     assert len(S.DEDUP_PLANES) == 32 and len(S.DEDUP_PLANES_WIDE) == 64
-    assert S.DEDUP_PLANES == [r[:] for r in S.DEDUP_PLANES_WIDE[:32]]
+    assert len(S.DEDUP_PLANES_XWIDE) == 96
+    assert S.DEDUP_PLANES == [r[:] for r in S.DEDUP_PLANES_XWIDE[:32]]
+    assert S.DEDUP_PLANES_WIDE == [r[:] for r in S.DEDUP_PLANES_XWIDE[:64]]
 
 
 def test_adaptive_wide_band_path_matches_oracle(spark, sf_dir, monkeypatch):
@@ -1553,6 +1607,43 @@ def test_adaptive_wide_band_path_matches_oracle(spark, sf_dir, monkeypatch):
     finally:
         sess.release_caches()  # the wide-family memo must not leak out
     assert max_val > 255
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(S._oracle_embedding_dedup()).fetchall()
+    )
+    assert got == want
+
+
+def test_adaptive_xwide_band_path_matches_oracle(spark, sf_dir, monkeypatch):
+    """Cross-engine contract for the EXTRA-WIDE family (96 planes,
+    4x24-bit bands): with both cutoffs forced below the fixture's 500
+    vectors, Spark's count-driven branch and the oracle's three-way
+    COUNT(*) CASE must agree on the result — the branch a >5M-vector
+    corpus partition lives on."""
+    import duckdb
+
+    from langchain_callback_parquet_logger_spark.plans import session as sess
+
+    sess.release_caches()  # a narrower-family memo must not leak in
+    monkeypatch.setattr(S, "EMB_WIDE_CUTOFF", 5)
+    monkeypatch.setattr(S, "EMB_XWIDE_CUTOFF", 10)
+    try:
+        got = sorted(
+            (r.vec_a, r.vec_b, r.sim)
+            for r in S.q_embedding_dedup(spark, sf_dir).collect()
+        )
+        # the xwide branch actually engaged: 24-bit band values exist
+        # above the 16-bit wide space (memo hit — no rebuild)
+        _, capped = S._banded_emb(spark, sf_dir)
+        max_val = capped.agg(F.max("band_val")).first()[0]
+    finally:
+        sess.release_caches()  # the xwide-family memo must not leak out
+    assert max_val > 65535
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS "

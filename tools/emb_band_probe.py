@@ -40,22 +40,44 @@ BASE = "/root/testdata/sf0.1"
 REPLICAS = {1: BASE, 10: "/tmp/sfbig_x10", 100: "/tmp/sfbig_x100"}
 
 
-def _measure(spark, sf_dir: str) -> dict:
-    """Candidate count + dedup wall time for the CURRENT family config."""
+_FAMILY_NAMES = {
+    S.DEDUP_LSH_BITS: "narrow",
+    S.DEDUP_LSH_BITS_WIDE: "wide",
+    S.DEDUP_LSH_BITS_XWIDE: "xwide",
+}
+
+# (EMB_WIDE_CUTOFF, EMB_XWIDE_CUTOFF) overrides that pin each family
+# regardless of corpus size — the A/B lever for the probe.
+_FORCE = {
+    "adaptive": None,
+    "narrow": (1 << 62, 1 << 62),
+    "wide": (1, 1 << 62),
+    "xwide": (1, 1),
+}
+
+
+def _measure(spark, sf_dir: str, force: str = "adaptive") -> dict:
+    """Candidate count + dedup wall time for the given family config."""
     sess.release_caches()  # never reuse a frame banded under another config
-    t0 = time.time()
-    emb, capped = S._banded_emb(spark, sf_dir)
-    n_vec = emb.count()
-    wide = len(S._dedup_band_family(n_vec)) == S.DEDUP_LSH_BITS_WIDE
-    cand = S._lsh_candidate_pairs(capped, symmetric=False).count()
-    t_cand = time.time() - t0
-    t1 = time.time()
-    n_pairs = S.q_embedding_dedup(spark, sf_dir).count()
-    t_dedup = time.time() - t1
-    sess.release_caches()
+    orig = (S.EMB_WIDE_CUTOFF, S.EMB_XWIDE_CUTOFF)
+    if _FORCE[force] is not None:
+        S.EMB_WIDE_CUTOFF, S.EMB_XWIDE_CUTOFF = _FORCE[force]
+    try:
+        t0 = time.time()
+        emb, capped = S._banded_emb(spark, sf_dir)
+        n_vec = emb.count()
+        fam = _FAMILY_NAMES[len(S._dedup_band_family(n_vec))]
+        cand = S._lsh_candidate_pairs(capped, symmetric=False).count()
+        t_cand = time.time() - t0
+        t1 = time.time()
+        n_pairs = S.q_embedding_dedup(spark, sf_dir).count()
+        t_dedup = time.time() - t1
+    finally:
+        S.EMB_WIDE_CUTOFF, S.EMB_XWIDE_CUTOFF = orig
+        sess.release_caches()
     return {
         "n_vectors": n_vec,
-        "family": "wide" if wide else "narrow",
+        "family": fam,
         "candidates": cand,
         "t_candidates_s": round(t_cand, 2),
         "dedup_pairs": n_pairs,
@@ -75,13 +97,15 @@ def main() -> None:
     for k, path in sorted(REPLICAS.items()):
         row: dict[str, dict] = {}
         row["adaptive"] = _measure(spark, path)
-        # force the narrow family regardless of corpus size for the A/B
-        orig = S.EMB_WIDE_CUTOFF
-        S.EMB_WIDE_CUTOFF = 1 << 62
-        try:
-            row["narrow_forced"] = _measure(spark, path)
-        finally:
-            S.EMB_WIDE_CUTOFF = orig
+        row["narrow_forced"] = _measure(spark, path, force="narrow")
+        if k == max(REPLICAS):
+            # Second-cutoff A/B at the largest replica corpus: wide vs
+            # xwide at the SAME n isolates the 16-bit -> 24-bit step the
+            # way narrow_forced isolates the first one.  (A true >5M
+            # corpus is out of local reach; the family mechanics and the
+            # candidate-mass ratio are what this measures.)
+            row["wide_forced"] = _measure(spark, path, force="wide")
+            row["xwide_forced"] = _measure(spark, path, force="xwide")
         out[f"K={k}"] = row
         print(json.dumps({f"K={k}": row}), flush=True)
     print(json.dumps({"emb_band_probe": out}))
