@@ -107,6 +107,11 @@ _PRIORITY = [
     "q_cross_source_dupes",
     "q_incremental_dedup",
     "q_index_incremental_dedup",
+    # kmeans_assign consumers: the hoisted per-centroid |c|² (found when
+    # the sf1 audit caught q_semdedup's 2e9-pair interpreted assignment
+    # serializing on one unspread task) changes their plan at every SF
+    "q_kmeans_ivf",
+    "q_centroid_confusion",
     # -- round-8 freshness cohort (all 11 remaining r8 entries) --
     "q_lang_id",
     "q_multimodal_features",
@@ -145,11 +150,10 @@ _PRIORITY = [
     "q_dedup_keep_last",
     "q_doc_fingerprint",
     "q_embedding_quantize",
-    "q_event_pivot",
-    "q_event_runs",
 ]
 # Left at round-9 freshness for the round-13 rotation (the remaining
-# 4/5-record round-9 set: q_funnel, q_hash_sample, q_hierarchy_join,
+# 4/5-record round-9 set: q_event_pivot, q_event_runs, q_funnel,
+# q_hash_sample, q_hierarchy_join,
 # q_knn_ivf, q_knn_per_label, q_lang_rollup, q_mixture_sample,
 # q_multimodal_framesample, q_multimodal_meta, q_percentiles,
 # q_pricing_summary, q_priority_class, q_priority_rollup,

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.session import load_table
+from ..plans.session import load_table, spread
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -77,7 +77,7 @@ def knn_bruteforce(
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
     others = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
     return knn_bruteforce(others, query)
@@ -103,7 +103,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style: search only the query's coarse cluster (label). The
     cluster filter lands on the scan as a pushed predicate — at scale, with
     the table partitioned by cluster id, it prunes partitions entirely."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         _as_double(F.col("embedding")).alias("q_emb"),
         F.col("label").alias("q_label"),
@@ -143,7 +143,7 @@ def embedding_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive a 100× scale-up; the production path is :func:`q_embedding_dedup`
     (LSH-banded candidates + exact re-rank). Kept because an exact small-SF
     baseline is how the LSH path's recall is measured in tests."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
     emb = emb.withColumn("nrm", norm(F.col("emb")))
@@ -170,7 +170,7 @@ def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     for batched query sets."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
     centroids = emb.groupBy(F.col("label").alias("a_label")).agg(
@@ -314,7 +314,7 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = TOP_K) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     return knn_lsh(emb, QUERY_VEC_ID)
@@ -794,7 +794,7 @@ def quantize_error(emb: Column) -> Column:
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "label", _as_double(F.col("embedding")).alias("emb")
     )
     return (
@@ -878,10 +878,19 @@ def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     the d-dim embedding through a K×n-row sort shuffle — at K=50k
     (SemDeDup-scale cluster counts) that is the difference between a
     gigabyte and a petabyte of shuffle."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    # |c|² is a per-CENTROID constant: hoist it onto the K-row broadcast
+    # frame instead of recomputing the 64-term fold per (vector, centroid)
+    # pair — at K=4,000 (q_semdedup sf1) that halves the dominant
+    # interpreted-HOF flops.  Same float value either way (identical
+    # expression over identical inputs), so the argmin — and the oracle
+    # match — is unchanged.
+    cents = F.broadcast(
+        centroids.withColumn("c_sq", dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    scored = emb.crossJoin(cents).select(
         "vec_id",
         "cid",
-        _centroid_score(F.col("emb"), F.col("c_emb")).alias("score"),
+        (F.col("c_sq") - 2.0 * dot(F.col("emb"), F.col("c_emb"))).alias("score"),
     )
     best = (
         scored.groupBy("vec_id")
@@ -914,7 +923,7 @@ def kmeans_fit(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> 
 
 
 def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     centroids = kmeans_fit(emb)
@@ -1060,7 +1069,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many lower-id near-dups it matched, and the strongest cosine."""
     from ..plans.session import cache_tracked
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     k = max(KMEANS_K, emb.count() // SEMDEDUP_TARGET_CLUSTER)
@@ -1158,7 +1167,7 @@ PQ_CODEBOOK = [
 
 
 def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "label", _as_double(F.col("embedding")).alias("emb")
     )
     sub_errs = []
@@ -1567,7 +1576,7 @@ FROM pp
 def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-vs-centroid confusion matrix with per-cluster majority flag
     and integer-ppm purity, over the deterministic k-means fit."""
-    emb_tbl = load_table(spark, sf_dir, "embeddings")
+    emb_tbl = spread(load_table(spark, sf_dir, "embeddings"))
     emb = emb_tbl.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
     centroids = kmeans_fit(emb)
     assigned = kmeans_assign(emb, centroids).select("vec_id", "cid")
