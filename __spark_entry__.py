@@ -173,10 +173,19 @@ _PRIORITY = [
 _PENDING_CERTIFICATION: dict[str, int] = {
     # All three round-11 entries (q_index_ann, q_repetition_ratio,
     # q_simhash) retired by rotation into the front of the round-12
-    # grading window above.  No new entries: every query whose plan or
-    # oracle changed in round 12 (the xwide band-family step, the
-    # over-cap anti-join census, the q_diversity_sample adaptive-shift
-    # fix) is IN the round-12 window.
+    # grading window above.  Every query whose plan or oracle changed in
+    # round 12 (the xwide band-family step, the over-cap anti-join
+    # census, the q_diversity_sample adaptive-shift fix, the codegen
+    # dot-kernel expansion, the spread() additions) is IN the round-12
+    # window EXCEPT the four kNN queries below, whose plans changed
+    # late-round (spread + expanded dot kernel — float-identical
+    # left-to-right sums, verified oracle-identical at sf0.01/sf0.1
+    # in-round and at sf1 in ORACLE_SF1_r12.txt) after the 50 slots
+    # filled with staler debt:
+    "q_knn_bruteforce": 13,
+    "q_knn_ivf": 13,
+    "q_knn_lsh": 13,
+    "q_knn_per_label": 13,
 }
 
 

@@ -137,6 +137,7 @@ def _ann_frames(
 ) -> tuple[DataFrame, DataFrame]:
     from .similarity import (
         DEDUP_LSH_BANDS,
+        EMB_DIM,
         _as_double,
         _band_cols,
         norm,
@@ -150,7 +151,7 @@ def _ann_frames(
     emb = cache_tracked(
         vecs.select(
             "vec_id", _as_double(F.col("embedding")).alias("emb")
-        ).withColumn("nrm", norm(F.col("emb")))
+        ).withColumn("nrm", norm(F.col("emb"), EMB_DIM))
     )
     bands = emb.select(
         "vec_id",
@@ -246,7 +247,7 @@ def knn_against_index(
     killed the embedding family at the round-11 sf1 audit."""
     from pyspark.sql import Window as W
 
-    from .similarity import _cap_buckets, dot
+    from .similarity import EMB_DIM, _cap_buckets, dot
 
     planes = _read_ann_planes(spark, index_dir)
     emb_dir = os.path.join(index_dir, ANN_EMB_SUBDIR)
@@ -276,7 +277,7 @@ def knn_against_index(
         F.col("emb").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    sim = dot(F.col("emb_a"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b"))
     scored = (
         probe_bands.join(corpus_bands, ["band_idx", "band_val"])
         .filter(F.col("query_id") != F.col("nb_id"))

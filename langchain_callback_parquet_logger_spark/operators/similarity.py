@@ -38,20 +38,38 @@ def _as_double(arr: Column) -> Column:
     return arr.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def dot(a: Column, b: Column, d: int | None = None) -> Column:
+    """Dot product over array<double> columns.
+
+    With ``d`` — the STATIC array width, which every embedding column has
+    (EMB_DIM) and every fixed prefix slice has — the fold is expanded
+    into a flat left-to-right sum of GetArrayItem products that
+    whole-stage codegen compiles. Without it, falls back to the
+    zip_with+aggregate fold, which Spark evaluates INTERPRETED
+    (higher-order functions are CodegenFallback): the round-12 sf1 audit
+    measured that interpreted fold as the dominant CPU of every
+    kmeans/kNN/re-rank plan (a single q_semdedup assignment pass =
+    2e9 folds). The expansion keeps the fold's exact float semantics —
+    same 0.0 seed, strictly left-to-right addition — so results are
+    bit-identical to the fold and to DuckDB's list_dot_product."""
+    if d is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    out: Column = F.lit(0.0)
+    for i in range(d):
+        out = out + a[i] * b[i]
+    return out
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, d: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, d))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, d: int | None = None) -> Column:
+    return dot(a, b, d) / (norm(a, d) * norm(b, d))
 
 
 _COSINE_SQL = (
@@ -67,7 +85,7 @@ def knn_bruteforce(
     ORDER BY + LIMIT compiles to TakeOrderedAndProject — per-partition
     heaps then a single driver merge, no global sort shuffle."""
     q = query.select(_as_double(F.col("embedding")).alias("q_emb"))
-    sim = cosine(_as_double(F.col("embedding")), F.col("q_emb"))
+    sim = cosine(_as_double(F.col("embedding")), F.col("q_emb"), EMB_DIM)
     return (
         embeddings.crossJoin(F.broadcast(q))
         .select("vec_id", F.round(sim, 6).alias("sim"))
@@ -108,7 +126,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _as_double(F.col("embedding")).alias("q_emb"),
         F.col("label").alias("q_label"),
     )
-    sim = cosine(_as_double(F.col("embedding")), F.col("q_emb"))
+    sim = cosine(_as_double(F.col("embedding")), F.col("q_emb"), EMB_DIM)
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(query), F.col("label") == F.col("q_label"))
@@ -146,9 +164,9 @@ def embedding_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
-    emb = emb.withColumn("nrm", norm(F.col("emb")))
+    emb = emb.withColumn("nrm", norm(F.col("emb"), EMB_DIM))
     a, b = emb.alias("a"), emb.alias("b")
-    sim = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
+    sim = dot(F.col("a.emb"), F.col("b.emb"), EMB_DIM) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
@@ -179,7 +197,7 @@ def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = emb.join(
         centroids, (emb.vec_id == centroids.anchor_id)
     ).select("a_label", F.col("emb").alias("a_emb"), "anchor_id")
-    sim = cosine(F.col("emb"), F.col("a_emb"))
+    sim = cosine(F.col("emb"), F.col("a_emb"), EMB_DIM)
     scored = (
         emb.join(F.broadcast(anchors), F.col("label") == F.col("a_label"))
         .filter(F.col("vec_id") != F.col("anchor_id"))
@@ -265,6 +283,13 @@ def _band_cols(
     planes = PLANES if planes is None else planes
     n_bands = LSH_BANDS if n_bands is None else n_bands
     band_bits = len(planes) // n_bands
+    # Plane dots stay on the interpreted FOLD deliberately: a signature
+    # projection evaluates len(planes) dots per row (96 at the xwide
+    # family), and expanding all of them inflates the generated method
+    # past Janino's 64 KB limit (measured: the xwide cross-engine test
+    # fails to compile with expanded dots).  Signatures are one linear
+    # pass per corpus — the expansion belongs in the PAIR kernels, which
+    # evaluate per candidate pair, not per vector.
     bits = [
         F.when(dot(emb, F.array(*[F.lit(c) for c in planes[b]])) >= 0, 1).otherwise(0)
         for b in range(len(planes))
@@ -303,7 +328,7 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = TOP_K) -> DataFrame:
     q_emb = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("emb").alias("q_emb")
     )
-    sim = cosine(F.col("emb"), F.col("q_emb"))
+    sim = cosine(F.col("emb"), F.col("q_emb"), EMB_DIM)
     return (
         candidates.join(emb, "vec_id")
         .crossJoin(F.broadcast(q_emb))
@@ -538,7 +563,7 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
     emb = cache_tracked(
         spread(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
-        .withColumn("nrm", norm(F.col("emb")))
+        .withColumn("nrm", norm(F.col("emb"), EMB_DIM))
     )
     planes = _dedup_band_family(emb.count())
     # The cached band frame carries each vector's payload (emb, nrm) ON
@@ -743,7 +768,7 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation in tests). Both cached frames are registered for
     release_caches() — harnesses release after the consuming action."""
     _, bands = _banded_emb(spark, sf_dir)
-    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    sim = dot(F.col("emb_a"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         _lsh_scored_pairs(bands, symmetric=False)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
@@ -861,7 +886,7 @@ IVF_PROBES = 2
 
 def _centroid_score(emb_col: Column, c_col: Column) -> Column:
     """argmin key: |c|² − 2·x·c (monotone in squared distance per row)."""
-    return dot(c_col, c_col) - 2.0 * dot(emb_col, c_col)
+    return dot(c_col, c_col, EMB_DIM) - 2.0 * dot(emb_col, c_col, EMB_DIM)
 
 
 def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -885,12 +910,12 @@ def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     # expression over identical inputs), so the argmin — and the oracle
     # match — is unchanged.
     cents = F.broadcast(
-        centroids.withColumn("c_sq", dot(F.col("c_emb"), F.col("c_emb")))
+        centroids.withColumn("c_sq", dot(F.col("c_emb"), F.col("c_emb"), EMB_DIM))
     )
     scored = emb.crossJoin(cents).select(
         "vec_id",
         "cid",
-        (F.col("c_sq") - 2.0 * dot(F.col("emb"), F.col("c_emb"))).alias("score"),
+        (F.col("c_sq") - 2.0 * dot(F.col("emb"), F.col("c_emb"), EMB_DIM)).alias("score"),
     )
     best = (
         scored.groupBy("vec_id")
@@ -945,7 +970,7 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("q_emb")
     )
-    sim = cosine(F.col("emb"), F.col("q_emb"))
+    sim = cosine(F.col("emb"), F.col("q_emb"), EMB_DIM)
     return (
         assigned.join(F.broadcast(probes), "cid", "left_semi")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -1081,7 +1106,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for release_caches().
     assigned = cache_tracked(
         kmeans_assign(emb, kmeans_fit(emb, k=k)).withColumn(
-            "nrm", norm(F.col("emb"))
+            "nrm", norm(F.col("emb"), EMB_DIM)
         )
     )
     a = assigned.select(
@@ -1097,7 +1122,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
     )
     sim = F.round(
-        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+        dot(F.col("emb_a"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b")), 6
     )
     pairs = (
         a.join(b, "cid")
@@ -1174,18 +1199,16 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = []
     for s in range(PQ_SUBSPACES):
         sub = F.slice(F.col("emb"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(v) for v in PQ_CODEBOOK[s][c]]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in range(PQ_CODEWORDS)
-        ]
+        # flat left-to-right sum of squared diffs — codegen-able (see
+        # dot()'s rationale), float-identical to the fold it replaces
+        def _sqdist(sub_col, cw):
+            out = F.lit(0.0)
+            for d_i in range(PQ_SUBDIM):
+                t = sub_col[d_i] - F.lit(cw[d_i])
+                out = out + t * t
+            return out
+
+        dists = [_sqdist(sub, PQ_CODEBOOK[s][c]) for c in range(PQ_CODEWORDS)]
         sub_errs.append(F.least(*dists))
         # argmin codeword; ties break to the smallest index (struct
         # ordering compares dist first, then c) — mirrored by the oracle's
@@ -1290,7 +1313,7 @@ ANN_JOIN_K = 3
 
 def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, bands = _banded_emb(spark, sf_dir)
-    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    sim = dot(F.col("emb_a"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b"))
     # Rank on a 1e-6 fixed-point BIGINT (not the rounded double): a ≤1-ulp
     # sqrt/dot divergence between the JVM and DuckDB's libm near a 0.5e-6
     # rounding boundary could otherwise flip the top-K cutoff cross-engine
@@ -1371,12 +1394,12 @@ def q_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (_lsh_scored_pairs) and deduped on the scored row — deterministic
     # fixed-fold expressions, so a pair reached through two shared bands
     # yields bit-identical rows and the distinct keeps exactly one.
-    full = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    full = dot(F.col("emb_a"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b"))
     dcols = []
     for p in MRL_PREFIXES:
         sa = F.slice(F.col("emb_a"), 1, p)
         sb = F.slice(F.col("emb_b"), 1, p)
-        simp = dot(sa, sb) / (norm(sa) * norm(sb))
+        simp = dot(sa, sb, p) / (norm(sa, p) * norm(sb, p))
         dcols.append(
             F.round(F.abs(simp - full) * F.lit(1e6)).cast("bigint").alias(f"d{p}")
         )
@@ -1477,7 +1500,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    sim = dot(F.col("emb_p"), F.col("emb_b")) / (F.col("nrm_p") * F.col("nrm_b"))
+    sim = dot(F.col("emb_p"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_p") * F.col("nrm_b"))
     scored = (
         probes.join(corpus, F.col("probe_id") != F.col("nb_id"))
         .select(
