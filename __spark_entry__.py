@@ -171,17 +171,17 @@ _PRIORITY = [
 # tripwire fired the moment round 7's own grade arrived — record the
 # NEXT round's number, which is when the rotation can actually happen.)
 _PENDING_CERTIFICATION: dict[str, int] = {
-    # All three round-11 entries (q_index_ann, q_repetition_ratio,
-    # q_simhash) retired by rotation into the front of the round-12
-    # grading window above.  Every query whose plan or oracle changed in
-    # round 12 (the xwide band-family step, the over-cap anti-join
-    # census, the q_diversity_sample adaptive-shift fix, the codegen
-    # dot-kernel expansion, the spread() additions) is IN the round-12
-    # window EXCEPT the four kNN queries below, whose plans changed
-    # late-round (spread + expanded dot kernel — float-identical
-    # left-to-right sums, verified oracle-identical at sf0.01/sf0.1
-    # in-round and at sf1 in ORACLE_SF1_r12.txt) after the 50 slots
-    # filled with staler debt:
+    # Carried from round 12 and STILL pending: the four kNN queries'
+    # plans changed again in round 13 (the round-12 flat dot kernel was
+    # reverted to the fold after the measured A/B in
+    # DOTKERNEL_AB_r13.json showed it 1.1-4.1x slower — its generated
+    # methods exceed HotSpot's 8 KB JIT limit — and per-row norms are now
+    # hoisted out of the per-pair cosine; float values are bit-identical
+    # either way).  Round 12's entry cited an sf1 verification artifact
+    # (ORACLE_SF1_r12.txt) that was never committed — that citation was
+    # wrong and is retracted; the round-13 sf1 evidence is committed as
+    # ORACLE_SF1_r13.txt and the in-round sf0.01 gate as
+    # ORACLE_FULL_r13.txt.
     "q_knn_bruteforce": 13,
     "q_knn_ivf": 13,
     "q_knn_lsh": 13,

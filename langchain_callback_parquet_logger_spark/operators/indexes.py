@@ -137,7 +137,6 @@ def _ann_frames(
 ) -> tuple[DataFrame, DataFrame]:
     from .similarity import (
         DEDUP_LSH_BANDS,
-        EMB_DIM,
         _as_double,
         _band_cols,
         norm,
@@ -151,7 +150,7 @@ def _ann_frames(
     emb = cache_tracked(
         vecs.select(
             "vec_id", _as_double(F.col("embedding")).alias("emb")
-        ).withColumn("nrm", norm(F.col("emb"), EMB_DIM))
+        ).withColumn("nrm", norm(F.col("emb")))
     )
     bands = emb.select(
         "vec_id",
@@ -186,6 +185,14 @@ def _read_ann_planes(spark: SparkSession, index_dir: str) -> list[list[float]]:
         # instead of hard-failing every append/serve against an old
         # index (round-11 advice).
         return DEDUP_PLANES
+    if bits not in _PLANES_BY_BITS:
+        raise ValueError(
+            f"unknown lsh_bits {bits!r} in {index_dir} ann_meta; known "
+            f"families: {sorted(_PLANES_BY_BITS)} — the index was built by "
+            "a newer/foreign family or the meta table is corrupt; rebuild "
+            "the index (materialize_ann_index) rather than serving with "
+            "mismatched planes"
+        )
     return _PLANES_BY_BITS[bits]
 
 
@@ -247,7 +254,7 @@ def knn_against_index(
     killed the embedding family at the round-11 sf1 audit."""
     from pyspark.sql import Window as W
 
-    from .similarity import EMB_DIM, _cap_buckets, dot
+    from .similarity import _cap_buckets, dot
 
     planes = _read_ann_planes(spark, index_dir)
     emb_dir = os.path.join(index_dir, ANN_EMB_SUBDIR)
@@ -277,7 +284,7 @@ def knn_against_index(
         F.col("emb").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    sim = dot(F.col("emb_a"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b"))
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     scored = (
         probe_bands.join(corpus_bands, ["band_idx", "band_val"])
         .filter(F.col("query_id") != F.col("nb_id"))

@@ -38,38 +38,40 @@ def _as_double(arr: Column) -> Column:
     return arr.cast("array<double>")
 
 
-def dot(a: Column, b: Column, d: int | None = None) -> Column:
-    """Dot product over array<double> columns.
+def dot(a: Column, b: Column) -> Column:
+    """Dot product over array<double> columns — deliberately the
+    zip_with+aggregate FOLD, not a flat per-index expansion.
 
-    With ``d`` — the STATIC array width, which every embedding column has
-    (EMB_DIM) and every fixed prefix slice has — the fold is expanded
-    into a flat left-to-right sum of GetArrayItem products that
-    whole-stage codegen compiles. Without it, falls back to the
-    zip_with+aggregate fold, which Spark evaluates INTERPRETED
-    (higher-order functions are CodegenFallback): the round-12 sf1 audit
-    measured that interpreted fold as the dominant CPU of every
-    kmeans/kNN/re-rank plan (a single q_semdedup assignment pass =
-    2e9 folds). The expansion keeps the fold's exact float semantics —
-    same 0.0 seed, strictly left-to-right addition — so results are
-    bit-identical to the fold and to DuckDB's list_dot_product."""
-    if d is None:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    out: Column = F.lit(0.0)
-    for i in range(d):
-        out = out + a[i] * b[i]
-    return out
+    Spark evaluates higher-order functions as interpreted CodegenFallback
+    expressions, which looks like the thing to optimize away — round 12
+    tried, expanding the fold into d chained GetArrayItem products so
+    whole-stage codegen would compile it. Measured result (committed as
+    DOTKERNEL_AB_r13.json, tools/dot_kernel_ab.py): ONE expanded 64-term
+    dot inside a join consume chain generates a 15-24 KB whole-stage
+    method; HotSpot refuses to JIT methods over 8,000 bytecode bytes
+    (-XX:DontCompileHugeMethods), so the ENTIRE stage — scan, join,
+    aggregate included — fell back to the JVM bytecode interpreter.
+    Compiled-stage-plus-interpreted-fold beats interpreted-everything at
+    every scale: the fold was 1.1-2.6x faster per consumer at sf0.1 and
+    sf1 in the A/B. The fix that actually pays is hoisting the per-ROW
+    norms out of the per-PAIR cosine (one fold per pair instead of
+    three) — see knn_bruteforce and _banded_emb.
 
-
-def norm(a: Column, d: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, d))
+    The fold sums all SHARED elements of the two arrays (prefix slices
+    included) — there is no static-width precondition to violate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
-def cosine(a: Column, b: Column, d: int | None = None) -> Column:
-    return dot(a, b, d) / (norm(a, d) * norm(b, d))
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 _COSINE_SQL = (
@@ -83,11 +85,24 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k: broadcast the query vector against every row. The
     ORDER BY + LIMIT compiles to TakeOrderedAndProject — per-partition
-    heaps then a single driver merge, no global sort shuffle."""
-    q = query.select(_as_double(F.col("embedding")).alias("q_emb"))
-    sim = cosine(_as_double(F.col("embedding")), F.col("q_emb"), EMB_DIM)
+    heaps then a single driver merge, no global sort shuffle.
+
+    Norms are hoisted to the join INPUTS: each side's |v| is one fold per
+    ROW in its own projection, so the post-join score is a single fold
+    per PAIR instead of the three a full cosine costs. Measured 17%
+    faster than cosine-per-pair at sf1 and the fastest of four kernel
+    variants tried (DOTKERNEL_AB_r13.json, fold-hoist row). Same float
+    expression tree — dot, sqrt, divide on identical inputs — so results
+    are bit-identical to the unhoisted cosine and the DuckDB oracle."""
+    q = query.select(_as_double(F.col("embedding")).alias("q_emb")).withColumn(
+        "q_nrm", norm(F.col("q_emb"))
+    )
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nrm", norm(F.col("emb")))
+    sim = dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm"))
     return (
-        embeddings.crossJoin(F.broadcast(q))
+        emb.crossJoin(F.broadcast(q))
         .select("vec_id", F.round(sim, 6).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -125,11 +140,14 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         _as_double(F.col("embedding")).alias("q_emb"),
         F.col("label").alias("q_label"),
-    )
-    sim = cosine(_as_double(F.col("embedding")), F.col("q_emb"), EMB_DIM)
+    ).withColumn("q_nrm", norm(F.col("q_emb")))
+    # per-row norm hoisted out of the per-pair cosine (see knn_bruteforce)
+    scan = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nrm", norm(F.col("emb")))
+    sim = dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm"))
     return (
-        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(query), F.col("label") == F.col("q_label"))
+        scan.join(F.broadcast(query), F.col("label") == F.col("q_label"))
         .select("vec_id", F.round(sim, 6).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
@@ -164,9 +182,9 @@ def embedding_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
-    emb = emb.withColumn("nrm", norm(F.col("emb"), EMB_DIM))
+    emb = emb.withColumn("nrm", norm(F.col("emb")))
     a, b = emb.alias("a"), emb.alias("b")
-    sim = dot(F.col("a.emb"), F.col("b.emb"), EMB_DIM) / (F.col("a.nrm") * F.col("b.nrm"))
+    sim = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
@@ -190,14 +208,17 @@ def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
-    )
+    ).withColumn("nrm", norm(F.col("emb")))
     centroids = emb.groupBy(F.col("label").alias("a_label")).agg(
         F.min("vec_id").alias("anchor_id")
     )
     anchors = emb.join(
         centroids, (emb.vec_id == centroids.anchor_id)
-    ).select("a_label", F.col("emb").alias("a_emb"), "anchor_id")
-    sim = cosine(F.col("emb"), F.col("a_emb"), EMB_DIM)
+    ).select(
+        "a_label", F.col("emb").alias("a_emb"), F.col("nrm").alias("a_nrm"), "anchor_id"
+    )
+    # per-row norm hoisted out of the per-pair cosine (see knn_bruteforce)
+    sim = dot(F.col("emb"), F.col("a_emb")) / (F.col("nrm") * F.col("a_nrm"))
     scored = (
         emb.join(F.broadcast(anchors), F.col("label") == F.col("a_label"))
         .filter(F.col("vec_id") != F.col("anchor_id"))
@@ -283,13 +304,6 @@ def _band_cols(
     planes = PLANES if planes is None else planes
     n_bands = LSH_BANDS if n_bands is None else n_bands
     band_bits = len(planes) // n_bands
-    # Plane dots stay on the interpreted FOLD deliberately: a signature
-    # projection evaluates len(planes) dots per row (96 at the xwide
-    # family), and expanding all of them inflates the generated method
-    # past Janino's 64 KB limit (measured: the xwide cross-engine test
-    # fails to compile with expanded dots).  Signatures are one linear
-    # pass per corpus — the expansion belongs in the PAIR kernels, which
-    # evaluate per candidate pair, not per vector.
     bits = [
         F.when(dot(emb, F.array(*[F.lit(c) for c in planes[b]])) >= 0, 1).otherwise(0)
         for b in range(len(planes))
@@ -327,10 +341,12 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = TOP_K) -> DataFrame:
     )
     q_emb = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("emb").alias("q_emb")
-    )
-    sim = cosine(F.col("emb"), F.col("q_emb"), EMB_DIM)
+    ).withColumn("q_nrm", norm(F.col("q_emb")))
+    # per-row norm hoisted out of the per-pair cosine (see knn_bruteforce)
+    corpus = emb.withColumn("nrm", norm(F.col("emb")))
+    sim = dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm"))
     return (
-        candidates.join(emb, "vec_id")
+        candidates.join(corpus, "vec_id")
         .crossJoin(F.broadcast(q_emb))
         .select("vec_id", F.round(sim, 6).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
@@ -563,7 +579,7 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
     emb = cache_tracked(
         spread(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
-        .withColumn("nrm", norm(F.col("emb"), EMB_DIM))
+        .withColumn("nrm", norm(F.col("emb")))
     )
     planes = _dedup_band_family(emb.count())
     # The cached band frame carries each vector's payload (emb, nrm) ON
@@ -768,7 +784,7 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation in tests). Both cached frames are registered for
     release_caches() — harnesses release after the consuming action."""
     _, bands = _banded_emb(spark, sf_dir)
-    sim = dot(F.col("emb_a"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b"))
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         _lsh_scored_pairs(bands, symmetric=False)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
@@ -886,7 +902,7 @@ IVF_PROBES = 2
 
 def _centroid_score(emb_col: Column, c_col: Column) -> Column:
     """argmin key: |c|² − 2·x·c (monotone in squared distance per row)."""
-    return dot(c_col, c_col, EMB_DIM) - 2.0 * dot(emb_col, c_col, EMB_DIM)
+    return dot(c_col, c_col) - 2.0 * dot(emb_col, c_col)
 
 
 def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -910,12 +926,12 @@ def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     # expression over identical inputs), so the argmin — and the oracle
     # match — is unchanged.
     cents = F.broadcast(
-        centroids.withColumn("c_sq", dot(F.col("c_emb"), F.col("c_emb"), EMB_DIM))
+        centroids.withColumn("c_sq", dot(F.col("c_emb"), F.col("c_emb")))
     )
     scored = emb.crossJoin(cents).select(
         "vec_id",
         "cid",
-        (F.col("c_sq") - 2.0 * dot(F.col("emb"), F.col("c_emb"), EMB_DIM)).alias("score"),
+        (F.col("c_sq") - 2.0 * dot(F.col("emb"), F.col("c_emb"))).alias("score"),
     )
     best = (
         scored.groupBy("vec_id")
@@ -969,10 +985,12 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_emb = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("q_emb")
-    )
-    sim = cosine(F.col("emb"), F.col("q_emb"), EMB_DIM)
+    ).withColumn("q_nrm", norm(F.col("q_emb")))
+    # per-row norm hoisted out of the per-pair cosine (see knn_bruteforce)
+    sim = dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm"))
     return (
-        assigned.join(F.broadcast(probes), "cid", "left_semi")
+        assigned.withColumn("nrm", norm(F.col("emb")))
+        .join(F.broadcast(probes), "cid", "left_semi")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q_emb))
         .select("vec_id", F.round(sim, 6).alias("sim"))
@@ -1106,7 +1124,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for release_caches().
     assigned = cache_tracked(
         kmeans_assign(emb, kmeans_fit(emb, k=k)).withColumn(
-            "nrm", norm(F.col("emb"), EMB_DIM)
+            "nrm", norm(F.col("emb"))
         )
     )
     a = assigned.select(
@@ -1122,7 +1140,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
     )
     sim = F.round(
-        dot(F.col("emb_a"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b")), 6
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
     )
     pairs = (
         a.join(b, "cid")
@@ -1199,16 +1217,18 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = []
     for s in range(PQ_SUBSPACES):
         sub = F.slice(F.col("emb"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        # flat left-to-right sum of squared diffs — codegen-able (see
-        # dot()'s rationale), float-identical to the fold it replaces
-        def _sqdist(sub_col, cw):
-            out = F.lit(0.0)
-            for d_i in range(PQ_SUBDIM):
-                t = sub_col[d_i] - F.lit(cw[d_i])
-                out = out + t * t
-            return out
-
-        dists = [_sqdist(sub, PQ_CODEBOOK[s][c]) for c in range(PQ_CODEWORDS)]
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(v) for v in PQ_CODEBOOK[s][c]]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(PQ_CODEWORDS)
+        ]
         sub_errs.append(F.least(*dists))
         # argmin codeword; ties break to the smallest index (struct
         # ordering compares dist first, then c) — mirrored by the oracle's
@@ -1313,7 +1333,7 @@ ANN_JOIN_K = 3
 
 def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, bands = _banded_emb(spark, sf_dir)
-    sim = dot(F.col("emb_a"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b"))
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     # Rank on a 1e-6 fixed-point BIGINT (not the rounded double): a ≤1-ulp
     # sqrt/dot divergence between the JVM and DuckDB's libm near a 0.5e-6
     # rounding boundary could otherwise flip the top-K cutoff cross-engine
@@ -1394,12 +1414,12 @@ def q_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (_lsh_scored_pairs) and deduped on the scored row — deterministic
     # fixed-fold expressions, so a pair reached through two shared bands
     # yields bit-identical rows and the distinct keeps exactly one.
-    full = dot(F.col("emb_a"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_a") * F.col("nrm_b"))
+    full = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     dcols = []
     for p in MRL_PREFIXES:
         sa = F.slice(F.col("emb_a"), 1, p)
         sb = F.slice(F.col("emb_b"), 1, p)
-        simp = dot(sa, sb, p) / (norm(sa, p) * norm(sb, p))
+        simp = dot(sa, sb) / (norm(sa) * norm(sb))
         dcols.append(
             F.round(F.abs(simp - full) * F.lit(1e6)).cast("bigint").alias(f"d{p}")
         )
@@ -1500,7 +1520,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    sim = dot(F.col("emb_p"), F.col("emb_b"), EMB_DIM) / (F.col("nrm_p") * F.col("nrm_b"))
+    sim = dot(F.col("emb_p"), F.col("emb_b")) / (F.col("nrm_p") * F.col("nrm_b"))
     scored = (
         probes.join(corpus, F.col("probe_id") != F.col("nb_id"))
         .select(

@@ -143,7 +143,7 @@ FROM flagged GROUP BY user_id
 #
 # Runtime gate: the transformWithState driver worker imports
 # google.protobuf, which this container does not ship (re-probed at
-# round-12 open, 2026-08-16: still absent), so the operator is
+# round-13 open, 2026-08-17: still absent), so the operator is
 # exercised by an import-gated test (tests/test_streaming.py) rather
 # than the graded query set — see _has_transform_with_state_runtime().
 # ---------------------------------------------------------------------------

@@ -230,6 +230,22 @@ def test_simhash_xwide_family_matches_oracle(spark, sf_dir, monkeypatch):
         )
     finally:
         sess.release_caches()
+    # Pin that the xwide construction actually ENGAGED (round-12 advice:
+    # without these the test can pass vacuously as wide-vs-wide if a
+    # refactor stops honoring the monkeypatched cutoff): the fixture has
+    # seeded near-dups, and the combined-pair band frame must emit
+    # len(SIMHASH_XWIDE_PAIRS)=15 band slots per doc, not the contiguous
+    # family's 4.
+    assert pairs, "fixture must produce at least one near-dup pair"
+    n_docs = D.load_table(spark, sf_dir, "documents").count()
+    assert n_docs > D.SIMHASH_XWIDE_CUTOFF  # the monkeypatched cutoff engaged
+    n_bands = (
+        fp.limit(1)
+        .select(F.size(D._simhash_band_arr(n_docs, D.SIMHASH_BITS_WIDE)).alias("n"))
+        .first()
+        .n
+    )
+    assert n_bands == len(D.SIMHASH_XWIDE_PAIRS) == 15
     assert pairs == brute
     con = duckdb.connect()
     con.execute(
