@@ -33,6 +33,24 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 DEDUP_COSINE_THRESHOLD = 0.45
 
+# spread() gate for the NON-BANDED embedding scans. Round 12 added the
+# default 256 KB-gated spread() to all of them wholesale; with the
+# fold+hoisted-norm kernel the per-row cost dropped enough that at the
+# graded SFs the exchange costs more than it buys — measured per consumer
+# in SPREADAB_r13.json: at sf0.1 (2k vectors, ~0.8 MB scan) nospread wins
+# 7 of 9 (q_kmeans_ivf 2.5 s vs 4.9 s, q_knn_bruteforce 0.6 s vs 1.4 s).
+# At sf1 (500k vectors, 131 MB) the question is MOOT: the scan already
+# arrives at defaultParallelism native splits
+# (spark.sql.files.minPartitionNum), so spread()'s partition-count gate
+# makes it a no-op there with either threshold — verified both arms
+# object-identical at sf1. The 8 MB floor therefore only removes the
+# exchange from small scans where it is measurable overhead; it cannot
+# lose parallelism at scale. The BANDED scans (_banded_emb, knn_lsh,
+# index build) keep the default gate — their per-row signature projection
+# (16-96 plane dots) is heavy enough that spread wins even at sf0.1
+# (q_knn_lsh 3.8 s vs 7.6 s).
+EMB_SPREAD_MIN_BYTES = 8 * 1024 * 1024
+
 
 def _as_double(arr: Column) -> Column:
     return arr.cast("array<double>")
@@ -110,7 +128,7 @@ def knn_bruteforce(
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES)
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
     others = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
     return knn_bruteforce(others, query)
@@ -136,7 +154,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style: search only the query's coarse cluster (label). The
     cluster filter lands on the scan as a pushed predicate — at scale, with
     the table partitioned by cluster id, it prunes partitions entirely."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    emb = spread(load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES)
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         _as_double(F.col("embedding")).alias("q_emb"),
         F.col("label").alias("q_label"),
@@ -206,7 +224,7 @@ def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     for batched query sets."""
     from pyspark.sql import Window as W
 
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    emb = spread(load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES).select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     ).withColumn("nrm", norm(F.col("emb")))
     centroids = emb.groupBy(F.col("label").alias("a_label")).agg(
@@ -835,7 +853,7 @@ def quantize_error(emb: Column) -> Column:
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    emb = spread(load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES).select(
         "label", _as_double(F.col("embedding")).alias("emb")
     )
     return (
@@ -964,7 +982,7 @@ def kmeans_fit(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> 
 
 
 def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    emb = spread(load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     centroids = kmeans_fit(emb)
@@ -1112,7 +1130,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many lower-id near-dups it matched, and the strongest cosine."""
     from ..plans.session import cache_tracked
 
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    emb = spread(load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     k = max(KMEANS_K, emb.count() // SEMDEDUP_TARGET_CLUSTER)
@@ -1619,7 +1637,7 @@ FROM pp
 def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-vs-centroid confusion matrix with per-cluster majority flag
     and integer-ppm purity, over the deterministic k-means fit."""
-    emb_tbl = spread(load_table(spark, sf_dir, "embeddings"))
+    emb_tbl = spread(load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES)
     emb = emb_tbl.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
     centroids = kmeans_fit(emb)
     assigned = kmeans_assign(emb, centroids).select("vec_id", "cid")
