@@ -33,7 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.session import load_table
+from ..plans.session import load_table, run_concurrently
 from ..sinks import compact_logs, retain_partitions, write_log
 from .indexes import _scratch_root
 
@@ -328,7 +328,6 @@ def q_zorder_layout(
     linear = events.repartitionByRange(
         n_files, F.to_date("ts"), F.col("ts")
     ).sortWithinPartitions(F.to_date("ts"), "ts")
-    linear.write.mode("overwrite").parquet(linear_dir)
 
     # Both dimensions must be ORDER-PRESERVING range-normalized to the
     # same bit width before interleaving — a raw modulo would (a) let
@@ -362,8 +361,12 @@ def q_zorder_layout(
         ),
     )
     zed = zed.repartitionByRange(n_files, "z").sortWithinPartitions("z")
-    zed.drop("z", "umax", "hmin", "hmax").write.mode("overwrite").parquet(
-        zorder_dir
+    zed = zed.drop("z", "umax", "hmin", "hmax")
+    # The linear and z-ordered trees are independent layout writes over
+    # the same scan — overlap the two jobs (guide §2.6).
+    run_concurrently(
+        lambda: linear.write.mode("overwrite").parquet(linear_dir),
+        lambda: zed.write.mode("overwrite").parquet(zorder_dir),
     )
 
     def candidate_files(root: str, probes: list[int]) -> float:

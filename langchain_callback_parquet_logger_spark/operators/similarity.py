@@ -343,11 +343,15 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = TOP_K) -> DataFrame:
     near-orthogonal pair (θ≈90°) collides only ≈23% of the time — the
     filter is FOR near-duplicates; low-similarity "neighbors" of a
     random query are expected casualties."""
-    with_bands = emb.select(
-        "vec_id",
-        "emb",
-        F.posexplode(F.array(*_band_cols(F.col("emb")))).alias("band_idx", "band_val"),
-    )
+    from ..plans.session import cache_tracked
+
+    from .arrowkernels import band_signature_frame, exploded_band_rows
+
+    # One Arrow pass for signatures + hoisted norms (bit-identical to the
+    # fold projection — arrowkernels module contract); cached because the
+    # query bands, the corpus bands and the re-rank payload all read it.
+    base = cache_tracked(band_signature_frame(emb, PLANES, LSH_BANDS, emb_col="emb"))
+    with_bands = exploded_band_rows(base)
     qb = with_bands.filter(F.col("vec_id") == query_vec_id).select(
         "band_idx", "band_val"
     )
@@ -357,11 +361,11 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = TOP_K) -> DataFrame:
         .select("vec_id")
         .distinct()
     )
-    q_emb = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("emb").alias("q_emb")
-    ).withColumn("q_nrm", norm(F.col("q_emb")))
+    q_emb = base.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
     # per-row norm hoisted out of the per-pair cosine (see knn_bruteforce)
-    corpus = emb.withColumn("nrm", norm(F.col("emb")))
+    corpus = base.select("vec_id", "emb", "nrm")
     sim = dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm"))
     return (
         candidates.join(corpus, "vec_id")
@@ -588,35 +592,35 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
     session out of any successor session in the same process."""
     from ..plans.session import cache_generation, cache_tracked, spread
 
+    from .arrowkernels import band_signature_frame, exploded_band_rows
+
     gen = cache_generation()
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _BANDED_EMB_MEMO.get(key)
     if hit is not None and hit[0] == gen:
         return hit[1], hit[2]
 
-    emb = cache_tracked(
-        spread(load_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
-        .withColumn("nrm", norm(F.col("emb")))
+    scan = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
     )
-    planes = _dedup_band_family(emb.count())
-    # The cached band frame carries each vector's payload (emb, nrm) ON
-    # its <= 4 band rows: band-bucket-local pairing reads both vectors
-    # of every candidate pair from the SAME partition, so the exact
-    # re-rank never re-joins the embedding table per candidate — see
+    # Family choice needs the corpus count BEFORE the signature pass; a
+    # count() on the bare scan is a parquet-metadata job (columns pruned
+    # to nothing), and it is the same COUNT(*) the oracle branches on.
+    planes = _dedup_band_family(scan.count())
+    # One Arrow pass computes the normalized vectors, hoisted norms AND
+    # all band signatures (arrowkernels.band_signature_frame — the
+    # interpreted-fold projection this replaces was 25x slower at sf1;
+    # bit-identical by the sequential-accumulation contract).  The
+    # vector payload crosses the Python boundary once per ROW; the <=4
+    # band rows are exploded JVM-side from the cached frame.
+    base = cache_tracked(band_signature_frame(scan, planes, DEDUP_LSH_BANDS))
+    emb = base.select("vec_id", "emb", "nrm")
+    # The band frame carries each vector's payload (emb, nrm) ON its
+    # <= 4 band rows: band-bucket-local pairing reads both vectors of
+    # every candidate pair from the SAME partition, so the exact re-rank
+    # never re-joins the embedding table per candidate — see
     # _lsh_scored_pairs for why that double id-join is fatal at scale.
-    capped = cache_tracked(
-        _cap_buckets(
-            emb.select(
-                "vec_id",
-                "emb",
-                "nrm",
-                F.posexplode(
-                    F.array(*_band_cols(F.col("emb"), planes, DEDUP_LSH_BANDS))
-                ).alias("band_idx", "band_val"),
-            )
-        )
-    )
+    capped = cache_tracked(_cap_buckets(exploded_band_rows(base, "emb", "nrm")))
     _BANDED_EMB_MEMO[key] = (gen, emb, capped)
     return emb, capped
 
@@ -923,46 +927,60 @@ def _centroid_score(emb_col: Column, c_col: Column) -> Column:
     return dot(c_col, c_col) - 2.0 * dot(emb_col, c_col)
 
 
-def kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: (vec_id, emb) × (cid, c_emb) →
-    (vec_id, emb, cid). Broadcast cross join with K rows (centroids always
-    fit in a broadcast); argmin via ``min(struct(score, cid))`` —
-    lexicographic struct ordering = lowest score, ties to the lowest cid,
-    identical to the oracle's ROW_NUMBER OVER (ORDER BY score, cid).
+def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect a (cid, c_emb) frame to driver values, ascending cid.
+    Boundedness: K rows — the SAME rows every assignment already ships
+    to every executor as a broadcast, so collecting them first is the
+    identical memory class (a broadcast IS a driver collect + rebroadcast)."""
+    return sorted((r[0], list(r[1])) for r in centroids.collect())
 
-    The aggregate form matters at scale: the scored frame is NARROW
-    (vec_id, cid, score — no vector payload), so the per-vector argmin is
-    a map-side-combined hash aggregate that shuffles ONE narrow row per
-    vector regardless of K. A window over the K-fanned frame would drag
-    the d-dim embedding through a K×n-row sort shuffle — at K=50k
-    (SemDeDup-scale cluster counts) that is the difference between a
-    gigabyte and a petabyte of shuffle."""
-    # |c|² is a per-CENTROID constant: hoist it onto the K-row broadcast
-    # frame instead of recomputing the 64-term fold per (vector, centroid)
-    # pair — at K=4,000 (q_semdedup sf1) that halves the dominant
-    # interpreted-HOF flops.  Same float value either way (identical
-    # expression over identical inputs), so the argmin — and the oracle
-    # match — is unchanged.
-    cents = F.broadcast(
-        centroids.withColumn("c_sq", dot(F.col("c_emb"), F.col("c_emb")))
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    with_norm: bool = False,
+    keep_emb: bool = True,
+) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, emb) × (cid, c_emb) →
+    (vec_id, emb, cid[, nrm]).  The n×K score table — the term you buy
+    GPUs for in production — runs as ONE Arrow/NumPy pass
+    (arrowkernels.centroid_assign_frame) instead of a broadcast cross
+    join evaluating K interpreted 64-term folds per row: score is the
+    same hoisted ``|c|² − 2·x·c`` with bit-identical sequential dots,
+    and the argmin ties to the lowest cid exactly like the
+    ``min(struct(score, cid))`` aggregate this replaces (and the
+    oracle's ROW_NUMBER OVER (ORDER BY score, cid)).
+
+    Shuffle shape is strictly better than the aggregate form: the kernel
+    emits (vec_id, emb, cid) directly, so there is NO shuffle at all —
+    the old plan's narrow argmin aggregate plus the emb re-attach join
+    both disappear.  ``with_norm`` additionally emits the hoisted
+    per-row |v| (one fused pass over the same batch) for consumers whose
+    re-rank needs it (q_semdedup, q_kmeans_ivf)."""
+    from .arrowkernels import centroid_assign_frame
+
+    return centroid_assign_frame(
+        emb,
+        _centroid_rows(centroids),
+        emb_col="emb",
+        keep_emb=keep_emb,
+        with_norm=with_norm,
     )
-    scored = emb.crossJoin(cents).select(
-        "vec_id",
-        "cid",
-        (F.col("c_sq") - 2.0 * dot(F.col("emb"), F.col("c_emb"))).alias("score"),
-    )
-    best = (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct("score", "cid")).alias("best"))
-        .select("vec_id", F.col("best.cid").alias("cid"))
-    )
-    return emb.join(best, "vec_id").select("vec_id", "emb", "cid")
 
 
 def kmeans_fit(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
     """(vec_id, emb) → (cid, c_emb) after ``iters`` Lloyd updates from
     deterministic seeds (the k lowest vec_ids). Centroids rounded to 6dp
-    each update for cross-engine reproducibility."""
+    each update for cross-engine reproducibility.
+
+    Each iteration MATERIALIZES its centroids to driver values (K rows,
+    broadcast-bounded — see :func:`_centroid_rows`) and the returned
+    frame is a K-row local relation: every Lloyd step therefore starts
+    from literal centroids instead of chaining the full assign/update
+    lineage, so plan depth is constant per iteration and downstream
+    consumers (probe ranking, the final assignment) broadcast/collect it
+    for free instead of re-executing the whole fit chain per reference."""
+    spark = emb.sparkSession
     centroids = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -978,6 +996,9 @@ def kmeans_fit(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> 
                 lambda s: s["m"],
             ).alias("c_emb")
         )
+        centroids = spark.createDataFrame(
+            _centroid_rows(centroids), "cid bigint, c_emb array<double>"
+        )
     return centroids
 
 
@@ -987,8 +1008,9 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = kmeans_fit(emb)
 
-    # final assignment with the fitted centroids
-    assigned = kmeans_assign(emb, centroids)
+    # final assignment with the fitted centroids; the kernel also emits
+    # the hoisted per-row |v| so the re-rank below costs one fold per pair
+    assigned = kmeans_assign(emb, centroids, with_norm=True)
 
     # the query's IVF_PROBES nearest clusters
     probes = (
@@ -1007,8 +1029,7 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row norm hoisted out of the per-pair cosine (see knn_bruteforce)
     sim = dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm"))
     return (
-        assigned.withColumn("nrm", norm(F.col("emb")))
-        .join(F.broadcast(probes), "cid", "left_semi")
+        assigned.join(F.broadcast(probes), "cid", "left_semi")
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q_emb))
         .select("vec_id", F.round(sim, 6).alias("sim"))
@@ -1141,9 +1162,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold, not three (the q_embedding_dedup re-rank pattern). Registered
     # for release_caches().
     assigned = cache_tracked(
-        kmeans_assign(emb, kmeans_fit(emb, k=k)).withColumn(
-            "nrm", norm(F.col("emb"))
-        )
+        kmeans_assign(emb, kmeans_fit(emb, k=k), with_norm=True)
     )
     a = assigned.select(
         "cid",
@@ -1228,47 +1247,23 @@ PQ_CODEBOOK = [
 
 
 def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .arrowkernels import pq_assign_frame
+
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "label", _as_double(F.col("embedding")).alias("emb")
+        "label", "embedding"
     )
-    sub_errs = []
-    codes = []
-    for s in range(PQ_SUBSPACES):
-        sub = F.slice(F.col("emb"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(v) for v in PQ_CODEBOOK[s][c]]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in range(PQ_CODEWORDS)
-        ]
-        sub_errs.append(F.least(*dists))
-        # argmin codeword; ties break to the smallest index (struct
-        # ordering compares dist first, then c) — mirrored by the oracle's
-        # first-occurrence list_position.
-        codes.append(
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
-                        for c in range(PQ_CODEWORDS)
-                    ]
-                )
-            )["c"]
-        )
-    err = sub_errs[0]
-    for e in sub_errs[1:]:
-        err = err + e  # left-assoc chain, same fold order as the oracle SQL
-    code_str = F.concat_ws(",", *[c.cast("string") for c in codes])
-    per_vec = emb.select(
+    # All PQ_SUBSPACES x PQ_CODEWORDS distance folds per vector run in one
+    # Arrow pass (arrowkernels.pq_assign_frame) instead of 64 interpreted
+    # Catalyst folds per row; distances, the per-subspace argmin tie-break
+    # (first index = smallest c, the struct-min/list_position contract)
+    # and the left-associated err sum are bit-identical to the expression
+    # form this replaces (module contract + tests/test_arrowkernels.py).
+    # The 1e9 fixed-point rounding stays JVM-side: F.round is HALF_UP,
+    # which np.round is not.
+    per_vec = pq_assign_frame(emb, PQ_CODEBOOK).select(
         "label",
-        F.round(err * 1e9).cast("bigint").alias("qerr"),
-        code_str.alias("code"),
+        F.round(F.col("err") * 1e9).cast("bigint").alias("qerr"),
+        "code",
     )
     return per_vec.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
@@ -1640,7 +1635,9 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_tbl = spread(load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES)
     emb = emb_tbl.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
     centroids = kmeans_fit(emb)
-    assigned = kmeans_assign(emb, centroids).select("vec_id", "cid")
+    # keep_emb=False: the confusion matrix never reads the vector again,
+    # so the payload does not cross the Python boundary on the way back
+    assigned = kmeans_assign(emb, centroids, keep_emb=False)
     labeled = assigned.join(emb_tbl.select("vec_id", "label"), "vec_id")
     cell = labeled.groupBy("cid", "label").agg(F.count("*").alias("n"))
     w_cid = W.partitionBy("cid")

@@ -183,6 +183,26 @@ def spread(df: DataFrame, min_bytes: int = SPREAD_MIN_BYTES) -> DataFrame:
     return df
 
 
+def run_concurrently(*thunks):
+    """Run independent Spark ACTIONS (writes, counts) from a small driver
+    thread pool so the later job's tasks back-fill executors freed by the
+    earlier job's straggler tail (optimization guide §2.6: actions are
+    only sequential because driver code calls them sequentially).  Used
+    by the index/maintenance lifecycles whose build steps write two
+    independent tables — locally that overlaps two small jobs' fixed
+    scheduling/commit latencies; on a cluster it keeps the tail from
+    idling the fleet.  Returns the thunk results in order; the first
+    exception propagates (both jobs are waited on either way — partial
+    failure never goes unobserved)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 # ---------------------------------------------------------------------------
 # Tracked caching. Query builders persist reused sub-plans (LSH signatures,
 # shingle sets) that multiple joins consume; Spark's CacheManager holds those

@@ -1,0 +1,210 @@
+"""Bit-identity pins for the Arrow/NumPy kernels (operators/arrowkernels):
+every kernel must produce EXACTLY the doubles/ints the interpreted
+Catalyst fold expressions it replaced produce — the sequential-
+accumulation contract in the module docstring.  Comparison is on raw
+IEEE bit patterns (struct.pack), not approx-equality: a 1-ulp drift in a
+hyperplane dot could flip a sign bit and change LSH candidate sets."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from langchain_callback_parquet_logger_spark.operators import similarity as S
+from langchain_callback_parquet_logger_spark.operators.arrowkernels import (
+    band_signature_frame,
+    centroid_assign_frame,
+    pq_assign_frame,
+)
+from langchain_callback_parquet_logger_spark.plans.session import load_table
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("<d", x)
+
+
+def _base(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.mark.parametrize(
+    "planes, n_bands",
+    [
+        (S.PLANES, S.LSH_BANDS),  # 16-bit kNN family
+        (S.DEDUP_PLANES, S.DEDUP_LSH_BANDS),  # narrow dedup family
+        (S.DEDUP_PLANES_WIDE, S.DEDUP_LSH_BANDS),  # wide
+        (S.DEDUP_PLANES_XWIDE, S.DEDUP_LSH_BANDS),  # extra-wide
+    ],
+    ids=["knn16", "narrow32", "wide64", "xwide96"],
+)
+def test_band_kernel_bit_identical_to_fold(spark, sf_dir, planes, n_bands):
+    base = _base(spark, sf_dir)
+    fold = base.select(
+        "vec_id",
+        S._as_double(F.col("embedding")).alias("emb"),
+    ).select(
+        "vec_id",
+        "emb",
+        S.norm(F.col("emb")).alias("nrm"),
+        F.array(*S._band_cols(F.col("emb"), planes, n_bands)).alias("bands"),
+    )
+    kern = band_signature_frame(base, planes, n_bands)
+
+    want = {r.vec_id: r for r in fold.collect()}
+    got = {r.vec_id: r for r in kern.collect()}
+    assert set(want) == set(got) and want
+    for vid, w in want.items():
+        g = got[vid]
+        assert list(w.bands) == list(g.bands), vid
+        assert _bits(w.nrm) == _bits(g.nrm), vid
+        assert [_bits(x) for x in w.emb] == [_bits(x) for x in g.emb], vid
+
+
+def test_band_kernel_rejects_width_mismatch(spark, sf_dir):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    short = _base(spark, sf_dir).select(
+        "vec_id", F.slice("embedding", 1, 7).alias("embedding")
+    )
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as ei:
+        band_signature_frame(short, S.DEDUP_PLANES, S.DEDUP_LSH_BANDS).count()
+    assert "fixed width" in str(ei.value)
+
+
+def test_pq_kernel_bit_identical_to_fold(spark, sf_dir):
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = base.select("vec_id", S._as_double(F.col("embedding")).alias("emb"))
+    # The expression form q_pq_quantize used before the kernel, verbatim.
+    sub_errs, codes = [], []
+    for s in range(S.PQ_SUBSPACES):
+        sub = F.slice(F.col("emb"), s * S.PQ_SUBDIM + 1, S.PQ_SUBDIM)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(v) for v in S.PQ_CODEBOOK[s][c]]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(S.PQ_CODEWORDS)
+        ]
+        sub_errs.append(F.least(*dists))
+        codes.append(
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(dists[c].alias("d"), F.lit(c).alias("c"))
+                        for c in range(S.PQ_CODEWORDS)
+                    ]
+                )
+            )["c"]
+        )
+    err = sub_errs[0]
+    for e in sub_errs[1:]:
+        err = err + e
+    fold = emb.select(
+        "vec_id",
+        err.alias("err"),
+        F.concat_ws(",", *[c.cast("string") for c in codes]).alias("code"),
+    )
+    kern = pq_assign_frame(base, S.PQ_CODEBOOK)
+    want = {r.vec_id: r for r in fold.collect()}
+    got = {r[0]: r for r in kern.collect()}
+    assert set(want) == set(got) and want
+    for vid, w in want.items():
+        g = got[vid]
+        assert _bits(w.err) == _bits(g.err), vid
+        assert w.code == g.code, vid
+
+
+def test_centroid_kernel_matches_broadcast_argmin(spark, sf_dir):
+    emb = _base(spark, sf_dir).select(
+        "vec_id", S._as_double(F.col("embedding")).alias("emb")
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(S.KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"))
+    )
+    # The broadcast-cross-join + min(struct(score, cid)) aggregate the
+    # kernel replaced, verbatim.
+    cents = F.broadcast(
+        seeds.withColumn("c_sq", S.dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    scored = emb.crossJoin(cents).select(
+        "vec_id",
+        "cid",
+        (F.col("c_sq") - 2.0 * S.dot(F.col("emb"), F.col("c_emb"))).alias("score"),
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("score", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"))
+    )
+    want = {r.vec_id: r.cid for r in best.collect()}
+
+    kern = centroid_assign_frame(
+        emb, S._centroid_rows(seeds), keep_emb=False, with_norm=True
+    )
+    got = {r.vec_id: r.cid for r in kern.collect()}
+    assert want == got and want
+
+    # hoisted norms bit-match the fold norm
+    nf = {r.vec_id: r.n for r in emb.select("vec_id", S.norm(F.col("emb")).alias("n")).collect()}
+    nk = {r.vec_id: r.nrm for r in kern.collect()}
+    assert all(_bits(nf[v]) == _bits(nk[v]) for v in nf)
+
+
+def test_kmeans_fit_centroids_unchanged_by_materialization(spark, sf_dir):
+    """kmeans_fit now materializes each Lloyd step's centroids as a local
+    relation; the VALUES must equal the former lazy-chain fit (rounding
+    to 6dp already made the update step engine-stable, so equality here
+    is exact)."""
+    emb = _base(spark, sf_dir).select(
+        "vec_id", S._as_double(F.col("embedding")).alias("emb")
+    )
+    got = {r.cid: list(r.c_emb) for r in S.kmeans_fit(emb).collect()}
+
+    # reference: the same Lloyd loop with NO per-iteration materialization,
+    # using the pre-kernel broadcast assign shape
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(S.KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"))
+    )
+    for _ in range(S.KMEANS_ITERS):
+        cents = F.broadcast(
+            centroids.withColumn("c_sq", S.dot(F.col("c_emb"), F.col("c_emb")))
+        )
+        scored = emb.crossJoin(cents).select(
+            "vec_id",
+            "cid",
+            (F.col("c_sq") - 2.0 * S.dot(F.col("emb"), F.col("c_emb"))).alias(
+                "score"
+            ),
+        )
+        best = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("score", "cid")).alias("best"))
+            .select("vec_id", F.col("best.cid").alias("cid"))
+        )
+        assigned = emb.join(best, "vec_id").select("vec_id", "emb", "cid")
+        dims = assigned.select("cid", F.posexplode("emb").alias("dim", "val"))
+        means = dims.groupBy("cid", "dim").agg(
+            F.round(F.avg("val"), 6).alias("m")
+        )
+        centroids = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("c_emb")
+        )
+    want = {r.cid: list(r.c_emb) for r in centroids.collect()}
+    assert set(want) == set(got) and want
+    for cid in want:
+        assert [_bits(x) for x in want[cid]] == [_bits(x) for x in got[cid]], cid
