@@ -260,6 +260,232 @@ def centroid_assign_frame(
     return df.mapInArrow(kernel, ", ".join(out_cols))
 
 
+def _pairwise_dots(X: np.ndarray, block: int = 4096) -> np.ndarray:
+    """(m, d) -> (m, m) pairwise dot matrix with the sequential per-dim
+    accumulation (module bit contract); row-blocked so a degenerate huge
+    group bounds its temp at block x m doubles."""
+    m, d = X.shape
+    G = np.empty((m, m), dtype=np.float64)
+    for lo in range(0, m, block):
+        hi = min(lo + block, m)
+        acc = np.zeros((hi - lo, m), dtype=np.float64)
+        for i in range(d):  # sequential per-dim fold (bit contract)
+            acc += X[lo:hi, i, None] * X[None, :, i]
+        G[lo:hi] = acc
+    return G
+
+
+def cluster_pair_sims(
+    assigned: DataFrame, loose_min: float | None = None
+) -> DataFrame:
+    """(cid, vec_id, emb, nrm) -> (cid, vec_id, sim_raw): every
+    intra-cluster unordered pair, keyed by its HIGHER vec_id, with the
+    raw cosine ``dot / (nrm_a * nrm_b)`` — the SemDeDup pairwise stage as
+    one Arrow pass per cluster instead of an equi-self-join evaluating an
+    interpreted 64-term fold per pair (infeasible at sf1: ~31M pairs).
+
+    Bit identity: dots are the sequential per-dim fold; the divide is the
+    same two IEEE ops (nrm_a*nrm_b, then /) the JVM expression performs
+    on identical inputs, with the hoisted norms passed IN from the
+    assignment kernel.  Rounding and thresholding stay JVM-side (F.round
+    is HALF_UP); ``loose_min`` is a strictly-conservative raw-value
+    pre-filter (set it >= one rounding ulp below the real threshold) that
+    only bounds the rows crossing the boundary, never the result."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        m = tbl.num_rows
+        if m < 2:
+            return pa.table(
+                {
+                    "cid": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim_raw": pa.array([], pa.float64()),
+                }
+            )
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        emb = tbl.column("emb")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        d = len(emb[0])
+        X = _rows_f64(emb, d, "cluster_pair_sims")[order]
+        ids = ids[order]
+        nrm = np.asarray(tbl.column("nrm"), dtype=np.float64)[order]
+        G = _pairwise_dots(X)
+        iu, ju = np.triu_indices(m, k=1)
+        denom = nrm[iu] * nrm[ju]  # same multiply-then-divide as the JVM
+        sims = G[iu, ju] / denom
+        hi = ids[ju]  # sorted ascending -> ju holds the higher vec_id
+        if loose_min is not None:
+            keep = sims >= loose_min
+            sims, hi = sims[keep], hi[keep]
+        cid = np.full(len(hi), tbl.column("cid")[0].as_py(), dtype=np.int64)
+        return pa.table(
+            {"cid": pa.array(cid), "vec_id": pa.array(hi), "sim_raw": pa.array(sims)}
+        )
+
+    return assigned.groupBy("cid").applyInArrow(
+        fn, "cid bigint, vec_id bigint, sim_raw double"
+    )
+
+
+def pair_score_frame(
+    pairs: DataFrame,
+    prefixes: tuple[int, ...] = (),
+    loose_min: float | None = None,
+) -> DataFrame:
+    """(vec_a, vec_b, emb_a, nrm_a, emb_b, nrm_b) -> (vec_a, vec_b,
+    sim_raw[, p{n}_raw ...]): the band re-rank's per-pair cosines as a
+    vectorized Arrow pass over the pair rows instead of one interpreted
+    64-term fold per row.  The input is :func:`_lsh_scored_pairs`'s
+    bucket-local join output, so this adds NO shuffle — the kernel maps
+    over the join's partitions in place.  (A per-bucket applyInArrow was
+    measured and rejected: adaptive band width keeps buckets O(1)-sized
+    at EVERY corpus size, so that shape is millions of tiny Python group
+    calls; scoring across pair rows amortizes the boundary per batch.)
+
+    Bit identity: sim is the sequential per-dim fold over (emb_a, emb_b)
+    divided by the carried hoisted norms (same multiply-then-divide);
+    each prefix cosine recomputes the per-pair prefix norms with the same
+    sequential fold the sliced JVM expression performed.  Rounding /
+    fixed-point quantization / distinct stay JVM-side.  ``loose_min``
+    is the strictly-conservative raw pre-filter (see cluster_pair_sims)."""
+    pcols = [f"p{p}_raw" for p in prefixes]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ea = batch.column("emb_a")
+            d = len(ea[0])
+            A = _rows_f64(ea, d, "pair_score_frame")
+            B = _rows_f64(batch.column("emb_b"), d, "pair_score_frame")
+            n = A.shape[0]
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(d):  # sequential per-dim fold (bit contract)
+                acc += A[:, i] * B[:, i]
+            na = np.asarray(batch.column("nrm_a"), dtype=np.float64)
+            nb = np.asarray(batch.column("nrm_b"), dtype=np.float64)
+            sims = acc / (na * nb)
+            cols: dict[str, np.ndarray] = {}
+            for p, c in zip(prefixes, pcols):
+                accp = np.zeros(n, dtype=np.float64)
+                npa = np.zeros(n, dtype=np.float64)
+                npb = np.zeros(n, dtype=np.float64)
+                for i in range(p):  # prefix dot + per-pair prefix norms
+                    ai, bi = A[:, i], B[:, i]
+                    accp += ai * bi
+                    npa += ai * ai
+                    npb += bi * bi
+                cols[c] = accp / (np.sqrt(npa) * np.sqrt(npb))
+            a = np.asarray(batch.column("vec_a"), dtype=np.int64)
+            b = np.asarray(batch.column("vec_b"), dtype=np.int64)
+            if loose_min is not None:
+                keep = sims >= loose_min
+                a, b, sims = a[keep], b[keep], sims[keep]
+                cols = {c: v[keep] for c, v in cols.items()}
+            out = {
+                "vec_a": pa.array(a),
+                "vec_b": pa.array(b),
+                "sim_raw": pa.array(sims),
+            }
+            for c in pcols:
+                out[c] = pa.array(cols[c])
+            yield pa.RecordBatch.from_pydict(out)
+
+    schema = "vec_a bigint, vec_b bigint, sim_raw double" + "".join(
+        f", {c} double" for c in pcols
+    )
+    return pairs.select(
+        "vec_a", "vec_b", "emb_a", "nrm_a", "emb_b", "nrm_b"
+    ).mapInArrow(fn, schema)
+
+
+def gather_pair_scores(
+    candidates: DataFrame,
+    base: DataFrame,
+    prefixes: tuple[int, ...] = (),
+    loose_min: float | None = None,
+) -> DataFrame:
+    """(vec_a, vec_b) id pairs -> (vec_a, vec_b, sim_raw[, p{n}_raw ...])
+    by GATHERING both vectors from a broadcast corpus matrix — the
+    broadcast-side-fits arm of the band re-rank (guide §3.1: broadcast
+    the side that fits instead of moving the big side).  Only the 16-byte
+    id pair crosses the Python boundary per candidate; the vectors are
+    fancy-indexed from one per-worker copy of the corpus.  At sf1 the
+    payload-carrying shape ships ~150 GB of pair payload for 139M
+    candidates; this ships ~2 GB of ids.  The caller MUST gate on corpus
+    size (similarity.EMB_GATHER_MAX_BYTES) — above the gate the bucket-
+    local payload shape (:func:`pair_score_frame` over
+    ``_lsh_scored_pairs``) remains the scale-safe plan, because a corpus
+    that does not fit one worker cannot be broadcast.
+
+    Bit identity: identical sequential folds / multiply-then-divide as
+    :func:`pair_score_frame` over the identical doubles (the corpus
+    matrix is collected from the same cached kernel frame); both arms are
+    pinned equal by tests, so the size gate can never change results."""
+    spark = candidates.sparkSession
+    tbl = base.select("vec_id", "emb", "nrm").toArrow()
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    emb_col = tbl.column("emb")
+    if isinstance(emb_col, pa.ChunkedArray):
+        emb_col = emb_col.combine_chunks()
+    d = len(emb_col[0])
+    M = _rows_f64(emb_col, d, "gather_pair_scores")[order]
+    nrm = np.asarray(tbl.column("nrm"), dtype=np.float64)[order]
+    bc = spark.sparkContext.broadcast((ids, M, nrm))
+    from ..plans.session import track_unpersistable
+
+    track_unpersistable(bc)
+    pcols = [f"p{p}_raw" for p in prefixes]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        g_ids, g_M, g_nrm = bc.value  # one copy per worker process
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            a = np.asarray(batch.column("vec_a"), dtype=np.int64)
+            b = np.asarray(batch.column("vec_b"), dtype=np.int64)
+            ia = np.searchsorted(g_ids, a)
+            ib = np.searchsorted(g_ids, b)
+            A, B = g_M[ia], g_M[ib]
+            n = A.shape[0]
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(d):  # sequential per-dim fold (bit contract)
+                acc += A[:, i] * B[:, i]
+            sims = acc / (g_nrm[ia] * g_nrm[ib])
+            cols: dict[str, np.ndarray] = {}
+            for p, c in zip(prefixes, pcols):
+                accp = np.zeros(n, dtype=np.float64)
+                npa = np.zeros(n, dtype=np.float64)
+                npb = np.zeros(n, dtype=np.float64)
+                for i in range(p):
+                    ai, bi = A[:, i], B[:, i]
+                    accp += ai * bi
+                    npa += ai * ai
+                    npb += bi * bi
+                cols[c] = accp / (np.sqrt(npa) * np.sqrt(npb))
+            if loose_min is not None:
+                keep = sims >= loose_min
+                a, b, sims = a[keep], b[keep], sims[keep]
+                cols = {c: v[keep] for c, v in cols.items()}
+            out = {
+                "vec_a": pa.array(a),
+                "vec_b": pa.array(b),
+                "sim_raw": pa.array(sims),
+            }
+            for c in pcols:
+                out[c] = pa.array(cols[c])
+            yield pa.RecordBatch.from_pydict(out)
+
+    schema = "vec_a bigint, vec_b bigint, sim_raw double" + "".join(
+        f", {c} double" for c in pcols
+    )
+    return candidates.select("vec_a", "vec_b").mapInArrow(fn, schema)
+
+
 def exploded_band_rows(base: DataFrame, *payload: str) -> DataFrame:
     """JVM-side explode of a :func:`band_signature_frame` result into
     (id..., payload..., band_idx, band_val) — the duplication to <=4 band

@@ -511,6 +511,21 @@ EMB_XWIDE_CUTOFF = 5_000_000
 # control: graded SFs sit ~30x under it, and the sf1 corpus lands on
 # the wide path where the census stays far below it too.
 EMB_BUCKET_CAP = 1024
+# Broadcast-gather gate for the band re-rank (guide §3.1: broadcast the
+# side that fits): when the corpus vector table (n x (dim+2) doubles) is
+# under this budget, candidate pairs are scored by gathering both
+# vectors from ONE per-worker copy of the corpus matrix, so only the
+# 16-byte id pair ever moves per candidate — at sf1 (500k vectors,
+# 139M capped candidates) that is ~2 GB of ids instead of ~150 GB of
+# pair payload, and the payload-carrying shape simply does not finish.
+# Above the gate (a corpus that cannot sit in one worker) the bucket-
+# local payload shape remains the plan — the same adaptive-strategy
+# class as a broadcast-join threshold, and value-neutral by construction
+# (both arms are pinned bit-identical in tests/test_arrowkernels.py).
+# Tunable per deployment: executors with more memory raise it.
+EMB_GATHER_MAX_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_EMB_GATHER_MAX_BYTES", 512 * 1024 * 1024)
+)
 
 
 # (generation, emb, capped) per (app_id, sf_dir) — see _banded_emb.  The
@@ -518,7 +533,9 @@ EMB_BUCKET_CAP = 1024
 # can never be handed to a NEW session in the same process (sessions
 # recycle memory but not DataFrame lineage); the stale entry is simply
 # never hit again and costs only its dict slot.
-_BANDED_EMB_MEMO: dict[tuple[str, str], tuple[int, DataFrame, DataFrame]] = {}
+_BANDED_EMB_MEMO: dict[
+    tuple[str, str], tuple[int, DataFrame, DataFrame, int]
+] = {}
 
 
 # Lookup used by the stored-index meta table (indexes.py pins the band
@@ -606,7 +623,9 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
     # Family choice needs the corpus count BEFORE the signature pass; a
     # count() on the bare scan is a parquet-metadata job (columns pruned
     # to nothing), and it is the same COUNT(*) the oracle branches on.
-    planes = _dedup_band_family(scan.count())
+    # The count also drives the broadcast-gather gate (_scored_pair_frame).
+    n = scan.count()
+    planes = _dedup_band_family(n)
     # One Arrow pass computes the normalized vectors, hoisted norms AND
     # all band signatures (arrowkernels.band_signature_frame — the
     # interpreted-fold projection this replaces was 25x slower at sf1;
@@ -621,7 +640,7 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
     # never re-joins the embedding table per candidate — see
     # _lsh_scored_pairs for why that double id-join is fatal at scale.
     capped = cache_tracked(_cap_buckets(exploded_band_rows(base, "emb", "nrm")))
-    _BANDED_EMB_MEMO[key] = (gen, emb, capped)
+    _BANDED_EMB_MEMO[key] = (gen, emb, capped, n)
     return emb, capped
 
 
@@ -785,6 +804,49 @@ cand AS (
 )"""
 
 
+def _scored_pair_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    symmetric: bool,
+    prefixes: tuple[int, ...] = (),
+    loose_min: float | None = None,
+) -> DataFrame:
+    """Banded candidates -> (vec_a, vec_b, sim_raw[, p{n}_raw...]) via the
+    size-adaptive re-rank strategy (rationale at EMB_GATHER_MAX_BYTES):
+
+    - corpus fits the gather budget -> skinny DISTINCT id-pair join
+      (column-pruned band frame, 16 B/candidate) scored by gathering from
+      a broadcast corpus matrix (arrowkernels.gather_pair_scores);
+    - otherwise -> the bucket-local payload join (_lsh_scored_pairs)
+      scored by the vectorized pair kernel (pair_score_frame).
+
+    The returned frame holds UNIQUE pairs in both arms: the gather arm
+    scores the already-distinct candidate list, and the payload arm
+    distincts its scored rows — legal because a pair scored in two
+    shared buckets yields bit-identical raws (the duplicate-row design),
+    so consumers need no further distinct.  Both arms emit bit-identical
+    raw doubles for the identical pair set (pinned by tests), so the
+    gate is a pure strategy decision — exactly a broadcast-threshold
+    choice."""
+    from .arrowkernels import gather_pair_scores, pair_score_frame
+
+    emb, bands = _banded_emb(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _BANDED_EMB_MEMO[key][3]
+    if n * (EMB_DIM + 2) * 8 <= EMB_GATHER_MAX_BYTES:
+        return gather_pair_scores(
+            _lsh_candidate_pairs(bands, symmetric=symmetric),
+            emb,
+            prefixes=prefixes,
+            loose_min=loose_min,
+        )
+    return pair_score_frame(
+        _lsh_scored_pairs(bands, symmetric=symmetric),
+        prefixes=prefixes,
+        loose_min=loose_min,
+    ).distinct()
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by embedding cosine: LSH band equi-join generates
     candidates, exact cosine re-ranks only those. Per-row norms are
@@ -805,14 +867,19 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs baseline (:func:`embedding_dedup_blocked`, kept for recall
     validation in tests). Both cached frames are registered for
     release_caches() — harnesses release after the consuming action."""
-    _, bands = _banded_emb(spark, sf_dir)
-    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        _lsh_scored_pairs(bands, symmetric=False)
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
-        .filter(F.col("sim") >= DEDUP_LSH_THRESHOLD)
-        .distinct()
+    # Candidate scoring via the size-adaptive Arrow re-rank
+    # (_scored_pair_frame — gather-from-broadcast when the corpus fits,
+    # bucket-local payload kernel otherwise; no interpreted fold per
+    # pair either way).  loose_min is a strictly-conservative raw
+    # pre-filter one rounding ulp under the threshold; the exact HALF_UP
+    # rounding + threshold stay JVM-side, so the kept set is identical
+    # to the fold plan's.
+    scored = _scored_pair_frame(
+        spark, sf_dir, symmetric=False, loose_min=DEDUP_LSH_THRESHOLD - 1e-6
     )
+    return scored.select(
+        "vec_a", "vec_b", F.round(F.col("sim_raw"), 6).alias("sim")
+    ).filter(F.col("sim") >= DEDUP_LSH_THRESHOLD)
 
 
 def _oracle_embedding_dedup() -> str:
@@ -1149,40 +1216,30 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectors pruned by SemDeDup: for each kept/pruned decision the
     higher id loses — output one row per pruned vector with its cluster,
     how many lower-id near-dups it matched, and the strongest cosine."""
-    from ..plans.session import cache_tracked
-
     emb = spread(load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     k = max(KMEANS_K, emb.count() // SEMDEDUP_TARGET_CLUSTER)
-    # Cache the assignment: it feeds BOTH sides of the self-join, and
-    # without the cache the whole Lloyd pipeline (broadcast crossings +
-    # row_number shuffles) re-executes per side. Per-vector norms are
-    # computed once here so each candidate pair costs ONE dot-product
-    # fold, not three (the q_embedding_dedup re-rank pattern). Registered
-    # for release_caches().
-    assigned = cache_tracked(
-        kmeans_assign(emb, kmeans_fit(emb, k=k), with_norm=True)
-    )
-    a = assigned.select(
-        "cid",
-        F.col("vec_id").alias("id_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = assigned.select(
-        "cid",
-        F.col("vec_id").alias("vec_id"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    sim = F.round(
-        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
-    )
+    # No cache needed any more: the assignment feeds exactly ONE consumer
+    # (the pair kernel below) — the old equi-self-join read it twice and
+    # had to persist it.  Norms ride out of the assignment kernel
+    # (with_norm) so each pair costs one dot, not three.
+    assigned = kmeans_assign(emb, kmeans_fit(emb, k=k), with_norm=True)
+    # The intra-cluster pairwise stage runs as one Arrow pass per
+    # cluster (arrowkernels.cluster_pair_sims) instead of an equi-self-
+    # join evaluating an interpreted fold per pair — at sf1 that stage is
+    # ~31M pairs and the fold form does not finish.  Raw cosines are
+    # bit-identical (hoisted norms from the assignment kernel, same
+    # multiply-then-divide); loose_min pre-filters one rounding ulp under
+    # the threshold and the exact HALF_UP round + threshold stay JVM-side.
+    from .arrowkernels import cluster_pair_sims
+
     pairs = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("vec_id"))
-        .select("cid", "vec_id", sim.alias("sim"))
+        cluster_pair_sims(
+            assigned.select("cid", "vec_id", "emb", "nrm"),
+            loose_min=SEMDEDUP_THRESHOLD - 1e-6,
+        )
+        .select("cid", "vec_id", F.round(F.col("sim_raw"), 6).alias("sim"))
         .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
     )
     return pairs.groupBy("vec_id", "cid").agg(
@@ -1345,8 +1402,6 @@ ANN_JOIN_K = 3
 
 
 def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, bands = _banded_emb(spark, sf_dir)
-    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     # Rank on a 1e-6 fixed-point BIGINT (not the rounded double): a ≤1-ulp
     # sqrt/dot divergence between the JVM and DuckDB's libm near a 0.5e-6
     # rounding boundary could otherwise flip the top-K cutoff cross-engine
@@ -1355,14 +1410,10 @@ def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scoring is band-bucket-local (_lsh_scored_pairs): sim_q is
     # projected inside the band join and the distinct runs on (ids,
     # sim_q) — nothing vector-width ever shuffles past the band frame.
-    scored = (
-        _lsh_scored_pairs(bands, symmetric=True)
-        .select(
-            F.col("vec_a").alias("vec_id"),
-            F.col("vec_b").alias("nb_id"),
-            F.round(sim * F.lit(1e6)).cast("bigint").alias("sim_q"),
-        )
-        .distinct()
+    scored = _scored_pair_frame(spark, sf_dir, symmetric=True).select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("nb_id"),
+        F.round(F.col("sim_raw") * F.lit(1e6)).cast("bigint").alias("sim_q"),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("sim_q").desc(), F.col("nb_id").asc())
     return (
@@ -1422,25 +1473,21 @@ MRL_PREFIXES = (16, 32, 48)  # full-dim (64) deviation is identically 0
 def q_matryoshka_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    _, bands = _banded_emb(spark, sf_dir)
-    # Per-pair deviations are projected band-bucket-locally
-    # (_lsh_scored_pairs) and deduped on the scored row — deterministic
-    # fixed-fold expressions, so a pair reached through two shared bands
-    # yields bit-identical rows and the distinct keeps exactly one.
-    full = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    dcols = []
-    for p in MRL_PREFIXES:
-        sa = F.slice(F.col("emb_a"), 1, p)
-        sb = F.slice(F.col("emb_b"), 1, p)
-        simp = dot(sa, sb) / (norm(sa) * norm(sb))
-        dcols.append(
-            F.round(F.abs(simp - full) * F.lit(1e6)).cast("bigint").alias(f"d{p}")
-        )
-    joined = (
-        _lsh_scored_pairs(bands, symmetric=False)
-        .select("vec_a", "vec_b", *dcols)
-        .distinct()
+    # Per-pair full + prefix cosines via the size-adaptive Arrow re-rank
+    # (_scored_pair_frame), deduped on the scored row — the raw doubles
+    # are bit-identical to the fold expressions they replace, so a pair
+    # reached through two shared bands yields bit-identical rows and the
+    # distinct keeps exactly one.
+    scored = _scored_pair_frame(
+        spark, sf_dir, symmetric=False, prefixes=MRL_PREFIXES
     )
+    dcols = [
+        F.round(F.abs(F.col(f"p{p}_raw") - F.col("sim_raw")) * F.lit(1e6))
+        .cast("bigint")
+        .alias(f"d{p}")
+        for p in MRL_PREFIXES
+    ]
+    joined = scored.select("vec_a", "vec_b", *dcols)
     agg = joined.select(*[f"d{p}" for p in MRL_PREFIXES]).agg(
         F.count("*").alias("n_pairs"),
         *[F.sum(f"d{p}").alias(f"s{p}") for p in MRL_PREFIXES],

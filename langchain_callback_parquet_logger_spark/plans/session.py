@@ -224,6 +224,14 @@ def cache_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_unpersistable(obj):
+    """Register any .unpersist()-able resource (e.g. a Broadcast backing
+    the gather-scored re-rank) for release_caches() — same lifecycle as
+    tracked DataFrame caches, so harness reps never accumulate copies."""
+    _TRACKED_CACHES.append(obj)
+    return obj
+
+
 def cache_generation() -> int:
     """Monotone counter bumped by every release_caches() call. Builders
     that MEMOIZE a cache_tracked frame across invocations (e.g. the

@@ -160,6 +160,131 @@ def test_centroid_kernel_matches_broadcast_argmin(spark, sf_dir):
     assert all(_bits(nf[v]) == _bits(nk[v]) for v in nf)
 
 
+def test_pair_score_frame_bit_identical_to_fold_projection(spark, sf_dir):
+    """The pair-scoring kernel must emit exactly the (pair, raw score)
+    rows the per-pair fold projection over the band join produced — same
+    multiset of pairs per orientation, bit-identical sim and prefix sims."""
+    from langchain_callback_parquet_logger_spark.operators.arrowkernels import (
+        pair_score_frame,
+    )
+
+    S._BANDED_EMB_MEMO.clear()
+    _, bands = S._banded_emb(spark, sf_dir)
+    prefixes = S.MRL_PREFIXES
+
+    full = S.dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    pcols = []
+    for p in prefixes:
+        sa = F.slice(F.col("emb_a"), 1, p)
+        sb = F.slice(F.col("emb_b"), 1, p)
+        pcols.append(
+            (S.dot(sa, sb) / (S.norm(sa) * S.norm(sb))).alias(f"p{p}_raw")
+        )
+    for symmetric in (False, True):
+        joined = S._lsh_scored_pairs(bands, symmetric=symmetric)
+        want = sorted(
+            (r.vec_a, r.vec_b, _bits(r.sim_raw))
+            + tuple(_bits(r[f"p{p}_raw"]) for p in prefixes)
+            for r in joined.select(
+                "vec_a", "vec_b", full.alias("sim_raw"), *pcols
+            ).collect()
+        )
+        got = sorted(
+            (r.vec_a, r.vec_b, _bits(r.sim_raw))
+            + tuple(_bits(r[f"p{p}_raw"]) for p in prefixes)
+            for r in pair_score_frame(joined, prefixes=prefixes).collect()
+        )
+        assert want and want == got, (symmetric, len(want), len(got))
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+    )
+
+    release_caches()
+
+
+def test_gather_arm_bit_identical_to_payload_arm(spark, sf_dir):
+    """The two _scored_pair_frame strategies (gather-from-broadcast vs
+    bucket-local payload kernel) must yield the identical unique pair set
+    with bit-identical raw scores — the EMB_GATHER_MAX_BYTES gate is then
+    a pure strategy decision that can never change results."""
+    from langchain_callback_parquet_logger_spark.operators.arrowkernels import (
+        gather_pair_scores,
+        pair_score_frame,
+    )
+
+    S._BANDED_EMB_MEMO.clear()
+    emb, bands = S._banded_emb(spark, sf_dir)
+    prefixes = S.MRL_PREFIXES
+    for symmetric in (False, True):
+        gather = sorted(
+            (r.vec_a, r.vec_b, _bits(r.sim_raw))
+            + tuple(_bits(r[f"p{p}_raw"]) for p in prefixes)
+            for r in gather_pair_scores(
+                S._lsh_candidate_pairs(bands, symmetric=symmetric),
+                emb,
+                prefixes=prefixes,
+            ).collect()
+        )
+        payload = sorted(
+            (r.vec_a, r.vec_b, _bits(r.sim_raw))
+            + tuple(_bits(r[f"p{p}_raw"]) for p in prefixes)
+            for r in pair_score_frame(
+                S._lsh_scored_pairs(bands, symmetric=symmetric),
+                prefixes=prefixes,
+            )
+            .distinct()
+            .collect()
+        )
+        assert gather and gather == payload, (symmetric, len(gather), len(payload))
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+    )
+
+    release_caches()
+
+
+def test_cluster_pair_sims_bit_identical_to_join_fold(spark, sf_dir):
+    emb = _base(spark, sf_dir).select(
+        "vec_id", S._as_double(F.col("embedding")).alias("emb")
+    )
+    assigned = S.kmeans_assign(emb, S.kmeans_fit(emb), with_norm=True)
+    a = assigned.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        "cid",
+        "vec_id",
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = S.dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    want = sorted(
+        (r.cid, r.vec_id, _bits(r.s))
+        for r in a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("vec_id"))
+        .select("cid", "vec_id", sim.alias("s"))
+        .collect()
+    )
+    from langchain_callback_parquet_logger_spark.operators.arrowkernels import (
+        cluster_pair_sims,
+    )
+
+    got = sorted(
+        (r.cid, r.vec_id, _bits(r.sim_raw))
+        for r in cluster_pair_sims(
+            assigned.select("cid", "vec_id", "emb", "nrm")
+        ).collect()
+    )
+    assert want and want == got
+
+
 def test_kmeans_fit_centroids_unchanged_by_materialization(spark, sf_dir):
     """kmeans_fit now materializes each Lloyd step's centroids as a local
     relation; the VALUES must equal the former lazy-chain fit (rounding
