@@ -271,7 +271,7 @@ def knn_against_index(
     killed the embedding family at the round-11 sf1 audit."""
     from pyspark.sql import Window as W
 
-    from .similarity import _cap_buckets, dot
+    from .similarity import _cap_buckets
 
     planes = _read_ann_planes(spark, index_dir)
     emb_dir = os.path.join(index_dir, ANN_EMB_SUBDIR)
@@ -301,14 +301,29 @@ def knn_against_index(
         F.col("emb").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    scored = (
+    # Per-pair cosines via the vectorized Arrow pair kernel instead of an
+    # interpreted fold per candidate (bit-identical raw doubles — see
+    # arrowkernels.pair_score_frame); quantization stays JVM-side.
+    from .arrowkernels import pair_score_frame
+
+    pairs = (
         probe_bands.join(corpus_bands, ["band_idx", "band_val"])
         .filter(F.col("query_id") != F.col("nb_id"))
         .select(
-            "query_id",
-            "nb_id",
-            F.round(sim * F.lit(1e6)).cast("bigint").alias("sim_q"),
+            F.col("query_id").alias("vec_a"),
+            F.col("nb_id").alias("vec_b"),
+            "emb_a",
+            "nrm_a",
+            "emb_b",
+            "nrm_b",
+        )
+    )
+    scored = (
+        pair_score_frame(pairs)
+        .select(
+            F.col("vec_a").alias("query_id"),
+            F.col("vec_b").alias("nb_id"),
+            F.round(F.col("sim_raw") * F.lit(1e6)).cast("bigint").alias("sim_q"),
         )
         .distinct()
     )
