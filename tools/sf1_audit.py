@@ -74,8 +74,8 @@ bands AS (
 )"""
 
     D._minhash_bands_cte = patched
-    rebuilds = {
-        D.ORACLES: {
+    rebuilds = [
+        (D.ORACLES, {
             "q_minhash_dedup": D._oracle_minhash,
             "q_lsh_pair_audit": getattr(D, "_oracle_lsh_pair_audit", None),
             "q_cross_source_dupes": getattr(D, "_oracle_cross_source_dupes", None),
@@ -87,25 +87,25 @@ bands AS (
             "q_paraphrase_candidates": getattr(
                 D, "_oracle_paraphrase_candidates", None
             ),
-        },
-        G.ORACLES: {
+        }),
+        (G.ORACLES, {
             "q_dedup_clusters": getattr(G, "_oracle_dedup_clusters", None),
             "q_dup_centrality": getattr(G, "_oracle_dup_centrality", None),
             "q_label_propagation": getattr(G, "_oracle_label_propagation", None),
-        },
-        I.ORACLES: {
+        }),
+        (I.ORACLES, {
             "q_index_incremental_dedup": getattr(
                 I, "_oracle_index_incremental_dedup", None
             ),
             "q_index_compaction": getattr(I, "_oracle_index_compaction", None),
-        },
-        SI.ORACLES: {
+        }),
+        (SI.ORACLES, {
             "q_stream_incremental_dedup": getattr(
                 SI, "_oracle_stream_incremental_dedup", None
             ),
-        },
-    }
-    for dct, fns in rebuilds.items():
+        }),
+    ]
+    for dct, fns in rebuilds:
         for name, fn in fns.items():
             if fn is not None and name in dct:
                 dct[name] = fn()
