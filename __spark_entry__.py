@@ -172,16 +172,20 @@ _PRIORITY = [
 # NEXT round's number, which is when the rotation can actually happen.)
 _PENDING_CERTIFICATION: dict[str, int] = {
     # Carried from round 12 and STILL pending: the four kNN queries'
-    # plans changed again in round 13 (the round-12 flat dot kernel was
-    # reverted to the fold after the measured A/B in
-    # DOTKERNEL_AB_r13.json showed it 1.1-4.1x slower — its generated
-    # methods exceed HotSpot's 8 KB JIT limit — and per-row norms are now
-    # hoisted out of the per-pair cosine; float values are bit-identical
-    # either way).  Round 12's entry cited an sf1 verification artifact
-    # (ORACLE_SF1_r12.txt) that was never committed — that citation was
-    # wrong and is retracted; the round-13 sf1 evidence is committed as
-    # ORACLE_SF1_r13.txt and the in-round sf0.01 gate as
-    # ORACLE_FULL_r13.txt.
+    # plans changed again in round 13 — first the round-12 flat dot
+    # kernel was reverted to the fold (measured A/B in
+    # DOTKERNEL_AB_r13.json: 1.1-4.1x slower, generated methods exceed
+    # HotSpot's 8 KB JIT limit) with per-row norms hoisted out of the
+    # per-pair cosine, then q_knn_lsh's signature projection moved to
+    # the Arrow/NumPy band kernel (operators/arrowkernels.py; float
+    # values bit-identical by the sequential-accumulation contract,
+    # pinned by tests/test_arrowkernels.py).  Round 12's entry cited an
+    # sf1 verification artifact (ORACLE_SF1_r12.txt) that was never
+    # committed — that citation was wrong and is retracted; the
+    # round-13 evidence IS committed this time: all four queries PASS
+    # at sf1 in ORACLE_SF1_r13.txt, the full-surface sf0.01 gate is
+    # ORACLE_FULL_r13.txt (154/154), sf0.1 is ORACLE_SF01_r13.txt
+    # (154/154), dtypes DTYPES_FULL_r13.txt (154 STRICT-OK).
     "q_knn_bruteforce": 13,
     "q_knn_ivf": 13,
     "q_knn_lsh": 13,

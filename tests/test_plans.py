@@ -500,21 +500,28 @@ def test_banded_emb_memo_shares_caches_within_generation(spark, sf_dir):
     from langchain_callback_parquet_logger_spark.operators import similarity as S
     from langchain_callback_parquet_logger_spark.plans import session as sess
 
+    from pyspark.sql import DataFrame
+
+    def n_df_caches() -> int:
+        # the gather re-rank also tracks one Broadcast per consumer —
+        # count only the DataFrame cache pair the memo shares
+        return sum(1 for o in sess._TRACKED_CACHES if isinstance(o, DataFrame))
+
     spark.catalog.clearCache()
     sess.release_caches()
-    n0 = len(sess._TRACKED_CACHES)
+    n0 = n_df_caches()
     S.q_embedding_dedup(spark, sf_dir).count()
-    n1 = len(sess._TRACKED_CACHES)
+    n1 = n_df_caches()
     S.q_ann_join(spark, sf_dir).count()
-    n2 = len(sess._TRACKED_CACHES)
-    assert n1 - n0 == 2  # emb + bands registered once
+    n2 = n_df_caches()
+    assert n1 - n0 == 2  # base kernel frame + capped bands registered once
     assert n2 == n1  # second consumer reused the memoized pair
     gen = sess.cache_generation()
     sess.release_caches()
     assert sess.cache_generation() == gen + 1
     S.q_embedding_dedup(spark, sf_dir).count()
     try:
-        assert len(sess._TRACKED_CACHES) == 2  # rebuilt after release
+        assert n_df_caches() == 2  # rebuilt after release
     finally:
         sess.release_caches()
 

@@ -84,20 +84,26 @@ COMMENTARY: dict[str, str] = {
     ),
     "q_knn_lsh": (
         "Candidate selection is a BroadcastHashJoin LeftSemi on "
-        "(band_idx, band_val): the corpus computes its 16 sign bits in "
-        "one scan projection and only rows colliding with the broadcast "
-        "query bands survive to the exact cosine re-rank + "
+        "(band_idx, band_val): the corpus computes its 16 sign bits + "
+        "hoisted norm in ONE Arrow/NumPy pass (PythonMapInArrow, cached "
+        "— bit-identical to the fold by the sequential-accumulation "
+        "contract, arrowkernels.py) and only rows colliding with the "
+        "broadcast query bands survive to the exact cosine re-rank + "
         "TakeOrderedAndProject. The heavy side never shuffles; recall is "
         "tuned by bits/bands, not by moving data."
     ),
     "q_kmeans_ivf": (
-        "Every Lloyd iteration is: K-row broadcast cross join (never a "
-        "shuffle of vectors), per-vec argmin window, then a (cluster, dim) "
+        "Every Lloyd iteration is: ONE Arrow/NumPy assignment pass over "
+        "the scan (centroid matrix rides a K-row collected literal — the "
+        "same boundedness as the broadcast it replaced; no argmin "
+        "shuffle, no emb re-attach join), then a (cluster, dim) "
         "partial-mean shuffle — the update moves K×64 aggregates, not "
-        "data. The probe semi-join prunes the corpus to 2 clusters before "
-        "the exact re-rank. Centroids round to 6dp per update, which is "
-        "what makes a distributed float fit bit-reproducible against the "
-        "single-threaded oracle."
+        "data. Each step's centroids materialize as a K-row local "
+        "relation, so plan depth is constant per iteration (76→6 "
+        "Exchanges in round 13). The probe semi-join prunes the corpus "
+        "to 2 clusters before the exact re-rank. Centroids round to 6dp "
+        "per update, which is what makes a distributed float fit "
+        "bit-reproducible against the single-threaded oracle."
     ),
     "q_mixture_sample": (
         "The rate dim joins as BroadcastHashJoin LeftOuter before the "
@@ -209,12 +215,15 @@ COMMENTARY: dict[str, str] = {
     ),
     "q_embedding_dedup": (
         "Candidate generation is an equi join of (band_idx, band_val) "
-        "keys — 32 hyperplane sign bits in 4 byte-wide bands, computed in "
-        "one scan projection and persisted (InMemoryTableScan) so the "
-        "self-join reads the signatures instead of re-deriving them per "
-        "side. Per-bucket fan-out is capped by the 8-bit band width; "
-        "nothing in the plan is pairwise in corpus or block size. The "
-        "exact cosine runs only on candidate pairs via two id-equi-joins."
+        "keys — the adaptive family's hyperplane sign bits + hoisted "
+        "norms computed in ONE Arrow/NumPy pass (PythonMapInArrow) and "
+        "persisted (InMemoryTableScan) so the self-join reads the "
+        "signatures instead of re-deriving them per side. Per-bucket "
+        "fan-out is capped by band width + EMB_BUCKET_CAP; nothing in "
+        "the plan is pairwise in corpus or block size. The exact cosine "
+        "runs only on candidate pairs, through the size-adaptive Arrow "
+        "re-rank (gather-from-broadcast when the corpus fits one worker, "
+        "bucket-local payload kernel otherwise — guide §3.1)."
     ),
     "q_dedup_clusters": (
         "Edges come from the MinHash+LSH path (linear candidate volume); "
