@@ -75,91 +75,88 @@ GRADING_WINDOW = 50
 
 # The driver grades the FIRST GRADING_WINDOW registry entries (insertion
 # order).  Order the registry explicitly so that, across rounds, EVERY
-# query earns a driver-graded CORRECTNESS record.  Round-12 rotation
-# (VERDICT r11 next-round #2/#4/#5 + ADVICE): the three round-11
-# pending certs lead, then q_diversity_sample (the advice-high adaptive
-# bucket-shift fix), then every query whose PLAN or ORACLE changed this
-# round (the third band-family step: 96-plane/4x24-bit embedding bands
-# + combined-pair simhash banding past the 5M cutoffs, and the
-# over-cap-anti-join census reshape that replaced the keyspace-bounded
-# keep-list broadcast), then the ENTIRE remaining round-8 freshness
-# cohort, then a stalest-first fill from the round-9 cohort ordered by
-# fewest total driver records.  After this window lands, no query's
-# newest driver record is older than round 9.
+# query earns a driver-graded CORRECTNESS record.  Round-14 rotation
+# (VERDICT r13 next-round #6 + the expired pending-certification
+# tripwire): the four kNN queries lead — their round-12/13 plan changes
+# were verified locally (ORACLE_SF1_r13.txt, ORACLE_FULL_r13.txt) but
+# the driver window skipped them three rounds running, and
+# CORRECTNESS_r13.json landing expired the exemption.  Then every query
+# whose plan is touched by this round's optimization work (the
+# q_ann_recall_audit exact-leg Arrow kernel, the small-input kernel
+# coalesce, the gather-broadcast memoization, and any lifecycle/graph
+# profile-driven change), then the ENTIRE remaining round-9 freshness
+# cohort, then a stalest-first fill from round 10.  After this window
+# lands, no query's newest driver record is older than round 10.
 _PRIORITY = [
-    # -- round-11 pending certifications (plan changed post-window in
-    #    round 11; verified in-round then, graded now) --
-    "q_index_ann",
-    "q_repetition_ratio",
-    "q_simhash",
-    # -- advice-high fix: adaptive top-bit bucket shift --
-    "q_diversity_sample",
-    # -- plan/oracle changed this round (xwide band family + anti-join
-    #    census): every _banded_emb/_cap_buckets/simhash-band consumer --
-    "q_simhash_pairs",
-    "q_embedding_dedup",
-    "q_ann_join",
-    "q_matryoshka_probe",
+    # -- expired pending certifications: fold revert + hoisted norms
+    #    (r13, DOTKERNEL_AB_r13.json) graded by the driver at last --
+    "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_knn_per_label",
+    # -- plan touched this round (round-14 optimization work) --
     "q_ann_recall_audit",
+    "q_ann_join",
+    "q_embedding_dedup",
+    "q_matryoshka_probe",
     "q_ensemble_dedup",
     "q_paraphrase_candidates",
-    "q_lsh_pair_audit",
     "q_cross_source_dupes",
-    "q_incremental_dedup",
-    "q_index_incremental_dedup",
-    # kmeans_assign consumers: the hoisted per-centroid |c|² (found when
-    # the sf1 audit caught q_semdedup's 2e9-pair interpreted assignment
-    # serializing on one unspread task) changes their plan at every SF
+    "q_index_ann",
+    "q_semdedup",
     "q_kmeans_ivf",
     "q_centroid_confusion",
-    # -- round-8 freshness cohort (all 11 remaining r8 entries) --
-    "q_lang_id",
-    "q_multimodal_features",
-    "q_ngram_jaccard",
-    "q_range_join_banded",
-    "q_sessionize",
-    "q_sql_moving_avg",
-    "q_stream_dedup",
-    "q_stream_hourly_counts",
-    "q_stream_join",
-    "q_stream_session_window",
-    "q_stream_sessionize",
-    # -- round-9 cohort, one driver record --
-    "q_cost_attribution",
-    # -- round-9 cohort, two driver records --
-    "q_bigram_logprob",
-    "q_data_quality_checks",
-    "q_quality_logit",
-    "q_url_dedup",
-    "q_vocab_overlap",
-    # -- round-9 cohort, three driver records --
-    "q_bpe_merge_candidates",
-    "q_doc_features",
-    "q_leakage_safe_split",
-    "q_length_histogram",
-    "q_ngram_novelty",
     "q_pq_quantize",
-    "q_semdedup",
-    "q_substring_dedup",
-    "q_unigram_logprob",
-    # -- round-9 cohort, four driver records (alphabetical fill) --
-    "q_anomaly_zscore",
-    "q_asof_join",
-    "q_checkpoint_resume",
-    "q_cohort_retention",
-    "q_dedup_keep_last",
-    "q_doc_fingerprint",
-    "q_embedding_quantize",
+    "q_index_incremental_dedup",
+    "q_index_compaction",
+    "q_zorder_layout",
+    "q_log_compaction",
+    "q_incremental_rollup",
+    "q_lsh_pair_audit",
+    "q_dedup_threshold_sweep",
+    "q_winnow_matches",
+    "q_dedup_clusters",
+    "q_label_propagation",
+    "q_dup_centrality",
+    # -- round-9 freshness cohort (all 21 remaining r9 entries) --
+    "q_event_pivot",
+    "q_event_runs",
+    "q_funnel",
+    "q_hash_sample",
+    "q_hierarchy_join",
+    "q_lang_rollup",
+    "q_mixture_sample",
+    "q_multimodal_framesample",
+    "q_multimodal_meta",
+    "q_percentiles",
+    "q_pricing_summary",
+    "q_priority_class",
+    "q_priority_rollup",
+    "q_quality_score",
+    "q_results_zip",
+    "q_revenue_by_nation",
+    "q_status_summary",
+    "q_top_terms",
+    "q_variant_extract",
+    # -- round-10 cohort, stalest-first alphabetical fill --
+    "q_bpe_apply",
+    "q_ccnet_buckets",
+    "q_cms_heavy_hitters",
+    "q_corpus_clean",
 ]
-# Left at round-9 freshness for the round-13 rotation (the remaining
-# 4/5-record round-9 set: q_event_pivot, q_event_runs, q_funnel,
-# q_hash_sample, q_hierarchy_join,
-# q_knn_ivf, q_knn_per_label, q_lang_rollup, q_mixture_sample,
-# q_multimodal_framesample, q_multimodal_meta, q_percentiles,
-# q_pricing_summary, q_priority_class, q_priority_rollup,
-# q_quality_score, q_results_zip, q_revenue_by_nation,
-# q_status_summary, q_top_terms, q_variant_extract); the local
-# full-surface gate still covers all of them every round.
+# Left at round-10/11 freshness for the round-15 rotation (the remaining
+# round-10 set: q_cube, q_doc_keywords, q_dsir_weights, q_exact_dedup,
+# q_filter_funnel, q_grouping_sets, q_key_skew_report, q_kmv_users,
+# q_lead_lag, q_length_quality_corr, q_minhash_dedup,
+# q_minhash_estimate_error, q_ntile, q_pmi_collocations,
+# q_rolling_hash, q_running_total, q_salted_rollup, q_set_ops,
+# q_sql_correlated_scalar, q_sql_exists_semi, q_sql_in_agg,
+# q_sql_not_exists_anti, q_sql_scalar_having,
+# q_stream_incremental_dedup, q_substring_clean, q_substring_keepone,
+# q_text_stats, q_tfidf_top_terms, q_topk, q_training_order,
+# q_udtf_trigrams, q_user_value_p90, q_vocab_coverage — plus the
+# round-11 cohort); the local full-surface gate still covers all of
+# them every round.
 
 # Queries added AFTER the current round's window filled.  These are
 # certified by the local full-surface gate (ORACLE_FULL/ORACLE_SF01/
@@ -171,25 +168,10 @@ _PRIORITY = [
 # tripwire fired the moment round 7's own grade arrived — record the
 # NEXT round's number, which is when the rotation can actually happen.)
 _PENDING_CERTIFICATION: dict[str, int] = {
-    # Carried from round 12 and STILL pending: the four kNN queries'
-    # plans changed again in round 13 — first the round-12 flat dot
-    # kernel was reverted to the fold (measured A/B in
-    # DOTKERNEL_AB_r13.json: 1.1-4.1x slower, generated methods exceed
-    # HotSpot's 8 KB JIT limit) with per-row norms hoisted out of the
-    # per-pair cosine, then q_knn_lsh's signature projection moved to
-    # the Arrow/NumPy band kernel (operators/arrowkernels.py; float
-    # values bit-identical by the sequential-accumulation contract,
-    # pinned by tests/test_arrowkernels.py).  Round 12's entry cited an
-    # sf1 verification artifact (ORACLE_SF1_r12.txt) that was never
-    # committed — that citation was wrong and is retracted; the
-    # round-13 evidence IS committed this time: all four queries PASS
-    # at sf1 in ORACLE_SF1_r13.txt, the full-surface sf0.01 gate is
-    # ORACLE_FULL_r13.txt (154/154), sf0.1 is ORACLE_SF01_r13.txt
-    # (154/154), dtypes DTYPES_FULL_r13.txt (154 STRICT-OK).
-    "q_knn_bruteforce": 13,
-    "q_knn_ivf": 13,
-    "q_knn_lsh": 13,
-    "q_knn_per_label": 13,
+    # (round 14: empty — the four kNN queries carried here since round
+    # 12 rotated into the grading window the moment CORRECTNESS_r13.json
+    # landed without them, exactly as the tripwire in
+    # tests/test_survey_registry.py demands.)
 }
 
 
