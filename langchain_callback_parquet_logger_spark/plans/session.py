@@ -166,11 +166,21 @@ def spread(df: DataFrame, min_bytes: int = SPREAD_MIN_BYTES) -> DataFrame:
 
     Measure before spending: the exchange is only added when (a) Catalyst's
     size estimate says the input is big enough that per-row compute
-    dominates the shuffle cost, and (b) the scan actually has fewer splits
-    than cores. At warehouse scale the scan already has ≥cores splits and
-    this is a NO-OP — the gates keep the extra exchange out of both
-    tiny-data plans (where it is pure overhead) and big-data plans (where
-    it is redundant)."""
+    dominates the shuffle cost, and (b) the scan actually has fewer
+    EFFECTIVE splits than cores. At warehouse scale the scan already has
+    ≥cores splits and this is a NO-OP — the gates keep the extra exchange
+    out of both tiny-data plans (where it is pure overhead) and big-data
+    plans (where it is redundant).
+
+    "Effective" matters (round-14 finding, guide §2.5 input skew): Spark
+    assigns each parquet ROW GROUP to the byte-range split containing its
+    midpoint, so a 131 MB file written as ONE row group reports 32 splits
+    while every row lands in the single split holding the midpoint — 31
+    empty partitions and a one-core map side that getNumPartitions()
+    cannot see.  When the split count looks sufficient, the row-group
+    counts from the parquet footers (driver-side metadata, read only
+    until the bound is proven ≥ target, and skipped entirely when there
+    are ≥ target files) bound the scan's REAL parallelism."""
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # stats unavailable (e.g. streaming frame): be safe
@@ -180,7 +190,33 @@ def spread(df: DataFrame, min_bytes: int = SPREAD_MIN_BYTES) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
+    if _scan_row_group_bound(df, target) < target:
+        return df.repartition(target)
     return df
+
+
+def _scan_row_group_bound(df: DataFrame, target: int) -> int:
+    """Upper bound on how many non-empty partitions ``df``'s parquet scan
+    can produce: the total row-group count of its input files (each row
+    group is the atomic unit the reader hands to exactly one split).
+    Returns ``target`` as soon as the bound is proven sufficient, and on
+    any error (non-parquet source, no input files) — the caller then
+    keeps the pre-round-14 behavior of trusting the split count."""
+    try:
+        files = df.inputFiles()
+        if not files or len(files) >= target:  # ≥1 row group per file
+            return target
+        import pyarrow.parquet as pq
+
+        groups = 0
+        for uri in files:
+            path = uri[7:] if uri.startswith("file://") else uri
+            groups += pq.ParquetFile(path).metadata.num_row_groups
+            if groups >= target:
+                return target
+        return groups
+    except Exception:
+        return target
 
 
 def run_concurrently(*thunks):

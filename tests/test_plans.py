@@ -653,3 +653,38 @@ def test_centroid_confusion_post_assign_is_cell_frame_work(spark, sf_dir):
     assert "HashAggregate" in plan, plan
     assert "row_number()" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_spread_sees_through_single_row_group_file(spark, tmp_path):
+    """A big parquet file written as ONE row group reports ≥cores
+    byte-range splits while every row lands in the split holding the
+    row-group midpoint (parquet row groups are the reader's atomic
+    unit) — the round-13 "native splits = parallelism at sf1" claim was
+    exactly this illusion, and the whole sf1 kernel map side ran on one
+    core.  spread() must read the row-group bound from the footers and
+    repartition; a many-row-group file of the same size must keep the
+    no-op path (no redundant exchange at warehouse scale)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from langchain_callback_parquet_logger_spark.plans.session import spread
+
+    n = 200_000
+    tbl = pa.table({"id": pa.array(range(n), type=pa.int64())})
+
+    one = str(tmp_path / "one_group.parquet")
+    pq.write_table(tbl, one, row_group_size=n)  # single row group
+    df1 = spark.read.parquet(one)
+    target = spark.sparkContext.defaultParallelism
+    # precondition: the split count alone looks fine (or the file is
+    # small enough to be one split — either way the bound is the fix)
+    out1 = spread(df1, min_bytes=1)
+    nonempty1 = sum(1 for s in out1.rdd.glom().map(len).collect() if s)
+    assert nonempty1 >= min(target, 8), nonempty1
+
+    many = str(tmp_path / "many_groups.parquet")
+    pq.write_table(tbl, many, row_group_size=max(1, n // (2 * target)))
+    df2 = spark.read.parquet(many)
+    if df2.rdd.getNumPartitions() >= target:
+        # enough real splits: spread must NOT add an exchange
+        assert spread(df2, min_bytes=1) is df2
