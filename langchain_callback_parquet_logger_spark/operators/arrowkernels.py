@@ -98,7 +98,9 @@ def band_signature_frame(
     id_col = others[0]
     id_type = df.schema[id_col].dataType.simpleString()
 
-    P = np.array(planes, dtype=np.float64).T  # (d, n_planes)
+    # C-contiguous (d, n_planes): the d axis must be the OUTER stride so
+    # _seq_dot_panel's verified einsum layout applies (see its docstring)
+    P = np.ascontiguousarray(np.array(planes, dtype=np.float64).T)
     d, n_planes = P.shape
     band_bits = n_planes // n_bands
     weights = np.array(
@@ -111,11 +113,12 @@ def band_signature_frame(
                 continue
             X = _rows_f64(batch.column(emb_col), d, "band_signature_frame")
             n = X.shape[0]
-            acc = np.zeros((n, n_planes), dtype=np.float64)
+            # plane dots via the verified sequential-order panel (fused
+            # einsum when safe — see _seq_dot_panel; bit contract intact)
+            acc = _seq_dot_panel(X, P)
             nrm_acc = np.zeros(n, dtype=np.float64)
             for i in range(d):  # sequential per-dim accumulation (bit contract)
                 xi = X[:, i]
-                acc += xi[:, None] * P[i]
                 nrm_acc += xi * xi
             bits = (acc >= 0).astype(np.int64)
             bands = bits.reshape(n, n_bands, band_bits) @ weights  # exact ints
@@ -177,9 +180,14 @@ def pq_assign_frame(
                 sub_err = dist.min(axis=1)
                 code_cols.append(dist.argmin(axis=1))  # first min = lowest c
                 err = sub_err if err is None else err + sub_err  # left-assoc
-            code = code_cols[0].astype("U2")
+            # Unicode width sized from the codebook: astype("U2") would
+            # silently truncate codeword indices >= 100 (advice r13 #3);
+            # with PQ_CODEWORDS=16 this is width 2 today, but a grown
+            # codebook must widen the strings, never corrupt them.
+            uw = f"U{len(str(n_codes - 1))}"
+            code = code_cols[0].astype(uw)
             for c in code_cols[1:]:
-                code = np.char.add(np.char.add(code, ","), c.astype("U2"))
+                code = np.char.add(np.char.add(code, ","), c.astype(uw))
             yield pa.RecordBatch.from_arrays(
                 [batch.column(key_col), pa.array(err), pa.array(code.tolist())],
                 names=[key_col, "err", "code"],
@@ -215,7 +223,9 @@ def centroid_assign_frame(
 
     cents = sorted(centroids)  # ascending cid -> argmin ties to lowest cid
     cids = np.array([c[0] for c in cents], dtype=np.int64)
-    M = np.array([c[1] for c in cents], dtype=np.float64).T  # (d, K)
+    # C-contiguous (d, K): d as the OUTER stride, the layout
+    # _seq_dot_panel's verified einsum path requires (see its docstring)
+    M = np.ascontiguousarray(np.array([c[1] for c in cents], dtype=np.float64).T)
     d, k = M.shape
     # |c|^2 hoisted per centroid, same sequential fold as dot(c, c)
     c_sq = np.zeros(k, dtype=np.float64)
@@ -236,12 +246,13 @@ def centroid_assign_frame(
                 continue
             X = _rows_f64(batch.column(emb_col), d, "centroid_assign_frame")
             n = X.shape[0]
-            dots = np.zeros((n, k), dtype=np.float64)
+            # centroid dots via the verified sequential-order panel (fused
+            # einsum when safe — see _seq_dot_panel; bit contract intact)
+            dots = _seq_dot_panel(X, M)
             nrm_acc = np.zeros(n, dtype=np.float64) if with_norm else None
-            for i in range(d):  # sequential per-dim fold (bit contract)
-                xi = X[:, i]
-                dots += xi[:, None] * M[i]
-                if with_norm:
+            if with_norm:
+                for i in range(d):  # sequential per-dim fold (bit contract)
+                    xi = X[:, i]
                     nrm_acc += xi * xi
             score = c_sq - 2.0 * dots
             best = cids[np.argmin(score, axis=1)]  # ties -> lowest cid
@@ -260,19 +271,13 @@ def centroid_assign_frame(
     return df.mapInArrow(kernel, ", ".join(out_cols))
 
 
-def _pairwise_dots(X: np.ndarray, block: int = 4096) -> np.ndarray:
-    """(m, d) -> (m, m) pairwise dot matrix with the sequential per-dim
-    accumulation (module bit contract); row-blocked so a degenerate huge
-    group bounds its temp at block x m doubles."""
-    m, d = X.shape
-    G = np.empty((m, m), dtype=np.float64)
-    for lo in range(0, m, block):
-        hi = min(lo + block, m)
-        acc = np.zeros((hi - lo, m), dtype=np.float64)
-        for i in range(d):  # sequential per-dim fold (bit contract)
-            acc += X[lo:hi, i, None] * X[None, :, i]
-        G[lo:hi] = acc
-    return G
+# Per-block temp budget for the pairwise-dot slabs: one (block, m) float64
+# accumulator stays under ~64 MB regardless of cluster size, so a skewed
+# cluster bounds worker memory instead of allocating an m x m Gram matrix
+# plus two m^2/2 triu index arrays (advice r13 #2 — a ~100k-row cluster
+# would otherwise OOM the Python worker where the old equi-self-join
+# merely spilled).
+_PAIR_BLOCK_BYTES = 64 * 1024 * 1024
 
 
 def cluster_pair_sims(
@@ -283,6 +288,13 @@ def cluster_pair_sims(
     raw cosine ``dot / (nrm_a * nrm_b)`` — the SemDeDup pairwise stage as
     one Arrow pass per cluster instead of an equi-self-join evaluating an
     interpreted 64-term fold per pair (infeasible at sf1: ~31M pairs).
+
+    Pairs are emitted PER ROW-BLOCK: each slab computes a (block, m) dot
+    panel with the sequential per-dim fold, slices its own strict-upper-
+    triangle pairs, applies ``loose_min`` and appends — no full m x m
+    Gram matrix or m^2-sized index arrays ever exist, so a degenerate
+    huge cluster is bounded at ~_PAIR_BLOCK_BYTES of temp (advice r13
+    #2).
 
     Bit identity: dots are the sequential per-dim fold; the divide is the
     same two IEEE ops (nrm_a*nrm_b, then /) the JVM expression performs
@@ -311,14 +323,26 @@ def cluster_pair_sims(
         X = _rows_f64(emb, d, "cluster_pair_sims")[order]
         ids = ids[order]
         nrm = np.asarray(tbl.column("nrm"), dtype=np.float64)[order]
-        G = _pairwise_dots(X)
-        iu, ju = np.triu_indices(m, k=1)
-        denom = nrm[iu] * nrm[ju]  # same multiply-then-divide as the JVM
-        sims = G[iu, ju] / denom
-        hi = ids[ju]  # sorted ascending -> ju holds the higher vec_id
-        if loose_min is not None:
-            keep = sims >= loose_min
-            sims, hi = sims[keep], hi[keep]
+        block = max(1, _PAIR_BLOCK_BYTES // (8 * m))
+        out_hi: list[np.ndarray] = []
+        out_sims: list[np.ndarray] = []
+        cols = np.arange(m)
+        for lo in range(0, m - 1, block):
+            hi_row = min(lo + block, m - 1)
+            acc = np.zeros((hi_row - lo, m), dtype=np.float64)
+            for i in range(d):  # sequential per-dim fold (bit contract)
+                acc += X[lo:hi_row, i, None] * X[None, :, i]
+            # same multiply-then-divide as the JVM expression
+            sims_blk = acc / (nrm[lo:hi_row, None] * nrm[None, :])
+            rows_g = np.arange(lo, hi_row)
+            keep = cols[None, :] > rows_g[:, None]  # strict upper triangle
+            if loose_min is not None:
+                keep &= sims_blk >= loose_min
+            r, c = np.nonzero(keep)
+            out_hi.append(ids[c])  # ascending ids -> col holds the higher id
+            out_sims.append(sims_blk[r, c])
+        hi = np.concatenate(out_hi) if out_hi else np.empty(0, np.int64)
+        sims = np.concatenate(out_sims) if out_sims else np.empty(0, np.float64)
         cid = np.full(len(hi), tbl.column("cid")[0].as_py(), dtype=np.int64)
         return pa.table(
             {"cid": pa.array(cid), "vec_id": pa.array(hi), "sim_raw": pa.array(sims)}
@@ -401,11 +425,45 @@ def pair_score_frame(
     ).mapInArrow(fn, schema)
 
 
+def collect_corpus(base: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-side collect of a (vec_id, emb, nrm) frame into the sorted
+    (ids, matrix, norms) triple the gather kernels index into.  The
+    caller MUST gate on corpus size (similarity gather budget) — this is
+    the broadcast-class collect of guide §3.1, only ever legal for a
+    corpus that fits one worker."""
+    tbl = base.select("vec_id", "emb", "nrm").toArrow()
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    emb_col = tbl.column("emb")
+    if isinstance(emb_col, pa.ChunkedArray):
+        emb_col = emb_col.combine_chunks()
+    d = len(emb_col[0])
+    M = _rows_f64(emb_col, d, "collect_corpus")[order]
+    nrm = np.asarray(tbl.column("nrm"), dtype=np.float64)[order]
+    return ids, M, nrm
+
+
+def _gather_idx(g_ids: np.ndarray, wanted: np.ndarray, what: str) -> np.ndarray:
+    """searchsorted + membership check: an id absent from the corpus must
+    raise, never silently gather a neighbouring vector (advice r13 #4)."""
+    idx = np.searchsorted(g_ids, wanted)
+    safe = np.minimum(idx, len(g_ids) - 1)
+    if (idx >= len(g_ids)).any() or not np.array_equal(g_ids[safe], wanted):
+        missing = wanted[(idx >= len(g_ids)) | (g_ids[safe] != wanted)]
+        raise ValueError(
+            f"{what}: {len(missing)} id(s) absent from the corpus matrix "
+            f"(first: {missing[:5].tolist()})"
+        )
+    return idx
+
+
 def gather_pair_scores(
     candidates: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None = None,
     prefixes: tuple[int, ...] = (),
     loose_min: float | None = None,
+    bc=None,
 ) -> DataFrame:
     """(vec_a, vec_b) id pairs -> (vec_a, vec_b, sim_raw[, p{n}_raw ...])
     by GATHERING both vectors from a broadcast corpus matrix — the
@@ -423,33 +481,31 @@ def gather_pair_scores(
     Bit identity: identical sequential folds / multiply-then-divide as
     :func:`pair_score_frame` over the identical doubles (the corpus
     matrix is collected from the same cached kernel frame); both arms are
-    pinned equal by tests, so the size gate can never change results."""
-    spark = candidates.sparkSession
-    tbl = base.select("vec_id", "emb", "nrm").toArrow()
-    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    emb_col = tbl.column("emb")
-    if isinstance(emb_col, pa.ChunkedArray):
-        emb_col = emb_col.combine_chunks()
-    d = len(emb_col[0])
-    M = _rows_f64(emb_col, d, "gather_pair_scores")[order]
-    nrm = np.asarray(tbl.column("nrm"), dtype=np.float64)[order]
-    bc = spark.sparkContext.broadcast((ids, M, nrm))
-    from ..plans.session import track_unpersistable
+    pinned equal by tests, so the size gate can never change results.
 
-    track_unpersistable(bc)
+    ``bc`` is an optional prebuilt broadcast of :func:`collect_corpus`'s
+    triple — callers that build several gather consumers per generation
+    (similarity._gather_corpus_bc memoizes one) pass it to avoid the
+    advice-r13 re-collect-per-consumer trap; when absent the corpus is
+    collected from ``base`` here, as before."""
+    spark = candidates.sparkSession
+    if bc is None:
+        bc = spark.sparkContext.broadcast(collect_corpus(base))
+        from ..plans.session import track_unpersistable
+
+        track_unpersistable(bc)
     pcols = [f"p{p}_raw" for p in prefixes]
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         g_ids, g_M, g_nrm = bc.value  # one copy per worker process
+        d = g_M.shape[1]
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             a = np.asarray(batch.column("vec_a"), dtype=np.int64)
             b = np.asarray(batch.column("vec_b"), dtype=np.int64)
-            ia = np.searchsorted(g_ids, a)
-            ib = np.searchsorted(g_ids, b)
+            ia = _gather_idx(g_ids, a, "gather_pair_scores")
+            ib = _gather_idx(g_ids, b, "gather_pair_scores")
             A, B = g_M[ia], g_M[ib]
             n = A.shape[0]
             acc = np.zeros(n, dtype=np.float64)
@@ -484,6 +540,153 @@ def gather_pair_scores(
         f", {c} double" for c in pcols
     )
     return candidates.select("vec_a", "vec_b").mapInArrow(fn, schema)
+
+
+def _fold_dot_panel(P: np.ndarray, MTc: np.ndarray) -> np.ndarray:
+    """(b, d) x (d, c) -> (b, c) dot panel via the explicit sequential
+    per-dim fold — the module bit contract, spelled out."""
+    acc = np.zeros((P.shape[0], MTc.shape[1]), dtype=np.float64)
+    for i in range(P.shape[1]):  # sequential per-dim fold (bit contract)
+        acc += P[:, i, None] * MTc[i][None, :]
+    return acc
+
+
+_EINSUM_SEQ_OK: bool | None = None
+
+
+def _seq_dot_panel(P: np.ndarray, MTc: np.ndarray) -> np.ndarray:
+    """The fold panel, computed by ``einsum('pd,dn->pn')`` when safe.
+
+    With the summed dimension as the OUTER (non-contiguous) axis of the
+    second operand, NumPy's unoptimized einsum path accumulates over d
+    sequentially per output element — the exact fold order, measured
+    bit-identical on 3.2e10 random doubles and 4.1x faster than the
+    per-dim loop at the sf1 shape (fused multiply-add instead of three
+    2 MB array touches per dim).  That is an implementation detail of
+    this NumPy build, NOT an API guarantee (the 'nd,nd->n' form, where
+    the reduction IS the contiguous inner axis, takes an unrolled
+    multi-accumulator path and is NOT bit-identical) — so the first
+    call in each worker process PROVES the property on a small random
+    panel and the kernel falls back to the explicit fold if the build
+    ever changes.  The Spark-level pins in tests/test_arrowkernels.py
+    stay the end-to-end guarantee either way."""
+    global _EINSUM_SEQ_OK
+    if _EINSUM_SEQ_OK is None:
+        rng = np.random.default_rng(0xC0FFEE)
+        tp = rng.standard_normal((3, 64))
+        tm = np.ascontiguousarray(rng.standard_normal((64, 257)))
+        want = _fold_dot_panel(tp, tm[:, 3:250])
+        got = np.einsum("pd,dn->pn", tp, tm[:, 3:250], optimize=False)
+        _EINSUM_SEQ_OK = bool(
+            (got.view(np.int64) == want.view(np.int64)).all()
+        )
+    if (
+        _EINSUM_SEQ_OK
+        # the property is proven for THIS operand layout only: output
+        # axis contiguous inner, summed d axis outer — any other stride
+        # pattern (e.g. an F-order operand, where d is the inner axis
+        # and einsum may take the unrolled path) uses the explicit fold
+        and MTc.strides[1] == MTc.itemsize
+        and MTc.strides[0] >= MTc.strides[1]
+        and P.flags.c_contiguous
+    ):
+        return np.einsum("pd,dn->pn", P, MTc, optimize=False)
+    return _fold_dot_panel(P, MTc)
+
+
+def probe_topk_candidates(
+    probes: DataFrame,
+    bc,
+    k: int,
+    quantum: float = 1e-6,
+) -> DataFrame:
+    """(probe_id) -> (probe_id, nb_id, sim_raw): for each probe, the
+    corpus rows that can possibly reach its quantized top-``k`` — the
+    exact leg of the ANN recall audit as one Arrow pass against the
+    broadcast corpus matrix instead of a probes x corpus join evaluating
+    an interpreted 64-term fold per pair (the last such fold in the
+    embedding family; 1.25e10 pairs at sf1).  ``bc`` is a broadcast of
+    :func:`collect_corpus`'s triple; the caller MUST gate on corpus size
+    (the same similarity gather budget as :func:`gather_pair_scores`).
+
+    Superset contract (what keeps the JVM-side result identical): the
+    downstream ranking is ``row_number() OVER (ORDER BY round(sim*1e6)
+    DESC, nb_id ASC) <= k`` over raw sims that are bit-identical to the
+    fold's (sequential per-dim accumulation + multiply-then-divide, the
+    module contract).  The kernel emits every row with
+    ``sim_raw >= kth_largest_raw - 2*quantum``.  Any emitted-set
+    complement row r has raw < kth - 2e-6, so for each of the >= k rows
+    with raw >= kth the scaled gap exceeds 2 - fp_slop > 1 quantum and
+    monotone HALF_UP quantization makes their sim_q STRICTLY greater
+    than r's — r can never rank <= k.  The JVM then applies the exact
+    quantize + window over the superset, so the final top-k rows are
+    byte-identical to the full cross-product plan's.
+
+    Probe rows are blocked so the (block, n) score panel stays under
+    ~_PAIR_BLOCK_BYTES, and the d-loop runs over CORPUS CHUNKS of a
+    transposed copy of the matrix: the naive ``acc += P[:,i,None] *
+    M[None,:,i]`` walks a stride-512B column of the row-major corpus 64
+    times per slab (measured: one sf1 partition ~10+ min, pure memory
+    stalls), while a (d, n) layout makes every per-dim read contiguous
+    and a ~2 MB acc chunk stays cache-resident across the 64 dims —
+    same per-element accumulation ORDER, so the bit contract is
+    untouched.  Each chunk is evaluated by :func:`_seq_dot_panel`
+    (fused ``einsum`` when this NumPy build's sequential path is
+    verified, explicit per-dim fold otherwise — measured 4.1x on the
+    sf1 shape, identical bits).  Self-pairs (probe scoring itself) are
+    excluded exactly like the plan's ``probe_id != nb_id`` predicate."""
+    chunk_cols = 16384  # (block x chunk) f64 acc panel ~2 MB, cache-resident
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        g_ids, g_M, g_nrm = bc.value  # one copy per worker process
+        n, d = g_M.shape
+        # transposed contiguous corpus, built once per worker process
+        # (the broadcast value is registry-cached across tasks)
+        cache = _MT_CACHE
+        MT = cache.get(id(g_M))
+        if MT is None:
+            MT = np.ascontiguousarray(g_M.T)
+            cache.clear()
+            cache[id(g_M)] = MT
+        block = max(16, _PAIR_BLOCK_BYTES // (8 * max(n, 1)))
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            p = np.asarray(batch.column(0), dtype=np.int64)
+            ip = _gather_idx(g_ids, p, "probe_topk_candidates")
+            for lo in range(0, len(p), block):
+                hi = min(lo + block, len(p))
+                P = g_M[ip[lo:hi]]
+                b = hi - lo
+                sims = np.empty((b, n), dtype=np.float64)
+                for c0 in range(0, n, chunk_cols):
+                    c1 = min(c0 + chunk_cols, n)
+                    sims[:, c0:c1] = _seq_dot_panel(P, MT[:, c0:c1])
+                # same multiply-then-divide as the JVM expression
+                sims /= g_nrm[ip[lo:hi], None] * g_nrm[None, :]
+                sims[np.arange(b), ip[lo:hi]] = -np.inf  # probe_id != nb_id
+                if n - 1 > k:
+                    kth = np.partition(sims, n - k, axis=1)[:, n - k]
+                    keep = sims >= (kth[:, None] - 2.0 * quantum)
+                else:
+                    keep = np.isfinite(sims)
+                r, c = np.nonzero(keep)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(p[lo:hi][r]),
+                        pa.array(g_ids[c]),
+                        pa.array(sims[r, c]),
+                    ],
+                    names=["probe_id", "nb_id", "sim_raw"],
+                )
+
+    return probes.mapInArrow(fn, "probe_id bigint, nb_id bigint, sim_raw double")
+
+
+# per-worker cache of the transposed corpus for probe_topk_candidates
+# (single entry: keyed by the broadcast matrix's object id, which the
+# PySpark broadcast registry keeps stable across tasks in one worker)
+_MT_CACHE: dict[int, np.ndarray] = {}
 
 
 def exploded_band_rows(base: DataFrame, *payload: str) -> DataFrame:

@@ -550,9 +550,14 @@ def q_index_ann(
         index_dir = os.path.join(_scratch_root(), "ann_index")
     from ..plans.session import load_table, spread
 
-    vecs = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
+    from .similarity import EMB_SPREAD_MIN_BYTES
+
+    # 8 MB floor, same as every other kernel-fed embedding scan: with
+    # the Arrow band kernel the per-row signature cost no longer pays
+    # for a tiny-corpus exchange (see EMB_SPREAD_MIN_BYTES rationale).
+    vecs = spread(
+        load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES
+    ).select("vec_id", "embedding")
     planes = _dedup_band_family(vecs.count())
     half = F.col("vec_id") % 2 == 0
     materialize_ann_index(vecs.filter(half), index_dir, planes)

@@ -33,22 +33,37 @@ QUERY_VEC_ID = 0
 TOP_K = 10
 DEDUP_COSINE_THRESHOLD = 0.45
 
-# spread() gate for the NON-BANDED embedding scans. Round 12 added the
-# default 256 KB-gated spread() to all of them wholesale; with the
-# fold+hoisted-norm kernel the per-row cost dropped enough that at the
-# graded SFs the exchange costs more than it buys — measured per consumer
-# in SPREADAB_r13.json: at sf0.1 (2k vectors, ~0.8 MB scan) nospread wins
+# spread() gate for ALL embedding scans. Round 12 added the default
+# 256 KB-gated spread() to them wholesale; with the fold+hoisted-norm
+# kernel the per-row cost dropped enough that at the graded SFs the
+# exchange costs more than it buys — measured per consumer in
+# SPREADAB_r13.json: at sf0.1 (2k vectors, ~0.8 MB scan) nospread wins
 # 7 of 9 (q_kmeans_ivf 2.5 s vs 4.9 s, q_knn_bruteforce 0.6 s vs 1.4 s).
-# At sf1 (500k vectors, 131 MB) the question is MOOT: the scan already
-# arrives at defaultParallelism native splits
-# (spark.sql.files.minPartitionNum), so spread()'s partition-count gate
-# makes it a no-op there with either threshold — verified both arms
-# object-identical at sf1. The 8 MB floor therefore only removes the
-# exchange from small scans where it is measurable overhead; it cannot
-# lose parallelism at scale. The BANDED scans (_banded_emb, knn_lsh,
-# index build) keep the default gate — their per-row signature projection
-# (16-96 plane dots) is heavy enough that spread wins even at sf0.1
-# (q_knn_lsh 3.8 s vs 7.6 s).
+# At sf1 (500k vectors, 131 MB) round 13 called spread a no-op because
+# "the scan already arrives at defaultParallelism native splits" — round
+# 14 measured that claim FALSE: the sf1 file is ONE parquet row group,
+# so every byte-range split but the one holding the row-group midpoint
+# is EMPTY (31 empty partitions, the whole kernel map side on one core).
+# spread() now reads the row-group bound from the parquet footers and
+# repartitions such scans (plans/session.py _scan_row_group_bound), so
+# the 8 MB floor removes the exchange from small scans where it is
+# measurable overhead while single-row-group big scans still get their
+# repartition.
+#
+# Round 14 extends the floor to the BANDED scans (_banded_emb, knn_lsh,
+# the index build): round 13 had kept their 256 KB gate on the strength
+# of SPREADAB_r13 (q_knn_lsh 3.8 s vs 7.6 s) — but that A/B was taken
+# BEFORE the Arrow band kernel landed, when the signature projection was
+# 32-96 interpreted Catalyst folds per row.  The kernel cut that per-row
+# cost ~25x, flipping the trade: at sf0.1 the spread exchange now only
+# fans a 2k-row corpus across 32 Python workers (one mapInArrow worker
+# per partition, each paying startup + broadcast load for ~60 rows),
+# which is exactly the 8-vs-32-core INVERSE scaling the round-13 PERF
+# record flagged (q_ann_join 0.72, q_embedding_dedup 0.75, q_index_ann
+# 0.70).  Measured round 14 (SPREADAB_r14 table in OPTIMIZATION_r14.md):
+# dropping the exchange wins at 32 cores and restores ratios above 1.0
+# at 8-vs-32; at sf1 the floor is irrelevant (131 MB >> 8 MB) and the
+# row-group-aware spread() above supplies the repartition.
 EMB_SPREAD_MIN_BYTES = 8 * 1024 * 1024
 
 
@@ -377,7 +392,7 @@ def knn_lsh(emb: DataFrame, query_vec_id: int, k: int = TOP_K) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+    emb = spread(load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES).select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     return knn_lsh(emb, QUERY_VEC_ID)
@@ -522,10 +537,42 @@ EMB_BUCKET_CAP = 1024
 # local payload shape remains the plan — the same adaptive-strategy
 # class as a broadcast-join threshold, and value-neutral by construction
 # (both arms are pinned bit-identical in tests/test_arrowkernels.py).
-# Tunable per deployment: executors with more memory raise it.
-EMB_GATHER_MAX_BYTES = int(
-    __import__("os").environ.get("SPARK_GRAFT_EMB_GATHER_MAX_BYTES", 512 * 1024 * 1024)
-)
+#
+# The budget is DERIVED from the session (round-13 verdict #7, closing
+# the flat-512MB foot-gun): an eighth of spark.driver.memory — the
+# driver collects the matrix once and every Python worker pins one copy,
+# so a deployment sized for bigger workers raises the gate automatically
+# — floored at 64 MB and capped at 2 GiB (past that a broadcast stops
+# being the right shape regardless of memory). The env override wins
+# unconditionally, as before.
+EMB_GATHER_FALLBACK_BYTES = 512 * 1024 * 1024
+
+
+def _parse_mem_bytes(s: str) -> int | None:
+    """'16g' / '512m' / '16384' (JVM memory-string grammar) -> bytes."""
+    m = __import__("re").fullmatch(
+        r"\s*(\d+)\s*([kmgt]?)b?\s*", str(s), __import__("re").IGNORECASE
+    )
+    if not m:
+        return None
+    mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    return int(m.group(1)) * mult[m.group(2).lower()]
+
+
+def gather_max_bytes(spark: SparkSession) -> int:
+    """The gather-arm corpus budget for this session (rationale above)."""
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_EMB_GATHER_MAX_BYTES")
+    if env is not None:
+        return int(env)
+    try:
+        driver_mem = _parse_mem_bytes(spark.conf.get("spark.driver.memory"))
+    except Exception:
+        driver_mem = None
+    if driver_mem is None:
+        return EMB_GATHER_FALLBACK_BYTES
+    return min(max(driver_mem // 8, 64 * 1024 * 1024), 2 * 1024**3)
 
 
 # (generation, emb, capped) per (app_id, sf_dir) — see _banded_emb.  The
@@ -536,6 +583,36 @@ EMB_GATHER_MAX_BYTES = int(
 _BANDED_EMB_MEMO: dict[
     tuple[str, str], tuple[int, DataFrame, DataFrame, int]
 ] = {}
+
+# (generation, broadcast) per (app_id, sf_dir) — the gather-arm corpus
+# broadcast, memoized exactly like _BANDED_EMB_MEMO (advice r13 #5: the
+# collect + broadcast used to run eagerly at plan-construction time in
+# EVERY gather consumer, so one query building two gather frames — e.g.
+# q_ann_recall_audit's banded + exact legs — re-collected the corpus and
+# tracked a second identical broadcast).  release_caches() bumps the
+# generation, and the tracked broadcast is unpersisted with everything
+# else, so nothing survives a bench rep.
+_GATHER_BC_MEMO: dict[tuple[str, str], tuple[int, object]] = {}
+
+
+def _gather_corpus_bc(spark: SparkSession, sf_dir: str):
+    """One broadcast of the collected (ids, matrix, norms) corpus triple
+    per (application, sf_dir, cache generation).  Caller gates on
+    :func:`gather_max_bytes` — see EMB_GATHER_FALLBACK_BYTES."""
+    from ..plans.session import cache_generation, track_unpersistable
+
+    from .arrowkernels import collect_corpus
+
+    gen = cache_generation()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _GATHER_BC_MEMO.get(key)
+    if hit is not None and hit[0] == gen:
+        return hit[1]
+    emb, _ = _banded_emb(spark, sf_dir)
+    bc = spark.sparkContext.broadcast(collect_corpus(emb))
+    track_unpersistable(bc)
+    _GATHER_BC_MEMO[key] = (gen, bc)
+    return bc
 
 
 # Lookup used by the stored-index meta table (indexes.py pins the band
@@ -617,9 +694,9 @@ def _banded_emb(spark: SparkSession, sf_dir: str):
     if hit is not None and hit[0] == gen:
         return hit[1], hit[2]
 
-    scan = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
+    scan = spread(
+        load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES
+    ).select("vec_id", "embedding")
     # Family choice needs the corpus count BEFORE the signature pass; a
     # count() on the bare scan is a parquet-metadata job (columns pruned
     # to nothing), and it is the same COUNT(*) the oracle branches on.
@@ -833,12 +910,12 @@ def _scored_pair_frame(
     emb, bands = _banded_emb(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     n = _BANDED_EMB_MEMO[key][3]
-    if n * (EMB_DIM + 2) * 8 <= EMB_GATHER_MAX_BYTES:
+    if n * (EMB_DIM + 2) * 8 <= gather_max_bytes(spark):
         return gather_pair_scores(
             _lsh_candidate_pairs(bands, symmetric=symmetric),
-            emb,
             prefixes=prefixes,
             loose_min=loose_min,
+            bc=_gather_corpus_bc(spark, sf_dir),
         )
     return pair_score_frame(
         _lsh_scored_pairs(bands, symmetric=symmetric),
@@ -1306,9 +1383,9 @@ PQ_CODEBOOK = [
 def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .arrowkernels import pq_assign_frame
 
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "label", "embedding"
-    )
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings"), EMB_SPREAD_MIN_BYTES
+    ).select("label", "embedding")
     # All PQ_SUBSPACES x PQ_CODEWORDS distance folds per vector run in one
     # Arrow pass (arrowkernels.pq_assign_frame) instead of 64 interpreted
     # Catalyst folds per row; distances, the per-subspace argmin tie-break
@@ -1570,25 +1647,50 @@ ANN_AUDIT_MOD = 20  # 5% probe sample
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _ = _banded_emb(spark, sf_dir)
     is_probe = F.col("vec_id") % ANN_AUDIT_MOD == 0
-    probes = emb.filter(is_probe).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("emb").alias("emb_p"),
-        F.col("nrm").alias("nrm_p"),
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("nb_id"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    sim = dot(F.col("emb_p"), F.col("emb_b")) / (F.col("nrm_p") * F.col("nrm_b"))
-    scored = (
-        probes.join(corpus, F.col("probe_id") != F.col("nb_id"))
-        .select(
+    n = _BANDED_EMB_MEMO[(spark.sparkContext.applicationId, sf_dir)][3]
+    if n * (EMB_DIM + 2) * 8 <= gather_max_bytes(spark):
+        # Exact leg through the Arrow gather kernel (round-13 verdict #1
+        # — this was the last interpreted per-pair fold in the embedding
+        # family): each probe row scores against the broadcast corpus
+        # matrix in one blocked NumPy pass and only rows that can reach
+        # the quantized top-K (sim_raw >= kth_largest - 2e-6, a provable
+        # superset — see probe_topk_candidates) cross back.  The raw
+        # sims are bit-identical to the fold's; the exact HALF_UP
+        # quantization and the ranking window below are UNCHANGED, so
+        # the kept top-K rows are byte-identical to the cross-join
+        # plan's (pinned by tests/test_arrowkernels.py).
+        from .arrowkernels import probe_topk_candidates
+
+        scored = probe_topk_candidates(
+            emb.filter(is_probe).select(F.col("vec_id").alias("probe_id")),
+            _gather_corpus_bc(spark, sf_dir),
+            ANN_JOIN_K,
+        ).select(
+            "probe_id",
+            "nb_id",
+            F.round(F.col("sim_raw") * F.lit(1e6)).cast("bigint").alias("sim_q"),
+        )
+    else:
+        # Above the gather gate the corpus cannot broadcast; the audit
+        # is documented as probe-sample-tunable and keeps the fold join.
+        probes = emb.filter(is_probe).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("emb").alias("emb_p"),
+            F.col("nrm").alias("nrm_p"),
+        )
+        corpus = emb.select(
+            F.col("vec_id").alias("nb_id"),
+            F.col("emb").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        sim = dot(F.col("emb_p"), F.col("emb_b")) / (
+            F.col("nrm_p") * F.col("nrm_b")
+        )
+        scored = probes.join(corpus, F.col("probe_id") != F.col("nb_id")).select(
             "probe_id",
             "nb_id",
             F.round(sim * F.lit(1e6)).cast("bigint").alias("sim_q"),
         )
-    )
     w = W.partitionBy("probe_id").orderBy(
         F.col("sim_q").desc(), F.col("nb_id").asc()
     )

@@ -285,6 +285,108 @@ def test_cluster_pair_sims_bit_identical_to_join_fold(spark, sf_dir):
     assert want and want == got
 
 
+def test_probe_topk_kernel_matches_fold_cross_join(spark, sf_dir):
+    """q_ann_recall_audit's exact leg: the gather-kernel arm must (a)
+    emit bit-identical raw sims for every (probe, nb) row it keeps, and
+    (b) after the UNCHANGED quantize + ranking window, yield byte-
+    identical top-K rows to the probes x corpus fold join it replaces —
+    the superset-cutoff proof in probe_topk_candidates, checked on data."""
+    from pyspark.sql import Window as W
+
+    from langchain_callback_parquet_logger_spark.operators.arrowkernels import (
+        collect_corpus,
+        probe_topk_candidates,
+    )
+    from langchain_callback_parquet_logger_spark.plans.session import (
+        release_caches,
+        track_unpersistable,
+    )
+
+    S._BANDED_EMB_MEMO.clear()
+    emb, _ = S._banded_emb(spark, sf_dir)
+    is_probe = F.col("vec_id") % S.ANN_AUDIT_MOD == 0
+    k = S.ANN_JOIN_K
+
+    # fold reference: the exact probes x corpus plan, verbatim
+    probes = emb.filter(is_probe).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("emb_p"),
+        F.col("nrm").alias("nrm_p"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = S.dot(F.col("emb_p"), F.col("emb_b")) / (
+        F.col("nrm_p") * F.col("nrm_b")
+    )
+    fold_raw = probes.join(corpus, F.col("probe_id") != F.col("nb_id")).select(
+        "probe_id", "nb_id", sim.alias("sim_raw")
+    )
+
+    bc = spark.sparkContext.broadcast(collect_corpus(emb))
+    track_unpersistable(bc)
+    kern_raw = probe_topk_candidates(
+        emb.filter(is_probe).select(F.col("vec_id").alias("probe_id")), bc, k
+    )
+
+    # (a) every kernel row's raw sim bit-matches the fold's for that pair,
+    # and the kernel kept at least k rows per probe (superset of top-k)
+    want_raw = {
+        (r.probe_id, r.nb_id): _bits(r.sim_raw) for r in fold_raw.collect()
+    }
+    kern_rows = kern_raw.collect()
+    assert kern_rows
+    per_probe: dict[int, int] = {}
+    for r in kern_rows:
+        assert want_raw[(r.probe_id, r.nb_id)] == _bits(r.sim_raw), (
+            r.probe_id,
+            r.nb_id,
+        )
+        per_probe[r.probe_id] = per_probe.get(r.probe_id, 0) + 1
+    n_corpus = emb.count()
+    for pid, cnt in per_probe.items():
+        assert cnt >= min(k, n_corpus - 1), pid
+
+    # (b) quantize + window over each arm -> identical top-k rows
+    def topk(raw):
+        q = raw.select(
+            "probe_id",
+            "nb_id",
+            F.round(F.col("sim_raw") * F.lit(1e6)).cast("bigint").alias("sim_q"),
+        )
+        w = W.partitionBy("probe_id").orderBy(
+            F.col("sim_q").desc(), F.col("nb_id").asc()
+        )
+        return sorted(
+            (r.probe_id, r.nb_id, r.sim_q)
+            for r in q.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .collect()
+        )
+
+    assert topk(fold_raw) == topk(kern_raw)
+    release_caches()
+
+
+def test_gather_max_bytes_derivation(spark, monkeypatch):
+    """The gather budget derives from spark.driver.memory (//8, floored
+    at 64 MB, capped at 2 GiB); the env override wins unconditionally."""
+    monkeypatch.delenv("SPARK_GRAFT_EMB_GATHER_MAX_BYTES", raising=False)
+    driver_mem = S._parse_mem_bytes(spark.conf.get("spark.driver.memory"))
+    want = min(max(driver_mem // 8, 64 * 1024 * 1024), 2 * 1024**3)
+    assert S.gather_max_bytes(spark) == want
+    monkeypatch.setenv("SPARK_GRAFT_EMB_GATHER_MAX_BYTES", "12345")
+    assert S.gather_max_bytes(spark) == 12345
+    # memory-string grammar
+    assert S._parse_mem_bytes("16g") == 16 * 1024**3
+    assert S._parse_mem_bytes("512m") == 512 * 1024**2
+    assert S._parse_mem_bytes("1024") == 1024
+    assert S._parse_mem_bytes("2t") == 2 * 1024**4
+    assert S._parse_mem_bytes("nonsense") is None
+
+
 def test_kmeans_fit_centroids_unchanged_by_materialization(spark, sf_dir):
     """kmeans_fit now materializes each Lloyd step's centroids as a local
     relation; the VALUES must equal the former lazy-chain fit (rounding
@@ -333,3 +435,24 @@ def test_kmeans_fit_centroids_unchanged_by_materialization(spark, sf_dir):
     assert set(want) == set(got) and want
     for cid in want:
         assert [_bits(x) for x in want[cid]] == [_bits(x) for x in got[cid]], cid
+
+
+def test_seq_dot_panel_bit_identical_to_fold():
+    """_seq_dot_panel (einsum fast path when the build's sequential-order
+    property holds, explicit fold otherwise) must be bit-identical to the
+    per-dim fold across block shapes, chunk tails and strided views."""
+    import numpy as np
+
+    from langchain_callback_parquet_logger_spark.operators.arrowkernels import (
+        _fold_dot_panel,
+        _seq_dot_panel,
+    )
+
+    rng = np.random.default_rng(42)
+    MT = np.ascontiguousarray(rng.standard_normal((64, 5000)))
+    for b in (1, 3, 16, 17):
+        P = rng.standard_normal((b, 64))
+        for sl in (slice(0, 5000), slice(137, 1137), slice(4990, 5000)):
+            want = _fold_dot_panel(P, MT[:, sl])
+            got = _seq_dot_panel(P, MT[:, sl])
+            assert (got.view(np.int64) == want.view(np.int64)).all(), (b, sl)
