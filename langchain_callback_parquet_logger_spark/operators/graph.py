@@ -162,7 +162,15 @@ def pagerank_integer(
     ≥ 1), so no dangling-mass correction is needed."""
     from ..plans.session import cache_tracked
 
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Materialize the edge list BEFORE the symmetric union (same fix
+    # connected_components has carried since r7): both union branches
+    # reference `e`, and without this the upstream plan — here the whole
+    # MinHash pair pipeline — executes once PER BRANCH in the job that
+    # first materializes the cached sym frame (measured round 14:
+    # q_dup_centrality 3.38 s -> the pr_total floor 2.55 s at sf0.1).
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     sym = cache_tracked(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
@@ -284,7 +292,15 @@ def label_propagation(
     multiplicities instead of repeating edges.)"""
     from ..plans.session import cache_tracked
 
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Materialize the edge list BEFORE the four-branch union (same fix
+    # connected_components has carried since r7): every branch
+    # references `e`, and without this the upstream MinHash pair
+    # pipeline executes once PER BRANCH in the job that materializes
+    # the cached sym frame (measured round 14: q_label_propagation
+    # 4.02 s -> the lpa_total floor 2.56 s at sf0.1).
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     # The self-vote is encoded as a SELF-LOOP edge per node: the label
     # frame is then referenced exactly ONCE per round (plain neighbour
     # voting over the loop-augmented graph), so the iteration chain
