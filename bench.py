@@ -204,6 +204,33 @@ def main() -> None:
         finally:
             release_caches()
 
+    # Steady-state annotation for the streaming lifecycles (round-13
+    # verdict #8): their cold medians include a fresh-JVM first drain
+    # (micro-batch startup, state-store init) whose variance the r13
+    # record flagged on q_stream_join. A second back-to-back run after
+    # an untimed priming run records the steady-state drain cost.
+    # ADDITIONS-ONLY: lands in BENCHFULL.json next to the cold median;
+    # the timed reps above and the one-line summary are untouched.
+    steady_annotated = [
+        "q_stream_join",
+        "q_stream_incremental_dedup",
+        "q_stream_sessionize",
+        "q_stream_hourly_counts",
+    ]
+    steady: dict[str, float] = {}
+    for name in steady_annotated:
+        if name not in qs or name in errors:
+            continue
+        try:
+            qs[name](spark, sf_dir).count()  # untimed priming drain
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()  # steady-state drain
+            steady[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors.setdefault(name, f"steady-annotation {type(e).__name__}: {e}")
+        finally:
+            release_caches()
+
     timings: dict[str, float] = {}
     for name in names:
         if not runs[name]:  # every rep errored — recorded in `errors`
@@ -270,6 +297,9 @@ def main() -> None:
                 # warm rep = caches resident (r3-style measurement);
                 # compare against the cold median in `queries`.
                 "warm_cache_annotation": warm,
+                # Streaming steady-state (post-first-drain) re-run next
+                # to the cold median in `queries` — see steady_annotated.
+                "steady_state_annotation": steady,
                 "runs": {n: [round(t, 3) for t in ts] for n, ts in runs.items()},
                 "rows": counts,
                 "errors": errors,
